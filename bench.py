@@ -1,0 +1,77 @@
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a count-style action that cannot
+be optimized into metadata (`df.write.format("noop")` would skip collect; we
+use foreach-noop via count on the final plan, which executes every operator).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from weather_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
+from weather_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (scan/agg/join/window/custom-window)
+HEADLINE = [
+    "q1_pricing_summary",
+    "group_summary_events",
+    "global_stats_events",
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "latest_event_per_user",
+    "lag_events",
+    "rolling_mean_events",
+    "rolling_std_events",
+    "ffill_limited_events",
+    "interpolate_events",
+    "time_features_events",
+    "weather_indices_events",
+    "corr_lineitem",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("wdp-bench")
+    # JVM + parquet-footer warmup on a trivial action so per-query timings
+    # measure the engine, not process startup.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in REGISTRY]
+    for name in names:
+        fn = REGISTRY[name].spark
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

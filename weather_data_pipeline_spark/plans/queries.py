@@ -1,0 +1,824 @@
+"""Query registry: every implemented operator as a (spark_fn, oracle_sql) pair.
+
+This is the engine's public query surface (SURVEY.md §2) plus the
+beyond-reference operators (joins, dedup, similarity, text). Each entry is
+
+    name -> QueryDef(spark=Callable[(SparkSession, sf_dir)] -> DataFrame,
+                     sql=ANSI SQL for DuckDB on the same parquet, or None)
+
+Determinism / oracle-parity rules used throughout:
+
+- Every computed column is aliased identically in Spark and SQL.
+- Float **sums/averages over many rows** go through exact DECIMAL(18,6)
+  arithmetic then a single cast to DOUBLE, so Spark and DuckDB produce
+  bit-identical doubles regardless of accumulation order.
+- Small-frame window stats (rolling mean/std) and correlations are rounded
+  (6 dp) in BOTH engines — accumulation-order error there is ~1e-14.
+- Window orders always include a unique tiebreak (event_id) so results are
+  well-defined with duplicate timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scalar
+from ..operators import joins as J
+from ..operators import relational as R
+from ..operators import windows as W
+from ..sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> driver does rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(spark=fn, sql=sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# The driver's events.parquet stores ns timestamps; Spark truncates to µs
+# (sources/tables.py). This CTE shadows the DuckDB `events` view with the
+# identically-truncated ts so both engines compare/window/return the same µs
+# values. Prepend to every events oracle.
+EV = (
+    "WITH ev_us AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "
+    "user_id, event_type, value, props FROM events)"
+)
+
+
+def ev_sql(body: str) -> str:
+    """Wrap an events oracle body with the ts-truncating CTE (named `ev_us`
+    because DuckDB CTEs may not shadow the view they read). References to
+    `events` in the body are rewritten to the CTE."""
+    import re
+
+    body = re.sub(r"\bevents\b", "ev_us", body)
+    stripped = body.lstrip()
+    if stripped.upper().startswith("WITH "):
+        return EV + ", " + stripped[5:]
+    return EV + "\n" + body
+
+
+def dsum(expr: Column) -> Column:
+    """Exact distributed sum of a double expression: accumulate in
+    DECIMAL(18,6) (order-independent), emit DOUBLE."""
+    return F.sum(expr.cast("decimal(18,6)")).cast("double")
+
+
+def davg(expr: Column) -> Column:
+    """Exact mean: decimal sum / count — bit-identical across engines."""
+    return dsum(expr) / F.count(expr.cast("decimal(18,6)"))
+
+
+# SQL-side twins of dsum/davg (DuckDB)
+def SQL_DSUM(e: str) -> str:
+    return f"CAST(SUM(CAST({e} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def SQL_DAVG(e: str) -> str:
+    return f"{SQL_DSUM(e)} / COUNT(CAST({e} AS DECIMAL(18,6)))"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (scan + pushdown filter +
+# hash agg with map-side partials + small sort). SURVEY.md §7.4.
+# ---------------------------------------------------------------------------
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {SQL_DSUM('l_quantity')} AS sum_qty,
+       {SQL_DSUM('l_extendedprice')} AS sum_base_price,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {SQL_DAVG('l_quantity')} AS avg_qty,
+       {SQL_DAVG('l_extendedprice')} AS avg_price,
+       {SQL_DAVG('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations on events (the dashboard's query surface)
+# ---------------------------------------------------------------------------
+@register(
+    "group_summary_events",
+    ev_sql(f"""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       {SQL_DAVG('value')} AS avg_value,
+       MAX(ts) AS max_ts
+FROM events GROUP BY event_type ORDER BY event_type
+"""),
+)
+def group_summary_events(spark, sf_dir):
+    # reference quick_db_check.py:35-44 / dashboard.py:236-241 (A1/A2)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            davg(F.col("value")).alias("avg_value"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "global_stats_events",
+    ev_sql(f"""
+SELECT {SQL_DAVG('value')} AS avg_value,
+       MAX(value) AS max_value, MIN(value) AS min_value,
+       COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users
+FROM events
+"""),
+)
+def global_stats_events(spark, sf_dir):
+    # reference dashboard.py:160-176 (A3/A4/A7/A14)
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        davg(F.col("value")).alias("avg_value"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "value_counts_event_type",
+    """
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY n DESC, event_type
+""",
+)
+def value_counts_event_type(spark, sf_dir):
+    # reference dashboard.py:212 (A5)
+    return R.value_counts(_t(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "latest_event_per_user",
+    ev_sql("""
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS _rn
+  FROM events
+) WHERE _rn = 1
+"""),
+)
+def latest_event_per_user(spark, sf_dir):
+    # reference dashboard.py:163 groupby('city').first() (A6), explicit order
+    ev = _t(spark, sf_dir, "events")
+    return R.latest_per_group(ev, "user_id", "ts", "event_id").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "recent_events_scan",
+    ev_sql("""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-20' AND ts <= TIMESTAMP '2024-01-25'
+"""),
+)
+def recent_events_scan(spark, sf_dir):
+    # reference S9 time-range scan (weather_collector.py:360-374) with a fixed
+    # literal range (deterministic vs now()); pushdown-pruned at the scan.
+    ev = _t(spark, sf_dir, "events")
+    return R.time_range_scan(ev, "ts", "2024-01-20", "2024-01-25").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "topk_events_by_value",
+    """
+SELECT event_id, user_id, value
+FROM events ORDER BY value DESC, event_id LIMIT 15
+""",
+)
+def topk_events_by_value(spark, sf_dir):
+    # reference S10/W9 (quick_db_check.py:24-29) — TakeOrderedAndProject
+    ev = _t(spark, sf_dir, "events")
+    return R.projected_topk(
+        ev, ["event_id", "user_id", "value"], [F.desc("value"), F.col("event_id")], 15
+    )
+
+
+@register(
+    "null_counts_events",
+    """
+SELECT CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props
+FROM events
+""",
+)
+def null_counts_events(spark, sf_dir):
+    # reference data_processor.py:359-364 (A8) — one pass, no per-column jobs
+    ev = _t(spark, sf_dir, "events")
+    return R.null_counts(ev, ["ts", "user_id", "event_type", "value", "props"])
+
+
+@register(
+    "duplicate_keys_events",
+    """
+SELECT user_id, event_type, COUNT(*) AS n_dups
+FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1
+ORDER BY user_id, event_type
+""",
+)
+def duplicate_keys_events(spark, sf_dir):
+    # reference data_processor.py:351-356 (A9) duplicate-key audit
+    return R.duplicate_keys(_t(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+@register(
+    "out_of_range_events",
+    """
+SELECT CAST(SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS below_value,
+       CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS above_value
+FROM events
+""",
+)
+def out_of_range_events(spark, sf_dir):
+    # reference VALID_RANGES audit (data_processor.py:316-328) (A10)
+    return R.out_of_range_counts(_t(spark, sf_dir, "events"), {"value": (0.0, 100.0)})
+
+
+# Engine-portable std/corr closed forms: every Σ is an exact DECIMAL sum cast
+# once to DOUBLE, so the remaining double arithmetic is identical in Spark and
+# DuckDB (no ROUND — rounding ties are engine-dependent on quantized data).
+def _sql_std(c: str) -> str:
+    n = f"CAST(COUNT({c}) AS DOUBLE)"
+    sx = SQL_DSUM(c)
+    sxx = SQL_DSUM(f"{c} * {c}")
+    return f"sqrt(GREATEST(({sxx} - {sx} * {sx} / {n}) / ({n} - 1.0), 0.0))"
+
+
+def _spark_std(c: str) -> Column:
+    n = F.count(F.col(c)).cast("double")
+    sx = dsum(F.col(c))
+    sxx = dsum(F.col(c) * F.col(c))
+    return F.sqrt(F.greatest((sxx - sx * sx / n) / (n - F.lit(1.0)), F.lit(0.0)))
+
+
+def _sql_corr(a: str, b: str) -> str:
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    sa, sb = SQL_DSUM(a), SQL_DSUM(b)
+    sab = SQL_DSUM(f"{a} * {b}")
+    saa, sbb = SQL_DSUM(f"{a} * {a}"), SQL_DSUM(f"{b} * {b}")
+    return (
+        f"(({n} * {sab} - {sa} * {sb}) / "
+        f"(sqrt({n} * {saa} - {sa} * {sa}) * sqrt({n} * {sbb} - {sb} * {sb})))"
+    )
+
+
+def _spark_corr(a: str, b: str) -> Column:
+    n = F.count(F.lit(1)).cast("double")
+    ca, cb = F.col(a), F.col(b)
+    sa, sb = dsum(ca), dsum(cb)
+    sab = dsum(ca * cb)
+    saa, sbb = dsum(ca * ca), dsum(cb * cb)
+    return (n * sab - sa * sb) / (
+        F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+    )
+
+
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_STATS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, {SQL_DAVG(c)} AS mean,
+       {_sql_std(c)} AS std,
+       CAST(MIN({c}) AS DOUBLE) AS min, CAST(MAX({c}) AS DOUBLE) AS max,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+FROM lineitem"""
+    for c in _STATS_COLS
+)
+
+
+@register("column_stats_lineitem", _STATS_SQL)
+def column_stats_lineitem(spark, sf_dir):
+    # reference data_processor.py:402-421 (A12), one wide agg then unpivot
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS:
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                davg(F.col(c)).alias("mean"),
+                _spark_std(c).alias("std"),
+                F.min(c).cast("double").alias("min"),
+                F.max(c).cast("double").alias("max"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+            ).alias(c)
+        )
+    wide = li.agg(*aggs)
+    return wide.select(
+        F.explode(F.array(*[F.col(c) for c in _STATS_COLS])).alias("s")
+    ).select("s.column", "s.mean", "s.std", "s.min", "s.max", "s.n_null")
+
+
+@register(
+    "corr_lineitem",
+    f"""
+SELECT {_sql_corr('l_quantity', 'l_extendedprice')} AS corr_qty_price,
+       {_sql_corr('l_extendedprice', 'l_discount')} AS corr_price_disc,
+       {_sql_corr('l_quantity', 'l_tax')} AS corr_qty_tax
+FROM lineitem
+""",
+)
+def corr_lineitem(spark, sf_dir):
+    # reference dashboard.py:178-199 (A13) Pearson correlation, one scan
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        _spark_corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        _spark_corr("l_extendedprice", "l_discount").alias("corr_price_disc"),
+        _spark_corr("l_quantity", "l_tax").alias("corr_qty_tax"),
+    )
+
+
+@register(
+    "mode_event_type_per_user",
+    """
+SELECT user_id, event_type AS mode_event_type
+FROM (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS _rn
+  FROM events GROUP BY user_id, event_type
+) WHERE _rn = 1
+""",
+)
+def mode_event_type_per_user(spark, sf_dir):
+    # reference mode imputation (data_processor.py:193-198) (A11/E4)
+    return R.mode_per_group(_t(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins (beyond-reference mandate: star-schema enrichment)
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    f"""
+SELECT n_name,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def revenue_by_nation(spark, sf_dir):
+    # fact-fact sort-merge + broadcast dims; AQE handles skew
+    return J.revenue_by_nation(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+ORDER BY c_custkey
+""",
+)
+def customers_without_orders(spark, sf_dir):
+    # left-anti join (NOT EXISTS)
+    return (
+        J.customers_without_orders(
+            _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "customer_order_activity",
+    """
+SELECT c_mktsegment, COUNT(*) AS n_active_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def customer_order_activity(spark, sf_dir):
+    # left-semi join (EXISTS) + group count
+    active = J.customers_with_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+    return (
+        active.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    f"""
+SELECT c_custkey, c_name, {SQL_DSUM('o_totalprice')} AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey LIMIT 10
+""",
+)
+def top_customers_by_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window operators on events (per-user ≙ per-city, ts-ordered)
+# ---------------------------------------------------------------------------
+_EVW = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _event_window():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@register(
+    "lag_events",
+    ev_sql(f"""
+SELECT event_id, user_id, ts, value,
+       lag(value, 1) OVER ({_EVW}) AS value_lag_1,
+       lag(value, 3) OVER ({_EVW}) AS value_lag_3,
+       lag(value, 6) OVER ({_EVW}) AS value_lag_6
+FROM events
+"""),
+)
+def lag_events(spark, sf_dir):
+    # W1 (reference data_processor.py:86-98)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return W.add_lags(ev, _event_window(), ["value"], lags=(1, 3, 6))
+
+
+@register(
+    "lead_events",
+    ev_sql(f"""
+SELECT event_id, user_id, ts, value,
+       lead(value, 3) OVER ({_EVW}) AS value_future
+FROM events
+"""),
+)
+def lead_events(spark, sf_dir):
+    # W2 target construction (reference data_processor.py:253)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return W.add_lead(ev, _event_window(), "value", 3, "value_future")
+
+
+@register(
+    "diff_events",
+    ev_sql(f"""
+SELECT event_id, user_id, ts, value,
+       value - lag(value, 1) OVER ({_EVW}) AS value_change
+FROM events
+"""),
+)
+def diff_events(spark, sf_dir):
+    # W5 (reference data_processor.py:151)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return W.add_diff(ev, _event_window(), "value", "value_change")
+
+
+@register(
+    "rolling_mean_events",
+    ev_sql(f"""
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS value_rolling_mean_24
+FROM events
+WINDOW w AS ({_EVW} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""),
+)
+def rolling_mean_events(spark, sf_dir):
+    # W3 trailing 24-row mean, min_periods=1 (reference data_processor.py:101-108)
+    # exact=True: DECIMAL accumulation → bit-identical to the oracle, no
+    # rounding games (ROUND ties are engine-dependent on quantized data).
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = W.add_rolling_mean(ev, _event_window(), ["value"], window=24, exact=True)
+    return out.select("event_id", "user_id", "ts", "value_rolling_mean_24")
+
+
+@register(
+    "rolling_std_events",
+    ev_sql(f"""
+SELECT event_id, user_id, ts,
+       CASE WHEN COUNT(value) OVER w >= 2 THEN
+         sqrt(GREATEST(
+           (CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+            - CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+              * CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+              / CAST(COUNT(value) OVER w AS DOUBLE))
+           / (CAST(COUNT(value) OVER w AS DOUBLE) - 1.0), 0.0))
+       END AS value_rolling_std_24
+FROM events
+WINDOW w AS ({_EVW} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""),
+)
+def rolling_std_events(spark, sf_dir):
+    # W4 with pandas min_periods=2 ddof=1 parity (reference data_processor.py:110-116)
+    # exact=True closed form from DECIMAL sums — engine-portable bit equality.
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = W.add_rolling_std(
+        ev, _event_window(), ["value"], window=24, min_periods=2, exact=True
+    )
+    return out.select("event_id", "user_id", "ts", "value_rolling_std_24")
+
+
+@register(
+    "forward_rain_flag_events",
+    ev_sql(f"""
+SELECT event_id, user_id, ts,
+       CASE WHEN COUNT(*) OVER w > 0
+            THEN CAST(SUM(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END)
+                      OVER w > 0 AS INT) END AS will_spike
+FROM events
+WINDOW w AS ({_EVW} ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING)
+"""),
+)
+def forward_rain_flag_events(spark, sf_dir):
+    # W6 will_rain semantics (reference data_processor.py:264-270): flag = 1
+    # iff any 'rain' (here: error-event value) in the NEXT 24 rows; null at
+    # group tails where the forward frame is empty, matching the pandas NaN.
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value", "event_type")
+    rain = F.when(F.col("event_type") == "error", F.col("value")).otherwise(F.lit(0.0))
+    ev = ev.withColumn("_rain", rain)
+    out = W.add_forward_rolling_sum_positive(
+        ev, _event_window(), "_rain", 24, "will_spike"
+    )
+    return out.select("event_id", "user_id", "ts", "will_spike")
+
+
+_NULLIFY = "CASE WHEN value < 20.0 THEN NULL ELSE value END"
+
+
+@register(
+    "ffill_limited_events",
+    ev_sql(f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, {_NULLIFY} AS v,
+         row_number() OVER ({_EVW}) AS rn
+  FROM events
+), f AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER w AS last_val,
+    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER w AS last_rn
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, v,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN last_rn IS NOT NULL AND rn - last_rn <= 3 THEN last_val
+       END AS v_ffill
+FROM f
+"""),
+)
+def ffill_limited_events(spark, sf_dir):
+    # W7 ffill(limit=3) (reference data_processor.py:182-184): values < 20
+    # are nulled to synthesize gaps, then forward-filled at most 3 rows.
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    ev = ev.withColumn(
+        "v", F.when(F.col("value") < 20.0, F.lit(None).cast("double")).otherwise(F.col("value"))
+    ).drop("value")
+    out = W.add_ffill_limited(ev, _event_window(), ["v"], limit=3)
+    return out.select("event_id", "user_id", "ts", "v", "v_ffill")
+
+
+@register(
+    "interpolate_events",
+    ev_sql(f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, {_NULLIFY} AS v,
+         row_number() OVER ({_EVW}) AS rn
+  FROM events
+), f AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER wb AS prev_val,
+    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wb AS prev_rn,
+    first_value(v IGNORE NULLS) OVER wf AS next_val,
+    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER wf AS next_rn
+  FROM base
+  WINDOW wb AS (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, ts, v,
+       CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+            WHEN prev_val IS NULL THEN CAST(next_val AS DOUBLE)
+            WHEN next_val IS NULL THEN CAST(prev_val AS DOUBLE)
+            ELSE prev_val + (next_val - prev_val)
+                 * (CAST(rn - prev_rn AS DOUBLE) / CAST(next_rn - prev_rn AS DOUBLE))
+       END AS v_interp
+FROM f
+"""),
+)
+def interpolate_events(spark, sf_dir):
+    # W8 per-group linear interpolation, limit_direction='both' (reference
+    # data_processor.py:186-190) — closed-form windows, no applyInPandas.
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    ev = ev.withColumn(
+        "v", F.when(F.col("value") < 20.0, F.lit(None).cast("double")).otherwise(F.col("value"))
+    ).drop("value")
+    out = W.add_interpolate_linear(ev, _event_window(), ["v"])
+    return out.select("event_id", "user_id", "ts", "v", "v_interp")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 scalar functions: time features / weather indices / binning
+# ---------------------------------------------------------------------------
+@register(
+    "time_features_events",
+    ev_sql("""
+SELECT event_id, ts,
+       hour(ts) AS hour,
+       (dayofweek(ts) + 6) % 7 AS day_of_week,
+       month(ts) AS month,
+       quarter(ts) AS quarter,
+       dayofyear(ts) AS day_of_year,
+       ROUND(sin(2 * pi() * hour(ts) / 24.0), 6) + 0.0 AS hour_sin,
+       ROUND(cos(2 * pi() * hour(ts) / 24.0), 6) + 0.0 AS hour_cos,
+       CASE WHEN hour(ts) <= 6 THEN 'Night'
+            WHEN hour(ts) <= 12 THEN 'Morning'
+            WHEN hour(ts) <= 18 THEN 'Afternoon'
+            ELSE 'Evening' END AS time_of_day,
+       CAST((dayofweek(ts) + 6) % 7 >= 5 AS INT) AS is_weekend
+FROM events
+"""),
+)
+def time_features_events(spark, sf_dir):
+    # reference data_processor.py:55-84 incl. the pandas dayofweek shim
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = scalar.add_time_features(ev, "ts")
+    return out.select(
+        "event_id",
+        "ts",
+        F.col("hour").cast("long").alias("hour"),
+        F.col("day_of_week").cast("long").alias("day_of_week"),
+        F.col("month").cast("long").alias("month"),
+        F.col("quarter").cast("long").alias("quarter"),
+        F.col("day_of_year").cast("long").alias("day_of_year"),
+        # +0.0 normalizes IEEE -0.0 (cos(3π/2) rounds to -0.0 in DuckDB)
+        (F.round("hour_sin", 6) + F.lit(0.0)).alias("hour_sin"),
+        (F.round("hour_cos", 6) + F.lit(0.0)).alias("hour_cos"),
+        "time_of_day",
+        "is_weekend",
+    )
+
+
+_SYN = """
+  SELECT event_id, value / 10.0 AS temperature,
+         CAST(user_id % 100 AS DOUBLE) AS humidity,
+         value / 50.0 AS wind_speed
+  FROM events
+"""
+
+
+@register(
+    "weather_indices_events",
+    f"""
+WITH syn AS ({_SYN})
+SELECT event_id,
+  (( -42.379 + 2.04901523*(temperature*9.0/5.0+32.0) + 10.14333127*humidity
+       - 0.22475541*(temperature*9.0/5.0+32.0)*humidity
+       - 0.00683783*(temperature*9.0/5.0+32.0)*(temperature*9.0/5.0+32.0)
+       - 0.05481717*humidity*humidity
+       + 0.00122874*(temperature*9.0/5.0+32.0)*(temperature*9.0/5.0+32.0)*humidity
+       + 0.00085282*(temperature*9.0/5.0+32.0)*humidity*humidity
+       - 0.00000199*(temperature*9.0/5.0+32.0)*(temperature*9.0/5.0+32.0)*humidity*humidity
+  ) - 32.0) * 5.0/9.0 AS heat_index,
+  ROUND(CASE WHEN temperature < 10.0
+        THEN 13.12 + 0.6215*temperature - 11.37*pow(wind_speed*3.6, 0.16)
+             + 0.3965*temperature*pow(wind_speed*3.6, 0.16)
+        ELSE temperature END, 6) AS wind_chill,
+  temperature - 0.55*(1.0 - 0.01*humidity)*(temperature - 14.5)
+    AS discomfort_index
+FROM syn
+""",
+)
+def weather_indices_events(spark, sf_dir):
+    # reference data_processor.py:121-157 formulas, on synthesized
+    # temp/humidity/wind columns derived deterministically from events.
+    # heat/discomfort are pure +,-,* with identical association in both
+    # engines → bit-identical, no rounding. wind_chill contains pow(), whose
+    # last ulp may differ between libm and the JVM → ROUND 6 (safe: pow
+    # outputs are never on decimal midpoints; the passthrough branch is
+    # 3-decimal-quantized, also never on 6-decimal midpoints).
+    ev = _t(spark, sf_dir, "events")
+    syn = ev.select(
+        "event_id",
+        (F.col("value") / 10.0).alias("temperature"),
+        (F.col("user_id") % 100).cast("double").alias("humidity"),
+        (F.col("value") / 50.0).alias("wind_speed"),
+    )
+    out = scalar.add_weather_indices(syn)
+    return out.select(
+        "event_id",
+        "heat_index",
+        F.round("wind_chill", 6).alias("wind_chill"),
+        "discomfort_index",
+    )
+
+
+@register(
+    "temp_change_distribution",
+    ev_sql(f"""
+WITH d AS (
+  SELECT value - lag(value, 1) OVER ({_EVW}) AS change FROM events
+)
+SELECT CASE WHEN change IS NULL THEN NULL
+            WHEN change <= -2.0 THEN 'Decrease'
+            WHEN change <= 2.0 THEN 'Stable'
+            ELSE 'Increase' END AS change_category,
+       COUNT(*) AS n
+FROM d GROUP BY 1 ORDER BY n DESC, change_category NULLS FIRST
+"""),
+)
+def temp_change_distribution(spark, sf_dir):
+    # reference pd.cut bins (data_processor.py:257-261) + value-counts
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    d = W.add_diff(ev, _event_window(), "value", "change")
+    out = (
+        d.select(scalar.temp_change_category(F.col("change")).alias("change_category"))
+        .groupBy("change_category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("change_category").asc_nulls_first())
+    )
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

@@ -1,0 +1,55 @@
+"""Star-schema parquet sources.
+
+The driver's `events.parquet` stores TIMESTAMP(NANOS); Spark's TimestampType
+is microseconds and its vectorized reader refuses INT64(NANOS) unless
+`spark.sql.legacy.parquet.nanosAsLong` is set. We read nanos as long and
+truncate to microseconds (`ts div 1000`) — the same floor semantics DuckDB
+uses for `CAST(ts_ns AS TIMESTAMP)`, so oracles line up exactly.
+
+Scale notes: everything stays a plain parquet scan (column pruning +
+predicate pushdown intact); the ns→µs conversion is one codegen'd projection.
+`write_bucketed` is the 100 TB path for shuffle-free fact-fact joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` as a proper (µs) TimestampType column."""
+    spark.conf.set(NANOS_CONF, "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Entity-partitioned parquet write — the Spark analog of the reference's
+    (city,timestamp) B-tree index (`weather_collector.py:162-165`): partition
+    pruning on the entity key + min/max skipping within files."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 64
+) -> None:
+    """Bucketed write: co-locates both sides of a later equi-join/agg on
+    `bucket_col` so it runs shuffle-free — the 100 TB strategy for
+    lineitem ⋈ orders."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
