@@ -1,0 +1,220 @@
+"""Deduplication operators over `documents` — exact and near-dup.
+
+Training-data-pipeline dedup family (beyond-reference mandate):
+
+- exact: md5-fingerprint groupBy (one shuffle on the 16-byte key).
+- unigram/ngram Jaccard: explode distinct shingles → self-join on shingle
+  within a block → count common / inclusion-exclusion. Blocked by `lang` so
+  the candidate space never goes quadratic in the corpus.
+- MinHash + LSH: k portable hash permutations over shingle hashes via
+  higher-order array functions (no UDF, no shuffle for signatures); banding
+  turns near-dup search into an equi-join on (band, band-hash) — the 100 TB
+  path, since candidate generation is linear in corpus size.
+- SimHash: 16-bit sign-vote fingerprint; hamming-close pairs via band join.
+- embedding cosine near-dup: see similarity.py.
+
+All hashes are md5-derived (portable across engines) so every operator here
+has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import add_fingerprint, portable_token_hash, tokens
+
+# MinHash parameters: k permutations h_i(x) = (a_i·x + b_i) mod P over the
+# 31-bit reduction of the portable token hash. P = 2^31−1 (Mersenne prime);
+# a_i,b_i fixed odd constants < P so a_i·x fits comfortably in int64.
+MINHASH_P = 2_147_483_647
+MINHASH_AB = [
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (134_775_813, 1),
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1_000_000_007),
+    (69_069, 362_437),
+    (48_271, 39_916_801),
+    (16_807, 2_147_483_587),
+]
+N_BANDS = 4  # 4 bands × 2 rows: candidates iff any band matches
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-dup audit: total docs, distinct fingerprints,
+    groups with >1 member (reference A9 duplicate audit generalized)."""
+    fp = add_fingerprint(df, text_col)
+    groups = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(F.lit(0))).alias(
+            "n_redundant"
+        ),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per fingerprint (deterministic survivor —
+    `dropDuplicates` picks an arbitrary row, which is not replayable)."""
+    fp = add_fingerprint(df, text_col)
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+def distinct_token_set(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-Jaccard near-dup pairs within blocks.
+
+    explode(distinct tokens) → equi-join on (block, token) → common counts →
+    |A∩B| / (|A|+|B|−|A∩B|). The division is int/int in doubles — exact and
+    engine-portable. Scale: block_col bounds the join fanout; for an
+    unblocked corpus swap in minhash_lsh_candidates below."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        distinct_token_set(F.col(text_col)).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    ex = base.select("id", "blk", "n_toks", F.explode("toks").alias("tok"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_toks").alias("na"),
+            F.col("b.n_toks").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "n_common", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_signature_cols(text: Column) -> dict[str, Column]:
+    """k minhash values as named columns, computed with array higher-order
+    functions — per-row, no UDF, no shuffle."""
+    hset = F.transform(
+        distinct_token_set(text), lambda t: portable_token_hash(t) % MINHASH_P
+    )
+    def perm(a, b):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    out = {}
+    for i, (ai, bi) in enumerate(MINHASH_AB):
+        out[f"mh_{i}"] = F.array_min(F.transform(hset, perm(ai, bi)))
+    return out
+
+
+def add_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumns(minhash_signature_cols(F.col(text_col)))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LSH banding: N_BANDS bands of k/N_BANDS rows; docs are candidates iff
+    some band's signature slice matches exactly. Candidate generation is an
+    equi-join on (band_id, band_key) — linear scan + one shuffle, no O(n²).
+    Returns candidate pairs with the minhash-estimated Jaccard."""
+    k = len(MINHASH_AB)
+    rows_per_band = k // N_BANDS
+    sigs = add_minhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh_{bi * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # re-attach signatures once per pair to estimate jaccard = matches / k
+    sig_a = sigs.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
+    )
+    sig_b = sigs.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)]
+    )
+    est = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k)
+    ).cast("double") / F.lit(float(k))
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
+        .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_expr(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint: for each bit j, vote +1/−1 per distinct token
+    according to bit j of its portable hash; bit j of the output is 1 iff the
+    vote is positive. Pure array algebra, per-row."""
+    hset = F.transform(distinct_token_set(text), portable_token_hash)
+    def voter(j):
+        def f(acc, h):
+            bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return f
+
+    sim = F.lit(0).cast("bigint")
+    for j in range(bits):
+        vote = F.aggregate(hset, F.lit(0).cast("bigint"), voter(j))
+        sim = sim + F.when(vote > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return sim
+
+
+def add_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    return df.withColumn("simhash", simhash_expr(F.col(text_col), bits))

@@ -1,0 +1,165 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- Brute-force cosine top-k: broadcast the (small) query set against the
+  corpus; dot products via zip_with + aggregate — JVM higher-order
+  functions, no Python, no shuffle except the final per-query top-k.
+- Sign-LSH (random hyperplane) bucketing: the scale path. Hyperplanes are
+  derived deterministically from md5 so results are replayable and
+  oracle-able; candidates only compare within a bucket.
+- Cosine near-dup pairs: all-pairs above a threshold (use the LSH variant
+  when the corpus is too large for blocked brute force).
+
+Parity: dot products accumulate per-element products as DECIMAL(18,9) —
+order-independent, so Spark and the DuckDB oracle produce bit-identical
+cosines (embedding floats are cast to double first; both engines do the
+same IEEE multiply).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot_decimal(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with exact decimal accumulation → double.
+
+    Accumulator is DECIMAL(20,9) with an explicit cast per step: Spark's
+    decimal `+` would otherwise grow precision past 38 and silently drop the
+    scale to 8 (rounding each partial!). Unit-vector products are < 1, so 11
+    integer digits can never overflow and the cast is value-exact."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(18,9)")
+    )
+    s = F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(20,9)"),
+        lambda acc, v: (acc + v).cast("decimal(20,9)"),
+    )
+    return s.cast("double")
+
+
+def _norm2(a: Column) -> Column:
+    return _dot_decimal(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot_decimal(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    The query side is tiny → broadcast; the corpus side streams through one
+    codegen'd stage; per-query top-k is a bounded window (k rows kept per
+    partition via TakeOrdered semantics after row_number filter)."""
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("nv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("_rk").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (brute force — for corpora that fit
+    a blocked self-join; see lsh_bucket_topk for the linear-candidate path)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+        )
+        .where(F.col("cosine_sim") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- deterministic sign-LSH ------------------------------------------------
+def _hyperplane_signs(vec: Column, dim: int, plane: int) -> Column:
+    """Pseudo-random ±1 hyperplane component r[plane][i], derived from
+    md5(plane:i) parity — deterministic, engine-portable, no stored model."""
+    comps = F.transform(
+        vec,
+        lambda x, i: F.when(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit(plane), i.cast("string"))), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .bitwiseAND(F.lit(1))
+            == 1,
+            x.cast("double"),
+        ).otherwise(-x.cast("double")),
+    )
+    proj = F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v)
+    return (proj > 0).cast("int")
+
+
+def add_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Sign-LSH bucket id: n_planes random-hyperplane sign bits packed into
+    an int. Vectors in the same bucket are ANN candidates; expected bucket
+    count 2^n_planes keeps candidate sets ~corpus/2^n_planes."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + (_hyperplane_signs(F.col(vec_col), dim, p) * F.lit(2**p))
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """ANN top-k within LSH buckets: candidates come from an equi-join on the
+    bucket id (linear + one shuffle instead of O(n²)); exact cosine re-rank
+    inside each bucket. Recall < 1 by construction — this is the 100 TB
+    fallback when brute force is off the table."""
+    with_b = add_lsh_bucket(emb, vec_col, n_planes)
+    a = with_b.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "lsh_bucket"
+    )
+    b = with_b.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "lsh_bucket"
+    )
+    pairs = a.join(b, "lsh_bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("_rk").alias("rank"))
+        .orderBy("query_id", "rank")
+    )

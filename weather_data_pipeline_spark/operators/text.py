@@ -1,0 +1,114 @@
+"""Text-analysis operators over the `documents` table.
+
+Beyond-reference mandate: the operations a large-scale training-data pipeline
+needs — token counting, quality scoring, language ID, fingerprinting. All are
+native Column expressions (split / higher-order array functions / md5), so
+they run JVM-side inside whole-stage codegen with no Python in the hot path;
+at 100 TB these are embarrassingly parallel scans with no shuffle at all.
+
+Parity notes: tokenization is `split(trim(text), '\\s+')`, identical to
+DuckDB `regexp_split_to_array`; hashes are md5-derived (engine-portable,
+unlike xxhash64/murmur which differ between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed stopword set (the synthetic corpus is lowercase English-ish).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# Marker vocabularies for the language-ID heuristic. On real corpora these
+# would be per-language stopword lists; scoring/argmax machinery is the same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "and", "of"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _in_set(values):
+    """Single-arg lambda factory: PySpark HOFs introspect lambda arity, so
+    default-arg captures (lambda x, m=...) are misread as multi-arg."""
+
+    def f(x):
+        return x.isin(*values)
+
+    return f
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (matches DuckDB regexp_split_to_array)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, distinct-token count, type-token ratio, stopword ratio."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_uniq = F.size(F.array_distinct(t))
+    n_stop = F.size(F.filter(t, _in_set(STOPWORDS)))
+    return df.withColumns(
+        {
+            "n_tokens": n.cast("long"),
+            "n_unique_tokens": n_uniq.cast("long"),
+            "type_token_ratio": n_uniq.cast("double") / n.cast("double"),
+            "stopword_ratio": n_stop.cast("double") / n.cast("double"),
+        }
+    )
+
+
+def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document quality score in [0,1]:
+    0.4·min(n_tokens/100,1) + 0.3·type_token_ratio + 0.3·(1−stopword_ratio).
+    The shape mirrors heuristic quality filters in training-data pipelines
+    (length + lexical diversity + boilerplate penalty)."""
+    out = add_token_stats(df, text_col)
+    length_term = F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * F.col("type_token_ratio")
+        + F.lit(0.3) * (F.lit(1.0) - F.col("stopword_ratio"))
+    )
+    return out.withColumn("quality_score", score)
+
+
+def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score each language by marker hits in the
+    token list; argmax with fixed precedence (en>de>es>fr>zh) on ties."""
+    t = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(t, _in_set(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    ordered = ["en", "de", "es", "fr", "zh"]
+    best = scores[ordered[0]]
+    pred = F.lit(ordered[0])
+    for lang in ordered[1:]:
+        cond = scores[lang] > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, scores[lang]).otherwise(best)
+    out = df
+    for lang in ordered:
+        out = out.withColumn(f"score_{lang}", scores[lang].cast("long"))
+    return out.withColumn("predicted_lang", pred)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text
+    (exact-dedup key; reference analog is the UNIQUE(city,timestamp) key,
+    `weather_collector.py:157`)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fp", fingerprint(F.col(text_col)))
+
+
+def portable_token_hash(tok: Column) -> Column:
+    """60-bit integer hash from md5 — identical in Spark and DuckDB (unlike
+    engine-native hash functions). Used by minhash/simhash."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")

@@ -822,3 +822,293 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: text analysis / dedup / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+from ..operators import dedup as D  # noqa: E402
+from ..operators import similarity as S  # noqa: E402
+from ..operators import text as X  # noqa: E402
+
+_TOKS = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
+_STOP_SQL = "('the','a','and','of','to','in','is')"
+# portable 60-bit md5 hash (matches text.portable_token_hash)
+_PHASH = "(('0x' || substr(md5({t}), 1, 15))::BIGINT)"
+
+
+@register(
+    "token_stats_documents",
+    f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         AS type_token_ratio,
+       CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+FROM t
+""",
+)
+def token_stats_documents(spark, sf_dir):
+    # token counting for training-data pipelines; all JVM array functions
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.add_token_stats(docs).drop("text")
+
+
+@register(
+    "quality_score_documents",
+    f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+s AS (SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS n,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+        CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) AS swr
+      FROM t)
+SELECT doc_id,
+       0.4 * LEAST(n / 100.0, 1.0) + 0.3 * ttr + 0.3 * (1.0 - swr)
+         AS quality_score
+FROM s
+""",
+)
+def quality_score_documents(spark, sf_dir):
+    # heuristic quality filter: length + lexical diversity + boilerplate
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.add_quality_score(docs).select("doc_id", "quality_score")
+
+
+_LANG_SCORES_SQL = ",\n        ".join(
+    "CAST(len(list_filter(toks, x -> x IN ({m}))) AS BIGINT) AS score_{lang}".format(
+        lang=lang, m=", ".join(f"'{w}'" for w in words)
+    )
+    for lang, words in X.LANG_MARKERS.items()
+)
+
+
+@register(
+    "language_id_documents",
+    f"""
+WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang,
+        {_LANG_SCORES_SQL}
+      FROM t)
+SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+       CASE WHEN score_zh > GREATEST(score_en, score_de, score_es, score_fr) THEN 'zh'
+            WHEN score_fr > GREATEST(score_en, score_de, score_es) THEN 'fr'
+            WHEN score_es > GREATEST(score_en, score_de) THEN 'es'
+            WHEN score_de > score_en THEN 'de'
+            ELSE 'en' END AS predicted_lang
+FROM s
+""",
+)
+def language_id_documents(spark, sf_dir):
+    # marker-word language ID (n-gram heuristic family), fixed tie precedence
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return X.add_language_id(docs).drop("text")
+
+
+@register(
+    "fingerprint_documents",
+    """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+)
+def fingerprint_documents(spark, sf_dir):
+    # md5 fingerprint over normalized text (exact-dedup key)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.add_fingerprint(docs).select("doc_id", "fp")
+
+
+@register(
+    "exact_dedup_stats_documents",
+    """
+WITH fp AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents),
+g AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp)
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_redundant
+FROM g
+""",
+)
+def exact_dedup_stats_documents(spark, sf_dir):
+    # corpus exact-dup audit (hash-groupBy dedup, one shuffle on md5 key)
+    return D.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "jaccard_pairs_documents",
+    f"""
+WITH base AS (SELECT doc_id AS id, lang AS blk, {_TOKS} AS toks FROM documents),
+sized AS (SELECT id, blk, toks, len(toks) AS n_toks FROM base),
+ex AS (SELECT id, blk, n_toks, unnest(toks) AS tok FROM sized),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+         COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) AS jaccard
+FROM common
+WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.9
+ORDER BY id_a, id_b
+""",
+)
+def jaccard_pairs_documents(spark, sf_dir):
+    # unigram-Jaccard near-dup pairs, lang-blocked self-join
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+_MH_EXPRS_SQL = ",\n        ".join(
+    f"list_min(list_transform({{toks}}, t -> "
+    f"({a} * ({_PHASH.format(t='t')} % {D.MINHASH_P}) + {b}) % {D.MINHASH_P}))"
+    f" AS mh_{i}".format(toks="toks")
+    for i, (a, b) in enumerate(D.MINHASH_AB)
+).format(toks="toks")
+
+
+@register(
+    "minhash_signatures_documents",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+        {_MH_EXPRS_SQL}
+FROM t
+""",
+)
+def minhash_signatures_documents(spark, sf_dir):
+    # k=8 portable minhash permutations via array HOFs (no UDF, no shuffle)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.add_minhash(docs).drop("text")
+
+
+_BAND_KEYS_SQL = ", ".join(
+    "(mh_{a})::VARCHAR || '_' || (mh_{b})::VARCHAR".format(a=2 * bi, b=2 * bi + 1)
+    for bi in range(D.N_BANDS)
+)
+
+
+@register(
+    "minhash_lsh_candidates_documents",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sig AS (SELECT doc_id AS id,
+        {_MH_EXPRS_SQL}
+        FROM t),
+band AS (
+  SELECT id, b.band,
+         CASE b.band
+           {' '.join(f"WHEN {bi} THEN (mh_{2*bi})::VARCHAR || '_' || (mh_{2*bi+1})::VARCHAR" for bi in range(D.N_BANDS))}
+         END AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST({' + '.join(f'CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END' for i in range(len(D.MINHASH_AB)))} AS DOUBLE)
+           / {float(len(D.MINHASH_AB))} AS est_jaccard
+  FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
+SELECT id_a, id_b, est_jaccard FROM est ORDER BY id_a, id_b
+""",
+)
+def minhash_lsh_candidates_documents(spark, sf_dir):
+    # LSH banding: candidate pairs from an equi-join on (band, key) — linear
+    # candidate generation, the 100 TB dedup path
+    return D.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_VOTES_SQL = ",\n        ".join(
+    f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+    for j in range(16)
+)
+_SIMHASH_COMBINE_SQL = " + ".join(
+    f"CASE WHEN v_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16)
+)
+
+
+@register(
+    "simhash_documents",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+hh AS (SELECT doc_id, {_PHASH.format(t='tok')} AS hv FROM h),
+votes AS (SELECT doc_id,
+        {_SIMHASH_VOTES_SQL}
+        FROM hh GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_COMBINE_SQL} AS BIGINT) AS simhash FROM votes
+""",
+)
+def simhash_documents(spark, sf_dir):
+    # 16-bit simhash fingerprint, per-row array algebra (no explode/shuffle)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.add_simhash(docs).select("doc_id", "simhash")
+
+
+_DOT_SQL = (
+    "CAST(SUM(CAST(CAST({a}[i.i] AS DOUBLE) * CAST({b}[i.i] AS DOUBLE)"
+    " AS DECIMAL(18,9))) AS DOUBLE)"
+)
+
+
+@register(
+    "cosine_topk_embeddings",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.embedding AS nv
+          FROM q, embeddings e WHERE e.vec_id != q.query_id),
+dots AS (
+  SELECT query_id, neighbor_id,
+         {_DOT_SQL.format(a='qv', b='nv')} AS dot,
+         {_DOT_SQL.format(a='qv', b='qv')} AS nq,
+         {_DOT_SQL.format(a='nv', b='nv')} AS nn
+  FROM pairs, range(1, 65) i(i) GROUP BY 1, 2),
+scored AS (SELECT query_id, neighbor_id, dot / (sqrt(nq) * sqrt(nn)) AS cosine_sim
+           FROM dots),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine_sim DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+)
+def cosine_topk_embeddings(spark, sf_dir):
+    # brute-force cosine top-k: broadcast queries, exact decimal dot products
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+@register(
+    "cosine_near_dup_embeddings",
+    f"""
+WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      a.embedding AS va, b.embedding AS vb
+               FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+dots AS (
+  SELECT id_a, id_b,
+         {_DOT_SQL.format(a='va', b='vb')} AS dot,
+         {_DOT_SQL.format(a='va', b='va')} AS na,
+         {_DOT_SQL.format(a='vb', b='vb')} AS nb
+  FROM pairs, range(1, 65) i(i) GROUP BY 1, 2)
+SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine_sim
+FROM dots WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def cosine_near_dup_embeddings(spark, sf_dir):
+    # embedding-cosine near-dup pairs (brute force; LSH variant is rows-only)
+    return S.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("ann_lsh_topk_embeddings", None)  # rows-only: recall<1 by design
+def ann_lsh_topk_embeddings(spark, sf_dir):
+    # sign-LSH bucketed ANN: equi-join on bucket id instead of O(n²) pairs
+    return S.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=5)
