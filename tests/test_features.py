@@ -1,0 +1,144 @@
+"""Full feature pipeline: column contract, formula spot checks, edge cases.
+
+Mirrors the reference's operator-correctness layer
+(`tests/test_data_processor.py`): exact formula assertions on tiny frames,
+plus edge cases (single row, single group, constant category, gap > ffill
+limit) as dedicated cases.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_spark.operators import windows as W
+from weather_data_pipeline_spark.plans import features as FP
+
+
+def test_pipeline_runs_and_widens_schema(spark, sf_dir):
+    base = FP.events_as_weather(spark, sf_dir)
+    out = FP.full_feature_pipeline(base)
+    cols = out.columns
+    # contract: every stage contributed its columns
+    assert "hour_sin" in cols and "time_of_day" in cols  # time
+    assert "temperature_lag_24" in cols  # lags ×20
+    assert sum(c.startswith("temperature_lag_") for c in cols) == 5
+    assert "temperature_rolling_mean_24" in cols and "humidity_rolling_std_24" in cols
+    assert "heat_index" in cols and "discomfort_index" in cols and "temp_range" in cols
+    assert "pressure_change" in cols
+    assert "temperature_x_humidity" in cols
+    assert "weather_main_encoded" in cols and "time_of_day_encoded" in cols
+    assert "temperature_future" in cols and "will_rain" in cols
+    assert len(cols) >= 60
+    n = out.count()
+    assert n > 0
+    assert out.where(F.col("temperature_future").isNull()).count() == 0
+
+
+def test_pipeline_is_deterministic(spark, sf_dir):
+    base = FP.events_as_weather(spark, sf_dir)
+    a = FP.full_feature_pipeline(base).agg(
+        F.sum(F.hash(*sorted(FP.full_feature_pipeline(base).columns))).alias("h")
+    ).first()["h"]
+    b = FP.full_feature_pipeline(base).agg(
+        F.sum(F.hash(*sorted(FP.full_feature_pipeline(base).columns))).alias("h")
+    ).first()["h"]
+    assert a == b
+
+
+def _tiny(spark, rows):
+    return spark.createDataFrame(
+        rows, "city string, timestamp string, v double"
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+
+
+def test_lag_first_row_null_and_shift(spark):
+    df = _tiny(
+        spark,
+        [("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-01 01:00:00", 2.0),
+         ("a", "2024-01-01 02:00:00", 3.0)],
+    )
+    w = W.entity_window("city", "timestamp")
+    got = (
+        W.add_lags(df, w, ["v"], lags=(1,))
+        .orderBy("timestamp")
+        .select("v_lag_1")
+        .collect()
+    )
+    assert [r.v_lag_1 for r in got] == [None, 1.0, 2.0]
+
+
+def test_ffill_does_not_bridge_long_gaps(spark):
+    # reference test_data_processor.py:158-170 — limit=3 must not fill a 4-gap
+    rows = [("a", f"2024-01-01 0{i}:00:00", None if 1 <= i <= 4 else float(i))
+            for i in range(7)]
+    df = _tiny(spark, rows)
+    w = W.entity_window("city", "timestamp")
+    got = (
+        W.add_ffill_limited(df, w, ["v"], limit=3)
+        .orderBy("timestamp")
+        .select("v_ffill")
+        .collect()
+    )
+    vals = [r.v_ffill for r in got]
+    assert vals == [0.0, 0.0, 0.0, 0.0, None, 5.0, 6.0]
+
+
+def test_interpolation_linear_and_edges(spark):
+    rows = [
+        ("a", "2024-01-01 00:00:00", None),   # head → backfill
+        ("a", "2024-01-01 01:00:00", 10.0),
+        ("a", "2024-01-01 02:00:00", None),   # interior → linear
+        ("a", "2024-01-01 03:00:00", None),
+        ("a", "2024-01-01 04:00:00", 40.0),
+        ("a", "2024-01-01 05:00:00", None),   # tail → ffill
+    ]
+    df = _tiny(spark, rows)
+    w = W.entity_window("city", "timestamp")
+    got = (
+        W.add_interpolate_linear(df, w, ["v"])
+        .orderBy("timestamp")
+        .select("v_interp")
+        .collect()
+    )
+    vals = [r.v_interp for r in got]
+    assert vals == [10.0, 10.0, 20.0, 30.0, 40.0, 40.0]
+
+
+def test_rolling_std_min_periods(spark):
+    df = _tiny(
+        spark,
+        [("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-01 01:00:00", 3.0)],
+    )
+    w = W.entity_window("city", "timestamp")
+    got = (
+        W.add_rolling_std(df, w, ["v"], window=24, min_periods=2)
+        .orderBy("timestamp")
+        .select("v_rolling_std_24")
+        .collect()
+    )
+    assert got[0].v_rolling_std_24 is None  # < min_periods
+    assert abs(got[1].v_rolling_std_24 - math.sqrt(2.0)) < 1e-12  # ddof=1
+
+
+def test_single_row_city_all_window_features_null_but_present(spark):
+    df = _tiny(spark, [("solo", "2024-01-01 00:00:00", 5.0)])
+    w = W.entity_window("city", "timestamp")
+    out = W.add_lags(df, w, ["v"], lags=(1,))
+    row = out.collect()[0]
+    assert row.v_lag_1 is None
+
+
+def test_forward_flag_null_tail(spark):
+    df = _tiny(
+        spark,
+        [("a", "2024-01-01 00:00:00", 0.0), ("a", "2024-01-01 01:00:00", 2.0)],
+    )
+    w = W.entity_window("city", "timestamp")
+    got = (
+        W.add_forward_rolling_sum_positive(df, w, "v", 24, "flag")
+        .orderBy("timestamp")
+        .collect()
+    )
+    assert [r.flag for r in got] == [1, None]  # pandas NaN-tail parity

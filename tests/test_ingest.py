@@ -1,0 +1,151 @@
+"""Ingest layer: validation, JSON flatten, upsert, retry/rate-limit policy.
+
+Mirrors the reference's collector tests (`tests/test_data_collection.py`,
+`tests/test_api_resilience.py`): parse values, roundtrip, upsert accumulation,
+retry matrix, limiter behavior — driven through the Spark surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_spark.sources import weather_ingest as WI
+
+RAW_OK = {
+    "name": "London",
+    "dt": 1700000000,
+    "timezone": 0,
+    "visibility": 10000,
+    "coord": {"lat": 51.5, "lon": -0.12},
+    "main": {
+        "temp": 15.5,
+        "feels_like": 14.8,
+        "temp_min": 14.0,
+        "temp_max": 17.0,
+        "pressure": 1012,
+        "humidity": 72,
+    },
+    "wind": {"speed": 3.6, "deg": 250},
+    "clouds": {"all": 40},
+    "weather": [{"main": "Clouds", "description": "scattered clouds"}],
+    "rain": {"1h": 0.5},
+    "sys": {"country": "GB"},
+}
+
+
+def _raw_df(spark, docs):
+    return spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(d) for d in docs]),
+        schema=WI.RAW_WEATHER_SCHEMA,
+    )
+
+
+def test_flatten_values(spark):
+    flat = WI.ingest_raw_json(_raw_df(spark, [RAW_OK])).collect()[0]
+    assert flat.city == "London"
+    assert flat.country == "GB"
+    assert flat.temperature == 15.5
+    assert flat.pressure == 1012
+    assert flat.weather_main == "Clouds"
+    assert flat.rain_1h == 0.5
+    assert flat.snow_1h == 0.0  # missing → 0 default
+    assert str(flat.timestamp).startswith("2023-11-14")
+
+
+def test_validation_rejects_incomplete(spark):
+    bad = dict(RAW_OK)
+    bad["main"] = None
+    missing_weather = dict(RAW_OK, weather=[])
+    df = _raw_df(spark, [RAW_OK, bad, missing_weather])
+    assert WI.ingest_raw_json(df).count() == 1
+
+
+def test_upsert_accumulates_and_replaces(spark, tmp_path):
+    path = str(tmp_path / "weather")
+
+    def mk(city, ts, temp, created):
+        return spark.createDataFrame(
+            [(city, ts, temp, created)],
+            "city string, timestamp string, temperature double, created_at string",
+        ).select(
+            "city",
+            F.to_timestamp("timestamp").alias("timestamp"),
+            "temperature",
+            F.to_timestamp("created_at").alias("created_at"),
+        )
+
+    WI.upsert_parquet(mk("a", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00"), path)
+    WI.upsert_parquet(mk("a", "2024-01-01 01:00:00", 2.0, "2024-01-01 02:00:00"), path)
+    # conflicting key with newer created_at wins (ON CONFLICT DO UPDATE parity)
+    WI.upsert_parquet(mk("a", "2024-01-01 00:00:00", 9.0, "2024-01-01 03:00:00"), path)
+    got = {
+        (r.city, str(r.timestamp)): r.temperature
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01 00:00:00"): 9.0,
+        ("a", "2024-01-01 01:00:00"): 2.0,
+    }
+
+
+class _Boom(Exception):
+    def __init__(self, status=None):
+        self.status_code = status
+
+
+def test_retry_backoff_on_5xx_then_success():
+    sleeps, calls = [], []
+
+    def fetch():
+        calls.append(1)
+        if len(calls) < 3:
+            raise _Boom(503)
+        return {"ok": True}
+
+    out = WI.fetch_with_retry(fetch, sleep=sleeps.append)
+    assert out == {"ok": True}
+    assert sleeps == [1.0, 2.0]  # exponential 1s, 2s (reference parity)
+
+
+def test_no_retry_on_4xx():
+    calls = []
+
+    def fetch():
+        calls.append(1)
+        raise _Boom(404)
+
+    assert WI.fetch_with_retry(fetch, sleep=lambda s: None) is None
+    assert len(calls) == 1
+
+
+def test_retry_exhaustion():
+    calls = []
+
+    def fetch():
+        calls.append(1)
+        raise _Boom(500)
+
+    assert WI.fetch_with_retry(fetch, sleep=lambda s: None) is None
+    assert len(calls) == 4  # initial + 3 retries
+
+
+def test_rate_limiter_blocks_at_limit():
+    clock = {"t": 0.0}
+    slept = []
+
+    def now():
+        return clock["t"]
+
+    def sleep(s):
+        slept.append(s)
+        clock["t"] += s
+
+    rl = WI.RateLimiter(max_calls=3, window_seconds=60.0)
+    for _ in range(3):
+        rl.wait_if_needed(now=now, sleep=sleep)
+    assert slept == []
+    rl.wait_if_needed(now=now, sleep=sleep)  # 4th call must wait out window
+    assert slept and slept[0] == pytest.approx(60.0)

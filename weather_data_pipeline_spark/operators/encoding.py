@@ -1,0 +1,77 @@
+"""Encoding / normalization operators (SURVEY.md §2.8, E1-E4).
+
+E1 label encoding reproduces the reference's sklearn LabelEncoder semantics
+(`data_processor.py:206-226`): fit = sorted distinct values → 0..n−1; unseen
+at transform → −1. Implemented as a broadcast join against the fitted vocab
+(a tiny table), so the fact side never shuffles.
+
+E2/E3 standard scaling reproduces sklearn StandardScaler (population std,
+ddof=0, `weather_predictor.py:64-66`): one aggregation pass computes μ/σ per
+column, then a single projection applies (x−μ)/σ. MLlib's StandardScaler uses
+sample std — the ddof note from SURVEY.md §2.8 is handled here explicitly.
+
+E4 per-group mode imputation: see relational.mode_per_group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fit_label_encoding(df: DataFrame, col: str) -> DataFrame:
+    """Fit: sorted distinct non-null values → dense codes 0..n−1 (sklearn
+    LabelEncoder assigns codes in sorted order)."""
+    w = Window.orderBy(col)
+    return (
+        df.select(F.col(col).cast("string").alias(col))
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .withColumn(f"{col}_encoded", F.row_number().over(w) - 1)
+    )
+
+
+def apply_label_encoding(
+    df: DataFrame, vocab: DataFrame, col: str, unseen: int = -1
+) -> DataFrame:
+    """Transform: broadcast-join the vocab; unseen category → −1 (reference
+    `data_processor.py:219-223`)."""
+    code = f"{col}_encoded"
+    out = df.withColumn("_k", F.col(col).cast("string")).join(
+        F.broadcast(vocab.withColumnRenamed(col, "_k")), on="_k", how="left"
+    )
+    return out.withColumn(code, F.coalesce(F.col(code), F.lit(unseen))).drop("_k")
+
+
+def label_encode(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Fit-and-apply on the same frame (the reference fits once per pipeline
+    run and reuses; callers wanting reuse should fit separately)."""
+    out = df
+    for c in cols:
+        out = apply_label_encoding(out, fit_label_encoding(df, c), c)
+    return out
+
+
+def standardize(
+    df: DataFrame, cols: Sequence[str], ddof: int = 0, suffix: str = ""
+) -> DataFrame:
+    """(x − μ)/σ per column; σ via the requested ddof (0 = sklearn parity).
+    One agg pass for all columns, one projection to apply — no MLlib vector
+    materialization, stays columnar."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(c).alias(f"mu_{c}"))
+        std = F.stddev_pop(c) if ddof == 0 else F.stddev_samp(c)
+        aggs.append(std.alias(f"sd_{c}"))
+    stats = df.agg(*aggs).first()
+    exprs = {}
+    for c in cols:
+        mu = stats[f"mu_{c}"]
+        sd = stats[f"sd_{c}"]
+        if mu is None or sd is None or sd == 0.0:
+            exprs[f"{c}{suffix}"] = F.lit(0.0)
+        else:
+            exprs[f"{c}{suffix}"] = (F.col(c) - F.lit(mu)) / F.lit(sd)
+    return df.withColumns(exprs)

@@ -1,0 +1,154 @@
+"""The full feature-engineering pipeline (reference `process_pipeline`,
+`data_processor.py:275-314`) as ONE lazy DataFrame plan.
+
+Stage order mirrors the reference exactly: time features → lag features →
+rolling stats → weather indices → interactions → missing-value repair →
+categorical encoding → target construction → drop null targets. Where the
+reference materializes 9 full pandas copies (`df.copy()` per stage), this is
+a single Catalyst DAG: the ~45 projections collapse into a handful of
+codegen'd stages and the only shuffles are (a) one hash partition on `city`
+shared by *all* window stages and (b) the tiny vocab aggregations for
+encoding.
+
+Scale notes: every window uses the same (city, timestamp) partitioning, so
+Spark runs them in one Window exec chain after a single exchange. At 100 TB,
+write the base table partitioned/bucketed by city and even that exchange
+disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scalar
+from ..operators import encoding as E
+from ..operators import windows as W
+
+LAG_COLS = ["temperature", "humidity", "pressure", "wind_speed"]
+LAGS = (1, 3, 6, 12, 24)
+ROLLING_WINDOW = 24
+INTERACTIONS = [
+    ("temperature", "humidity"),
+    ("temperature", "wind_speed"),
+    ("humidity", "pressure"),
+    ("wind_speed", "cloudiness"),
+]
+CATEGORICAL_COLS = ["weather_main", "weather_description", "time_of_day"]
+FFILL_COLS = ["temperature", "humidity", "pressure", "wind_speed"]
+
+
+def weather_window(order_tiebreak: str | None = None):
+    order = ["timestamp"] + ([order_tiebreak] if order_tiebreak else [])
+    return Window.partitionBy("city").orderBy(*order)
+
+
+def add_lag_features(df: DataFrame) -> DataFrame:
+    """W1 ×20 lags (reference `data_processor.py:86-98`)."""
+    return W.add_lags(df, weather_window(), LAG_COLS, LAGS)
+
+
+def add_rolling_features(df: DataFrame) -> DataFrame:
+    """W3/W4 rolling mean + std with pandas min_periods semantics
+    (reference `data_processor.py:101-116`)."""
+    w = weather_window()
+    out = W.add_rolling_mean(df, w, LAG_COLS, ROLLING_WINDOW)
+    return W.add_rolling_std(out, w, LAG_COLS, ROLLING_WINDOW, min_periods=2)
+
+
+def add_pressure_change(df: DataFrame) -> DataFrame:
+    """W5 diff (reference `data_processor.py:151`)."""
+    return W.add_diff(df, weather_window(), "pressure", "pressure_change")
+
+
+def handle_missing_values(df: DataFrame) -> DataFrame:
+    """Missing-value repair (reference `data_processor.py:178-204`):
+    limited forward-fill (limit=3) then linear interpolation on the numeric
+    measurement columns; categorical mode-fill per city; finally drop rows
+    that are mostly null."""
+    w = weather_window()
+    out = W.add_ffill_limited(df, w, FFILL_COLS, limit=3, suffix="_ff")
+    out = W.add_interpolate_linear(out, w, [f"{c}_ff" for c in FFILL_COLS], suffix="_i")
+    for c in FFILL_COLS:
+        out = (
+            out.withColumn(c, F.coalesce(F.col(f"{c}_ff_i"), F.col(c).cast("double")))
+            .drop(f"{c}_ff", f"{c}_ff_i")
+        )
+    # categorical mode imputation per city (E4 / A11)
+    from ..operators.relational import mode_per_group
+
+    for c in ("weather_main",):
+        modes = mode_per_group(df.where(F.col(c).isNotNull()), "city", c)
+        out = out.join(F.broadcast(modes), on="city", how="left")
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"mode_{c}"))).drop(
+            f"mode_{c}"
+        )
+    return out
+
+
+def encode_categoricals(df: DataFrame) -> DataFrame:
+    """E1 label encoding with unseen→−1 (reference `data_processor.py:206-226`)."""
+    present = [c for c in CATEGORICAL_COLS if c in df.columns]
+    return E.label_encode(df, present)
+
+
+def add_targets(df: DataFrame, horizon: int = 24) -> DataFrame:
+    """Targets (reference `data_processor.py:246-270`): temperature_future =
+    lead(horizon); temp_change_category bins; will_rain forward flag."""
+    w = weather_window()
+    out = W.add_lead(df, w, "temperature", horizon, "temperature_future")
+    out = W.add_diff(out, w, "temperature", "temp_change")
+    out = out.withColumn(
+        "temp_change_category", scalar.temp_change_category(F.col("temp_change"))
+    )
+    if "rain_1h" in df.columns:
+        out = W.add_forward_rolling_sum_positive(out, w, "rain_1h", horizon, "will_rain")
+    return out
+
+
+def full_feature_pipeline(df: DataFrame, horizon: int = 24) -> DataFrame:
+    """The reference's end-to-end `process_pipeline` as one lazy plan.
+    Input: a weather-shaped table (WEATHER_TABLE_SCHEMA columns).
+    Output: ~70 columns, rows with null target dropped."""
+    out = scalar.add_time_features(df, "timestamp")
+    out = add_lag_features(out)
+    out = add_rolling_features(out)
+    out = scalar.add_weather_indices(
+        out, temp_max_col="temp_max" if "temp_max" in df.columns else None,
+        temp_min_col="temp_min" if "temp_min" in df.columns else None,
+    )
+    out = add_pressure_change(out)
+    out = scalar.add_interactions(
+        out, [(a, b) for a, b in INTERACTIONS if a in out.columns and b in out.columns]
+    )
+    out = handle_missing_values(out)
+    out = encode_categoricals(out)
+    out = add_targets(out, horizon)
+    return out.where(F.col("temperature_future").isNotNull())
+
+
+def events_as_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weather-shaped view over the driver's `events` table so
+    the full pipeline can run on provided test data (no weather table is
+    shipped): city from user_id, measurements derived from value."""
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        F.concat(F.lit("city_"), (F.col("user_id") % 20).cast("string")).alias("city"),
+        F.col("ts").alias("timestamp"),
+        (F.col("value") / 10.0).alias("temperature"),
+        ((F.col("user_id") * 7) % 100).cast("int").alias("humidity"),
+        (F.lit(1000) + (F.col("user_id") % 50)).cast("int").alias("pressure"),
+        (F.col("value") / 50.0).alias("wind_speed"),
+        ((F.col("user_id") * 13) % 100).cast("int").alias("cloudiness"),
+        F.when(F.col("event_type") == "error", F.col("value") / 100.0)
+        .otherwise(F.lit(0.0))
+        .alias("rain_1h"),
+        (F.col("value") / 10.0 + 1.0).alias("temp_max"),
+        (F.col("value") / 10.0 - 1.0).alias("temp_min"),
+        F.col("event_type").alias("weather_main"),
+        F.concat(F.col("event_type"), F.lit(" conditions")).alias(
+            "weather_description"
+        ),
+    )

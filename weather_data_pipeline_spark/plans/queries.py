@@ -1112,3 +1112,60 @@ def cosine_near_dup_embeddings(spark, sf_dir):
 def ann_lsh_topk_embeddings(spark, sf_dir):
     # sign-LSH bucketed ANN: equi-join on bucket id instead of O(n²) pairs
     return S.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 encodings + full feature pipeline
+# ---------------------------------------------------------------------------
+from ..plans import features as FP  # noqa: E402
+
+
+@register(
+    "label_encode_event_type",
+    """
+SELECT event_id, event_type,
+       CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS INT)
+         AS event_type_encoded
+FROM events
+""",
+)
+def label_encode_event_type(spark, sf_dir):
+    # E1: sklearn LabelEncoder parity — sorted distinct → dense codes;
+    # broadcast-join apply (reference data_processor.py:206-226)
+    from ..operators import encoding as ENC
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return ENC.label_encode(ev, ["event_type"]).select(
+        "event_id", "event_type", "event_type_encoded"
+    )
+
+
+@register(
+    "standardize_value_events",
+    f"""
+WITH stats AS (
+  SELECT {SQL_DAVG('value')} AS mu,
+         {_sql_std('value')} AS sd
+  FROM events
+)
+SELECT event_id, (value - mu) / sd AS value_scaled
+FROM events CROSS JOIN stats
+""",
+)
+def standardize_value_events(spark, sf_dir):
+    # E2/E3 standard scaling as a pure plan: exact decimal mean/std (sample
+    # ddof=1 to match the SQL twin), broadcast the 1-row stats, one projection
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    stats = ev.agg(
+        davg(F.col("value")).alias("mu"), _spark_std("value").alias("sd")
+    )
+    return ev.crossJoin(F.broadcast(stats)).select(
+        "event_id", ((F.col("value") - F.col("mu")) / F.col("sd")).alias("value_scaled")
+    )
+
+
+@register("feature_pipeline_weather", None)  # rows-only: ~70-column pipeline
+def feature_pipeline_weather(spark, sf_dir):
+    # the reference's full process_pipeline (data_processor.py:275-314) as a
+    # single lazy plan over the events-derived weather view
+    return FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
