@@ -1,0 +1,121 @@
+"""ML layer: split semantics, training suite, classifier, stacking, registry.
+
+Mirrors the reference's predictor tests (`tests/test_weather_predictor.py`):
+all models trained with finite metrics, temporal split strictly ordered,
+walk-forward folds leak-free, save/load/predict identity, registry versions.
+Runs with fast=True model sizes on sf0.001-derived features.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_spark.ml import models as M
+from weather_data_pipeline_spark.ml import splits as SP
+from weather_data_pipeline_spark.ml.registry import ModelRegistry
+from weather_data_pipeline_spark.plans import features as FP
+
+
+@pytest.fixture(scope="module")
+def feats(spark, sf_dir):
+    df = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir)).cache()
+    df.count()
+    return df
+
+
+def test_temporal_split_strictly_ordered(spark, feats):
+    train, test = SP.temporal_split(feats, "timestamp", 0.2)
+    max_train = train.agg(F.max("timestamp")).first()[0]
+    min_test = test.agg(F.min("timestamp")).first()[0]
+    assert max_train <= min_test
+    n, ntr, nte = feats.count(), train.count(), test.count()
+    assert ntr + nte == n
+    assert ntr == int(0.8 * n)
+
+
+def test_temporal_split_by_cutoff_scalable(spark, feats):
+    train, test = SP.temporal_split_by_cutoff(feats, "timestamp", 0.2)
+    assert train.count() + test.count() == feats.count()
+    assert (
+        train.agg(F.max("timestamp")).first()[0]
+        <= test.agg(F.min("timestamp")).first()[0]
+    )
+
+
+def test_walk_forward_no_leakage(spark, feats):
+    folds = SP.walk_forward_folds(feats, "timestamp", n_splits=3)
+    assert len(folds) == 3
+    prev_train_n = -1
+    for train, test in folds:
+        tr_n = train.count()
+        assert tr_n > prev_train_n  # expanding window
+        prev_train_n = tr_n
+        assert (
+            train.agg(F.max("timestamp")).first()[0]
+            <= test.agg(F.min("timestamp")).first()[0]
+        )
+
+
+def test_regressor_suite_metrics_finite(spark, feats):
+    import math
+
+    train, test = SP.temporal_split(feats.limit(1500), "timestamp", 0.2)
+    results = M.train_regressors(train, test, fast=True)
+    names = {m.name for m in results}
+    assert {"linear", "ridge", "random_forest", "gradient_boosting"} <= names
+    assert len(names) >= 5  # xgboost or the documented gbt_deep substitute
+    for m in results:
+        for k, v in m.metrics.items():
+            assert math.isfinite(v), (m.name, k, v)
+    best = M.select_best(results)
+    assert best.metrics["test_r2"] == max(m.metrics["test_r2"] for m in results)
+
+
+def test_rain_classifier_and_importances(spark, feats):
+    train, test = SP.temporal_split(feats.limit(1500), "timestamp", 0.2)
+    m = M.train_rain_classifier(train, test, fast=True)
+    assert 0.0 <= m.metrics["roc_auc"] <= 1.0
+    assert 0.0 <= m.metrics["accuracy"] <= 1.0
+    cols = M.feature_columns(train)
+    imps = M.feature_importances(m, cols)
+    assert imps and abs(sum(v for _, v in imps) - 1.0) < 1e-6
+
+
+def test_stacking_ensemble(spark, feats):
+    train, test = SP.temporal_split(feats.limit(1200), "timestamp", 0.2)
+    m = M.stacking_ensemble(train, test, fast=True)
+    import math
+
+    assert math.isfinite(m.metrics["test_mse"])
+
+
+def test_save_load_predict_identity(spark, feats, tmp_path):
+    train, test = SP.temporal_split(feats.limit(1200), "timestamp", 0.2)
+    cols = M.feature_columns(train)
+    results = M.train_regressors(train, test, cols=cols, fast=True)
+    best = M.select_best(results)
+    path = str(tmp_path / "model")
+    M.save_model(best, path)
+    loaded = M.load_model(path)
+    assert loaded.name == best.name and loaded.metrics == best.metrics
+    te = test.fillna(0, subset=cols).limit(50)
+    a = [r.prediction for r in best.pipeline_model.transform(te).select("prediction").collect()]
+    b = [r.prediction for r in loaded.pipeline_model.transform(te).select("prediction").collect()]
+    assert a == b
+
+
+def test_registry_versions_and_hash(tmp_path):
+    reg = ModelRegistry(str(tmp_path / "registry.json"))
+    art = tmp_path / "artifact"
+    art.mkdir()
+    (art / "m.bin").write_bytes(b"model-bytes")
+    e1 = reg.register(str(art), "linear", {"test_r2": 0.9}, ["f1", "f2"])
+    e2 = reg.register(str(art), "ridge", {"test_r2": 0.95}, ["f1", "f2"])
+    assert (e1["version"], e2["version"]) == (1, 2)
+    assert reg.latest()["model_type"] == "ridge"
+    assert reg.verify_artifact(1)
+    cmp = reg.compare(1, 2, "test_r2")
+    assert abs(cmp["delta"] - 0.05) < 1e-12
+    (art / "m.bin").write_bytes(b"tampered")
+    assert not reg.verify_artifact(1)

@@ -1,0 +1,320 @@
+"""MLlib training surface (SURVEY.md §2.9 M1-M13).
+
+Model suite parity with the reference (`weather_predictor.py:198-228`):
+
+| reference (sklearn/xgb)        | here (MLlib)                               |
+|--------------------------------|--------------------------------------------|
+| LinearRegression               | LinearRegression()                         |
+| Ridge(alpha=1)                 | LinearRegression(regParam=1, elasticNet=0) |
+| RandomForestRegressor(100, 20) | RandomForestRegressor(numTrees, maxDepth)  |
+| GradientBoosting(100,.1,5)     | GBTRegressor(maxIter, stepSize, maxDepth)  |
+| XGBoost                        | xgboost.spark if installed, else GBT variant (documented deviation) |
+| MLP(100,50) regressor          | no MLlib MLP *regressor* — substituted with a deeper GBT; documented deviation |
+
+Training data flows through a Pipeline of VectorAssembler + StandardScaler
+(M1/E3) so transform-at-inference is automatic (M11). All metrics via
+RegressionEvaluator / BinaryClassificationEvaluator (M6/M8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+    RegressionEvaluator,
+)
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.regression import (
+    GBTRegressor,
+    LinearRegression,
+    RandomForestRegressor,
+)
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # xgboost is optional in this environment
+    from xgboost.spark import SparkXGBRegressor  # type: ignore
+
+    HAS_XGBOOST = True
+except ImportError:
+    HAS_XGBOOST = False
+
+EXCLUDED_FEATURE_COLS = {
+    "city",
+    "timestamp",
+    "temperature_future",
+    "temp_change_category",
+    "will_rain",
+    "weather_main",
+    "weather_description",
+    "time_of_day",
+}
+LABEL_COL = "temperature_future"
+
+
+def feature_columns(df: DataFrame, max_null_ratio: float = 0.3) -> list[str]:
+    """M1 feature selection (reference `weather_predictor.py:40-59`): numeric
+    columns minus ids/labels/raw categoricals, dropping columns over the null
+    threshold — one aggregation pass for all ratios (P6)."""
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float", "integer", "long")
+        and f.name not in EXCLUDED_FEATURE_COLS
+    ]
+    if not numeric:
+        return []
+    ratios = df.agg(
+        *[F.avg(F.col(c).isNull().cast("int")).alias(c) for c in numeric]
+    ).first()
+    return [c for c in numeric if (ratios[c] or 0.0) <= max_null_ratio]
+
+
+def feature_pipeline(cols: list[str]) -> Pipeline:
+    """M1/E3: assemble → scale, bundled so inference reapplies the exact
+    training-time scaling (reference persists the scaler with the model)."""
+    return Pipeline(
+        stages=[
+            VectorAssembler(inputCols=cols, outputCol="raw_features", handleInvalid="keep"),
+            StandardScaler(
+                inputCol="raw_features", outputCol="features", withMean=True, withStd=True
+            ),
+        ]
+    )
+
+
+def regressor_suite(fast: bool = False) -> dict[str, object]:
+    """M5. `fast=True` shrinks tree counts for test-speed; shapes unchanged."""
+    n_trees = 20 if fast else 100
+    gbt_iter = 10 if fast else 100
+    suite = {
+        "linear": LinearRegression(featuresCol="features", labelCol=LABEL_COL),
+        "ridge": LinearRegression(
+            featuresCol="features", labelCol=LABEL_COL, regParam=1.0, elasticNetParam=0.0
+        ),
+        "random_forest": RandomForestRegressor(
+            featuresCol="features",
+            labelCol=LABEL_COL,
+            numTrees=n_trees,
+            maxDepth=10 if fast else 20,
+            seed=42,
+        ),
+        "gradient_boosting": GBTRegressor(
+            featuresCol="features",
+            labelCol=LABEL_COL,
+            maxIter=gbt_iter,
+            stepSize=0.1,
+            maxDepth=5,
+            seed=42,
+        ),
+    }
+    if HAS_XGBOOST:
+        suite["xgboost"] = SparkXGBRegressor(
+            features_col="features", label_col=LABEL_COL, n_estimators=gbt_iter
+        )
+    else:
+        # documented deviation: no xgboost wheel / no MLlib MLP regressor in
+        # this environment — a deeper GBT stands in for both
+        suite["gbt_deep"] = GBTRegressor(
+            featuresCol="features",
+            labelCol=LABEL_COL,
+            maxIter=gbt_iter,
+            stepSize=0.1,
+            maxDepth=6,
+            seed=43,
+        )
+    return suite
+
+
+@dataclass
+class TrainedModel:
+    name: str
+    pipeline_model: PipelineModel
+    metrics: dict[str, float] = field(default_factory=dict)
+
+
+def _evaluate(pred: DataFrame, prefix: str) -> dict[str, float]:
+    out = {}
+    for metric in ("mse", "mae", "r2"):
+        ev = RegressionEvaluator(
+            labelCol=LABEL_COL, predictionCol="prediction", metricName=metric
+        )
+        out[f"{prefix}_{metric}"] = float(ev.evaluate(pred))
+    return out
+
+
+def train_regressors(
+    train: DataFrame,
+    test: DataFrame,
+    cols: list[str] | None = None,
+    fast: bool = False,
+) -> list[TrainedModel]:
+    """M5+M6: fit the suite, metric each on train and test."""
+    cols = cols or feature_columns(train)
+    filled_train = train.fillna(0, subset=cols).cache()
+    filled_test = test.fillna(0, subset=cols)
+    results = []
+    for name, reg in regressor_suite(fast).items():
+        pipe = Pipeline(stages=feature_pipeline(cols).getStages() + [reg])
+        model = pipe.fit(filled_train)
+        m = {}
+        m.update(_evaluate(model.transform(filled_train), "train"))
+        m.update(_evaluate(model.transform(filled_test), "test"))
+        results.append(TrainedModel(name, model, m))
+    filled_train.unpersist()
+    return results
+
+
+def select_best(models: list[TrainedModel]) -> TrainedModel:
+    """M7: best by test R² (reference `weather_predictor.py:281-309`)."""
+    return max(models, key=lambda m: m.metrics.get("test_r2", float("-inf")))
+
+
+def train_rain_classifier(
+    train: DataFrame, test: DataFrame, cols: list[str] | None = None, fast: bool = False
+) -> TrainedModel:
+    """M8: RandomForest rain classifier with balanced class weights
+    (reference `weather_predictor.py:313-391`): weight = n/(2·n_class)."""
+    cols = cols or feature_columns(train)
+    label = "will_rain"
+    tr = train.where(F.col(label).isNotNull()).fillna(0, subset=cols)
+    te = test.where(F.col(label).isNotNull()).fillna(0, subset=cols)
+    counts = {r[label]: r["n"] for r in tr.groupBy(label).agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    tr = tr.withColumn(
+        "weight",
+        F.when(F.col(label) == 1, F.lit(total / (2.0 * max(counts.get(1, 1), 1))))
+        .otherwise(F.lit(total / (2.0 * max(counts.get(0, 1), 1)))),
+    )
+    clf = RandomForestClassifier(
+        featuresCol="features",
+        labelCol=label,
+        weightCol="weight",
+        numTrees=20 if fast else 100,
+        seed=42,
+    )
+    pipe = Pipeline(stages=feature_pipeline(cols).getStages() + [clf])
+    model = pipe.fit(tr)
+    pred = model.transform(te)
+    metrics = {
+        "roc_auc": float(
+            BinaryClassificationEvaluator(
+                labelCol=label, metricName="areaUnderROC"
+            ).evaluate(pred)
+        ),
+        "accuracy": float(
+            MulticlassClassificationEvaluator(
+                labelCol=label, predictionCol="prediction", metricName="accuracy"
+            ).evaluate(pred)
+        ),
+        "precision": float(
+            MulticlassClassificationEvaluator(
+                labelCol=label, predictionCol="prediction", metricName="weightedPrecision"
+            ).evaluate(pred)
+        ),
+        "recall": float(
+            MulticlassClassificationEvaluator(
+                labelCol=label, predictionCol="prediction", metricName="weightedRecall"
+            ).evaluate(pred)
+        ),
+    }
+    return TrainedModel("rain_rf", model, metrics)
+
+
+def stacking_ensemble(
+    train: DataFrame, test: DataFrame, cols: list[str] | None = None, fast: bool = False
+) -> TrainedModel:
+    """M10 (reference `weather_predictor.py:448-493`): 3 tree/boosted base
+    models → their predictions become a 3-feature meta input → linear meta
+    learner. Base predictions are produced by sequential transforms (each a
+    narrow projection), assembled without leaving the JVM."""
+    cols = cols or feature_columns(train)
+    base_names = ["random_forest", "gradient_boosting"]
+    suite = regressor_suite(fast)
+    bases = {n: suite[n] for n in base_names}
+    bases["third"] = suite.get("xgboost", suite.get("gbt_deep"))
+    tr = train.fillna(0, subset=cols).cache()
+    te = test.fillna(0, subset=cols)
+    fitted = {}
+    for n, reg in bases.items():
+        pipe = Pipeline(stages=feature_pipeline(cols).getStages() + [reg])
+        fitted[n] = pipe.fit(tr)
+
+    def add_base_preds(df: DataFrame) -> DataFrame:
+        out = df
+        for n, m in fitted.items():
+            out = (
+                m.transform(out)
+                .withColumnRenamed("prediction", f"pred_{n}")
+                .drop("raw_features", "features")
+            )
+        return out
+
+    meta_train, meta_test = add_base_preds(tr), add_base_preds(te)
+    meta_cols = [f"pred_{n}" for n in fitted]
+    meta_pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=meta_cols, outputCol="features"),
+            LinearRegression(featuresCol="features", labelCol=LABEL_COL),
+        ]
+    )
+    meta_model = meta_pipe.fit(meta_train)
+    metrics = _evaluate(meta_model.transform(meta_test), "test")
+    tr.unpersist()
+    return TrainedModel("stacking", meta_model, metrics)
+
+
+def grid_search_gbt(
+    train: DataFrame, cols: list[str] | None = None, num_folds: int = 3, fast: bool = False
+):
+    """M9 (reference GridSearchCV, `weather_predictor.py:393-446`):
+    ParamGridBuilder + CrossValidator minimizing MSE."""
+    cols = cols or feature_columns(train)
+    gbt = GBTRegressor(featuresCol="features", labelCol=LABEL_COL, seed=42)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(gbt.maxDepth, [3, 5] if fast else [3, 5, 7])
+        .addGrid(gbt.maxIter, [5, 10] if fast else [50, 100])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=Pipeline(stages=feature_pipeline(cols).getStages() + [gbt]),
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(labelCol=LABEL_COL, metricName="mse"),
+        numFolds=num_folds,
+        parallelism=4,
+        seed=42,
+    )
+    return cv.fit(train.fillna(0, subset=cols))
+
+
+def feature_importances(model: TrainedModel, cols: list[str]) -> list[tuple[str, float]]:
+    """M12: tree-model importances mapped back to column names."""
+    last = model.pipeline_model.stages[-1]
+    imps = getattr(last, "featureImportances", None)
+    if imps is None:
+        return []
+    arr = imps.toArray()
+    return sorted(zip(cols, arr.tolist()), key=lambda t: -t[1])
+
+
+def save_model(model: TrainedModel, path: str) -> None:
+    """S12: PipelineModel.save + metadata JSON beside it (reference bundles
+    model+scaler+features+metadata in one joblib pickle)."""
+    model.pipeline_model.write().overwrite().save(os.path.join(path, "pipeline"))
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump({"name": model.name, "metrics": model.metrics}, f, indent=2)
+
+
+def load_model(path: str) -> TrainedModel:
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+    pm = PipelineModel.load(os.path.join(path, "pipeline"))
+    return TrainedModel(meta["name"], pm, meta["metrics"])

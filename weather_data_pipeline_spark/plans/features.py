@@ -142,7 +142,11 @@ def events_as_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1000) + (F.col("user_id") % 50)).cast("int").alias("pressure"),
         (F.col("value") / 50.0).alias("wind_speed"),
         ((F.col("user_id") * 13) % 100).cast("int").alias("cloudiness"),
-        F.when(F.col("event_type") == "error", F.col("value") / 100.0)
+        # rare rain so the will_rain label is non-degenerate (~20% positive)
+        F.when(
+            (F.col("event_type") == "error") & (F.col("value") > 100.0),
+            F.col("value") / 100.0,
+        )
         .otherwise(F.lit(0.0))
         .alias("rain_1h"),
         (F.col("value") / 10.0 + 1.0).alias("temp_max"),

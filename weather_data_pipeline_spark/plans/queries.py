@@ -1169,3 +1169,149 @@ def feature_pipeline_weather(spark, sf_dir):
     # the reference's full process_pipeline (data_processor.py:275-314) as a
     # single lazy plan over the events-derived weather view
     return FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# §2.9 splits + §2.10 streaming
+# ---------------------------------------------------------------------------
+from ..ml import splits as SP  # noqa: E402
+from ..streaming import jobs as SJ  # noqa: E402
+
+
+@register(
+    "temporal_split_counts",
+    ev_sql("""
+WITH pos AS (
+  SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+)
+SELECT CASE WHEN rn <= floor(0.8 * n) THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n_rows, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM pos GROUP BY 1 ORDER BY 1
+"""),
+)
+def temporal_split_counts(spark, sf_dir):
+    # M3 chronological 80/20 (reference weather_predictor.py:71-105): train
+    # strictly precedes test; the oracle checks the exact row partitioning
+    ev = _t(spark, sf_dir, "events").select("ts", "event_id")
+    train, test = SP.temporal_split(ev, "ts", test_size=0.2, tiebreak="event_id")
+
+    def summarize(df, name):
+        return df.agg(
+            F.lit(name).alias("split"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        ).select("split", "n_rows", "min_ts", "max_ts")
+
+    return summarize(train, "train").unionByName(summarize(test, "test")).orderBy("split")
+
+
+@register(
+    "walk_forward_fold_bounds",
+    ev_sql("""
+WITH pos AS (
+  SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+),
+folds AS (SELECT CAST(i AS INT) AS fold FROM range(1, 6) t(i)),
+marks AS (
+  SELECT fold,
+         (SELECT (n // 6) * fold + (n % 6) + 1 FROM pos LIMIT 1) AS t_start,
+         (SELECT (n // 6) * (fold + 1) + (n % 6) FROM pos LIMIT 1) AS t_end
+  FROM folds)
+SELECT m.fold,
+       CAST(SUM(CASE WHEN p.rn < m.t_start THEN 1 ELSE 0 END) AS BIGINT) AS train_rows,
+       CAST(SUM(CASE WHEN p.rn >= m.t_start AND p.rn <= m.t_end THEN 1 ELSE 0 END) AS BIGINT) AS test_rows,
+       MAX(CASE WHEN p.rn < m.t_start THEN p.ts END) AS max_train_ts,
+       MIN(CASE WHEN p.rn >= m.t_start AND p.rn <= m.t_end THEN p.ts END) AS min_test_ts
+FROM pos p CROSS JOIN marks m
+GROUP BY m.fold ORDER BY m.fold
+"""),
+)
+def walk_forward_fold_bounds(spark, sf_dir):
+    # M4 expanding-window CV (reference weather_predictor.py:107-172): per
+    # fold, train row count/test row count and the no-leakage boundary
+    ev = _t(spark, sf_dir, "events").select("ts", "event_id")
+    folds = SP.walk_forward_folds(ev, "ts", n_splits=5, tiebreak="event_id")
+    parts = []
+    for i, (train, test) in enumerate(folds, start=1):
+        tr = train.agg(
+            F.count(F.lit(1)).alias("train_rows"), F.max("ts").alias("max_train_ts")
+        )
+        te = test.agg(
+            F.count(F.lit(1)).alias("test_rows"), F.min("ts").alias("min_test_ts")
+        )
+        parts.append(
+            tr.crossJoin(te).select(
+                F.lit(i).alias("fold"),
+                "train_rows",
+                "test_rows",
+                "max_train_ts",
+                "min_test_ts",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fold")
+
+
+@register(
+    "streaming_hourly_agg",
+    ev_sql("""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""),
+)
+def streaming_hourly_agg(spark, sf_dir):
+    # §2.10: Structured Streaming watermark + tumbling window, driven to
+    # completion with availableNow — the batch oracle proves the streaming
+    # plan computes exactly the batch answer
+    return SJ.streaming_hourly_event_counts(spark, sf_dir)
+
+
+@register("ml_train_eval_metrics", None)  # rows-only: MLlib metric surface
+def ml_train_eval_metrics(spark, sf_dir):
+    # M1-M7: feature prep -> temporal split -> regressor suite -> metrics.
+    # Capped + fast settings so the correctness harness stays quick; full
+    # configs are the defaults in ml/models.py.
+    from ..ml import models as M
+
+    feats = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir)).limit(4000)
+    train, test = SP.temporal_split(feats, "timestamp", 0.2)
+    results = M.train_regressors(train, test, fast=True)
+    rows = [
+        (
+            m.name,
+            m.metrics["train_mse"],
+            m.metrics["test_mse"],
+            m.metrics["train_r2"],
+            m.metrics["test_r2"],
+            m.metrics["test_mae"],
+        )
+        for m in results
+    ]
+    return spark.createDataFrame(
+        rows,
+        "model string, train_mse double, test_mse double, train_r2 double, "
+        "test_r2 double, test_mae double",
+    ).orderBy("model")
+
+
+@register("ml_rain_classifier_metrics", None)  # rows-only
+def ml_rain_classifier_metrics(spark, sf_dir):
+    # M8: balanced-weight RandomForest rain classifier + ROC-AUC/acc/P/R
+    from ..ml import models as M
+
+    feats = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir)).limit(4000)
+    train, test = SP.temporal_split(feats, "timestamp", 0.2)
+    m = M.train_rain_classifier(train, test, fast=True)
+    return spark.createDataFrame(
+        [(m.name, m.metrics["roc_auc"], m.metrics["accuracy"], m.metrics["precision"], m.metrics["recall"])],
+        "model string, roc_auc double, accuracy double, precision double, recall double",
+    )

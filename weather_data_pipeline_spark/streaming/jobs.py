@@ -1,0 +1,106 @@
+"""Structured Streaming jobs (SURVEY.md §2.10).
+
+The reference's "streaming" is a scheduler loop doing periodic batch upserts
+(`weather_collector.py:376-388`); the Spark-native story is:
+
+- `readStream` over the events directory (file source; in production Kafka),
+- event-time watermark + tumbling/sliding window aggregations (the continuous
+  counterpart of the W3 rolling stats),
+- `foreachBatch` dedup-merge replicating the S7 upsert exactly-once per epoch.
+
+Local testing uses `trigger(availableNow=True)` + a memory sink so a bounded
+parquet directory drives the streaming query to completion synchronously —
+the same plan shape a Kafka-fed cluster deployment would run.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import NANOS_CONF
+from ..sources.weather_ingest import upsert_parquet
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns in the parquet; converted below
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with µs event time."""
+    spark.conf.set(NANOS_CONF, "true")
+    # file stream sources need a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation: count + exact decimal sum per
+    (hour, event_type). Append-mode-safe: state for a window is dropped once
+    the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_batch(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a (bounded) streaming aggregation to completion and return the
+    result as a batch DataFrame via a memory sink. `complete` output mode so
+    every window is emitted regardless of watermark progress."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: stream → watermark → tumbling agg → memory table."""
+    return run_stream_to_batch(hourly_agg_stream(events_stream(spark, sf_dir)), spark)
+
+
+def stream_upsert_events(
+    spark: SparkSession, sf_dir: str, table_path: str, keys=("event_id",)
+) -> None:
+    """foreachBatch upsert: each micro-batch is dedup-merged into the target
+    parquet table (reference scheduler-loop + S7 upsert, continuous form).
+    Exactly-once per epoch because the merge is idempotent on the key."""
+    ev = events_stream(spark, sf_dir).withColumn(
+        "created_at", F.current_timestamp()
+    )
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        upsert_parquet(batch_df, table_path, keys=keys, version_col="created_at")
+
+    q = ev.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination()
