@@ -22,7 +22,8 @@ from weather_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: one per operator family (scan/agg/join/window/custom-window)
+# Headline set: one per operator family — scan/agg/join/window/custom-window/
+# text/dedup/similarity/streaming/feature-pipeline
 HEADLINE = [
     "q1_pricing_summary",
     "group_summary_events",
@@ -38,6 +39,14 @@ HEADLINE = [
     "time_features_events",
     "weather_indices_events",
     "corr_lineitem",
+    "token_stats_documents",
+    "quality_score_documents",
+    "exact_dedup_stats_documents",
+    "minhash_lsh_candidates_documents",
+    "simhash_documents",
+    "cosine_topk_embeddings",
+    "streaming_hourly_agg",
+    "feature_pipeline_weather",
 ]
 
 

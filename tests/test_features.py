@@ -95,9 +95,8 @@ def test_interpolation_linear_and_edges(spark):
         ("a", "2024-01-01 05:00:00", None),   # tail → ffill
     ]
     df = _tiny(spark, rows)
-    w = W.entity_window("city", "timestamp")
     got = (
-        W.add_interpolate_linear(df, w, ["v"])
+        W.add_interpolate_linear(df, "city", "timestamp", ["v"])
         .orderBy("timestamp")
         .select("v_interp")
         .collect()

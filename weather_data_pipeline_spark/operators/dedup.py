@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import add_fingerprint, portable_token_hash, tokens
+from .text import add_fingerprint, portable_token_hash, shingle_set, tokens
 
 # MinHash parameters: k permutations h_i(x) = (a_i·x + b_i) mod P over the
 # 31-bit reduction of the portable token hash. P = 2^31−1 (Mersenne prime);
@@ -118,23 +118,30 @@ def jaccard_pairs(
     )
 
 
-def minhash_signature_cols(text: Column) -> dict[str, Column]:
-    """k minhash values as named columns, computed with array higher-order
-    functions — per-row, no UDF, no shuffle."""
-    hset = F.transform(
-        distinct_token_set(text), lambda t: portable_token_hash(t) % MINHASH_P
-    )
-    def perm(a, b):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
-
-    out = {}
-    for i, (ai, bi) in enumerate(MINHASH_AB):
-        out[f"mh_{i}"] = F.array_min(F.transform(hset, perm(ai, bi)))
-    return out
+def _perm(a: int, b: int):
+    return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
 
 
 def add_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumns(minhash_signature_cols(F.col(text_col)))
+    """k minhash values as named columns, via array higher-order functions —
+    per-row, no UDF, no shuffle. Defined over 3-gram shingles (unigram sets
+    degenerate on small vocabularies — every pair becomes a candidate). The
+    md5 shingle hashing is materialized ONCE into an intermediate column;
+    each permutation then scans the precomputed int array (Catalyst does not
+    CSE the md5 across k projections — hashing inside each transform made
+    this 8× slower)."""
+    hset = F.transform(
+        shingle_set(F.col(text_col)),
+        lambda t: portable_token_hash(t) % MINHASH_P,
+    )
+    out = df.withColumn("_hset", hset)
+    out = out.withColumns(
+        {
+            f"mh_{i}": F.array_min(F.transform(F.col("_hset"), _perm(ai, bi)))
+            for i, (ai, bi) in enumerate(MINHASH_AB)
+        }
+    )
+    return out.drop("_hset")
 
 
 def minhash_lsh_candidates(
@@ -146,9 +153,20 @@ def minhash_lsh_candidates(
     Returns candidate pairs with the minhash-estimated Jaccard."""
     k = len(MINHASH_AB)
     rows_per_band = k // N_BANDS
-    sigs = add_minhash(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    # repartition before the signature compute: a small single-file corpus
+    # arrives as ONE scan partition, serializing the md5/shingle work — the
+    # narrow repartition spreads it across every core/executor
+    base = df.select(F.col(id_col).alias("id"), text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    # persist: the signature frame (tiny: one row/doc, k ints) feeds both
+    # sides of the self-join — without it the md5+minhash plan runs twice
+    sigs = add_minhash(base, text_col).drop(text_col).persist()
+    # carry the full signature on each band row so the join output already
+    # has both sides' signatures — no re-join against sigs afterwards
     bands = sigs.select(
         "id",
+        *[F.col(f"mh_{i}") for i in range(k)],
         F.explode(
             F.array(
                 *[
@@ -166,33 +184,24 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    ).select("id", *[f"mh_{i}" for i in range(k)], "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    est = sum(
+        (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int") for i in range(k)
+    ).cast("double") / F.lit(float(k))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
         .distinct()
-    )
-    # re-attach signatures once per pair to estimate jaccard = matches / k
-    sig_a = sigs.select(
-        F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
-    )
-    sig_b = sigs.select(
-        F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)]
-    )
-    est = sum(
-        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k)
-    ).cast("double") / F.lit(float(k))
-    return (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("est_jaccard", est)
-        .select("id_a", "id_b", "est_jaccard")
         .orderBy("id_a", "id_b")
     )
 

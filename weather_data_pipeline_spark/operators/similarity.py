@@ -39,12 +39,28 @@ def _dot_decimal(a: Column, b: Column) -> Column:
     return s.cast("double")
 
 
+def _dot_double(a: Column, b: Column) -> Column:
+    """Fast double-fold dot product — for RANKING/pruning only (accumulation
+    order makes the last ulp engine-dependent, so never emit it)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def _norm2(a: Column) -> Column:
     return _dot_decimal(a, a)
 
 
 def cosine(a: Column, b: Column) -> Column:
     return _dot_decimal(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Precompute ‖v‖² once per vector (decimal-exact) — candidate scoring
+    then does ONE dot per pair instead of three."""
+    return df.withColumn(out, _norm2(F.col(vec_col)))
 
 
 def cosine_topk(
@@ -57,27 +73,39 @@ def cosine_topk(
     """Exact top-k neighbors by cosine for each query vector.
 
     The query side is tiny → broadcast; the corpus side streams through one
-    codegen'd stage; per-query top-k is a bounded window (k rows kept per
-    partition via TakeOrdered semantics after row_number filter)."""
-    q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    codegen'd stage. Two-phase scoring: a fast double dot ranks all pairs
+    (per-query top-k via row_number), then the ≤ 5k·|Q| surviving rows get
+    the exact decimal cosine for emission — O(n) cheap folds + O(k) exact
+    folds instead of 3 exact folds per pair."""
+    q = _with_norm(
+        emb.where(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv",
+        "qn",
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    c = _with_norm(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+        "nv",
+        "nn",
+    )
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.select(
+    fast = pairs.withColumn(
+        "_fast_sim",
+        _dot_double(F.col("qv"), F.col("nv"))
+        / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nn"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_fast_sim"), F.col("neighbor_id"))
+    top = fast.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k)
+    return top.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("nv")).alias("cosine_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", F.col("_rk").alias("rank"))
-        .orderBy("query_id", "rank")
-    )
+        (
+            _dot_decimal(F.col("qv"), F.col("nv"))
+            / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nn")))
+        ).alias("cosine_sim"),
+        F.col("_rk").alias("rank"),
+    ).orderBy("query_id", "rank")
 
 
 def cosine_near_dup_pairs(
@@ -87,15 +115,31 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (brute force — for corpora that fit
-    a blocked self-join; see lsh_bucket_topk for the linear-candidate path)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a blocked self-join; see lsh_bucket_topk for the linear-candidate path).
+
+    Two-phase: double-dot prefilter with an epsilon margin prunes ~all pairs,
+    then the handful of survivors get the exact decimal cosine and the exact
+    threshold test (the emitted value must be engine-portable)."""
+    a = _with_norm(
+        emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "va", "na"
+    )
+    b = _with_norm(
+        emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "vb", "nb"
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    fast = pairs.withColumn(
+        "_fast_sim",
+        _dot_double(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+    ).where(F.col("_fast_sim") >= F.lit(threshold) - F.lit(1e-6))
+    exact = fast.withColumn(
+        "cosine_sim",
+        _dot_decimal(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+    )
     return (
-        pairs.select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
-        )
-        .where(F.col("cosine_sim") >= F.lit(threshold))
+        exact.where(F.col("cosine_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine_sim")
         .orderBy("id_a", "id_b")
     )
 

@@ -108,6 +108,24 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", fingerprint(F.col(text_col)))
 
 
+def shingle_set(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. MinHash is defined over shingles, not
+    unigrams: with a small vocabulary unigram sets all collide (Jaccard ≈ 1
+    between any two long docs), which degenerates LSH into all-pairs; n-gram
+    shingles keep near-dup candidates sparse."""
+    t = tokens(text)
+
+    def gram(i: Column) -> Column:
+        parts = [F.element_at(t, i + j) for j in range(n)]
+        return F.concat_ws(" ", *parts)
+
+    # guard: Spark sequence(1, 0) counts DOWN ([1,0]); short docs → empty set
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.array_distinct(F.transform(idx, gram))
+
+
 def portable_token_hash(tok: Column) -> Column:
     """60-bit integer hash from md5 — identical in Spark and DuckDB (unlike
     engine-native hash functions). Used by minhash/simhash."""

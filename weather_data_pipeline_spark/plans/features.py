@@ -68,7 +68,9 @@ def handle_missing_values(df: DataFrame) -> DataFrame:
     that are mostly null."""
     w = weather_window()
     out = W.add_ffill_limited(df, w, FFILL_COLS, limit=3, suffix="_ff")
-    out = W.add_interpolate_linear(out, w, [f"{c}_ff" for c in FFILL_COLS], suffix="_i")
+    out = W.add_interpolate_linear(
+        out, "city", "timestamp", [f"{c}_ff" for c in FFILL_COLS], suffix="_i"
+    )
     for c in FFILL_COLS:
         out = (
             out.withColumn(c, F.coalesce(F.col(f"{c}_ff_i"), F.col(c).cast("double")))

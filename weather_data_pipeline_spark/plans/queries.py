@@ -689,7 +689,7 @@ def interpolate_events(spark, sf_dir):
     ev = ev.withColumn(
         "v", F.when(F.col("value") < 20.0, F.lit(None).cast("double")).otherwise(F.col("value"))
     ).drop("value")
-    out = W.add_interpolate_linear(ev, _event_window(), ["v"])
+    out = W.add_interpolate_linear(ev, "user_id", ["ts", "event_id"], ["v"])
     return out.select("event_id", "user_id", "ts", "v", "v_interp")
 
 
@@ -967,6 +967,8 @@ def jaccard_pairs_documents(spark, sf_dir):
     return D.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
 
 
+_SHINGLES_SQL = "list_distinct(list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1), i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' || regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' || regexp_split_to_array(trim(text), '\\s+')[i+2]))"
+
 _MH_EXPRS_SQL = ",\n        ".join(
     f"list_min(list_transform({{toks}}, t -> "
     f"({a} * ({_PHASH.format(t='t')} % {D.MINHASH_P}) + {b}) % {D.MINHASH_P}))"
@@ -978,15 +980,17 @@ _MH_EXPRS_SQL = ",\n        ".join(
 @register(
     "minhash_signatures_documents",
     f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+WITH t AS (SELECT doc_id, {_SHINGLES_SQL} AS toks FROM documents)
 SELECT doc_id,
         {_MH_EXPRS_SQL}
 FROM t
 """,
 )
 def minhash_signatures_documents(spark, sf_dir):
-    # k=8 portable minhash permutations via array HOFs (no UDF, no shuffle)
+    # k=8 portable minhash permutations via array HOFs (no UDF); repartition
+    # first — a single-file corpus otherwise computes on one core
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return D.add_minhash(docs).drop("text")
 
 
@@ -999,7 +1003,7 @@ _BAND_KEYS_SQL = ", ".join(
 @register(
     "minhash_lsh_candidates_documents",
     f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {_SHINGLES_SQL} AS toks FROM documents),
 sig AS (SELECT doc_id AS id,
         {_MH_EXPRS_SQL}
         FROM t),
@@ -1048,8 +1052,10 @@ SELECT doc_id, CAST({_SIMHASH_COMBINE_SQL} AS BIGINT) AS simhash FROM votes
 """,
 )
 def simhash_documents(spark, sf_dir):
-    # 16-bit simhash fingerprint, per-row array algebra (no explode/shuffle)
+    # 16-bit simhash fingerprint, per-row array algebra (no explode); spread
+    # the md5 voting across cores (single-file input = one scan partition)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return D.add_simhash(docs).select("doc_id", "simhash")
 
 
@@ -1315,3 +1321,48 @@ def ml_rain_classifier_metrics(spark, sf_dir):
         [(m.name, m.metrics["roc_auc"], m.metrics["accuracy"], m.metrics["precision"], m.metrics["recall"])],
         "model string, roc_auc double, accuracy double, precision double, recall double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + typed metadata; decode is stubbed)
+# ---------------------------------------------------------------------------
+from ..operators import multimodal as MM  # noqa: E402
+
+
+@register(
+    "multimodal_metadata_summary",
+    """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS byte_len,
+         64 + (doc_id % 8) * 16 AS width
+  FROM documents)
+SELECT kind, COUNT(*) AS n,
+       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+       CAST(MAX(width) AS INT) AS max_width
+FROM media GROUP BY kind ORDER BY kind
+""",
+)
+def multimodal_metadata_summary(spark, sf_dir):
+    # metadata-only query over the media table: parquet column pruning means
+    # the opaque payload bytes are never read for this plan
+    media = MM.synth_media_table(spark, sf_dir)
+    return (
+        media.groupBy(F.col("meta.kind").alias("kind"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.max("meta.width").alias("max_width"),
+        )
+        .orderBy("kind")
+    )
+
+
+@register("multimodal_feature_extract", None)  # rows-only: Python (Arrow) path
+def multimodal_feature_extract(spark, sf_dir):
+    # binary -> mapInPandas (Arrow batches) -> fixed-dim feature vectors;
+    # the decode itself is a deterministic stub (no media libs in container)
+    return MM.extract_features(MM.synth_media_table(spark, sf_dir))
