@@ -1,0 +1,79 @@
+"""Plan-quality assertions: the physical plan, not just the answer.
+
+These encode the 100 TB design contract: filters reach the parquet scan,
+projections prune columns, small dimensions broadcast, pipelines stay inside
+whole-stage codegen, and top-k never globally sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_time_range_filter_pushed_to_scan(spark, sf_dir):
+    df = REGISTRY["recent_events_scan"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    # the ns->us conversion wraps ts, but the event_id/batch pruning still
+    # applies; the scan must not read props for this projection
+    assert "props" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    df = REGISTRY["topk_events_by_value"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "event_type" not in read_schema and "props" not in read_schema
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial + final (map-side combine); AQE hides codegen ids pre-execution
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_revenue_join_broadcasts_dims(spark, sf_dir):
+    df = REGISTRY["revenue_by_nation"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # customer/nation never shuffle lineitem
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    semi = REGISTRY["customer_order_activity"].spark(spark, sf_dir)
+    anti = REGISTRY["customers_without_orders"].spark(spark, sf_dir)
+    assert "LeftSemi" in plan_of(semi)
+    assert "LeftAnti" in plan_of(anti)
+
+
+def test_window_chain_single_exchange(spark, sf_dir):
+    # all per-user windows share one hash partitioning: exactly one exchange
+    # on user_id in the lag plan
+    df = REGISTRY["lag_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_feature_pipeline_no_unbounded_following(spark, sf_dir):
+    # regression guard for the O(n^2) shrinking-frame trap: the pipeline plan
+    # must not contain an UNBOUNDED FOLLOWING window frame
+    from weather_data_pipeline_spark.plans import features as FP
+
+    df = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+    plan = plan_of(df)
+    assert "unboundedfollowing$()" not in plan.lower().replace(" ", "")
+
+
+def test_broadcast_under_threshold_for_vocab_joins(spark, sf_dir):
+    df = REGISTRY["label_encode_event_type"].spark(spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_of(df)

@@ -1366,3 +1366,186 @@ def multimodal_feature_extract(spark, sf_dir):
     # binary -> mapInPandas (Arrow batches) -> fixed-dim feature vectors;
     # the decode itself is a deterministic stub (no media libs in container)
     return MM.extract_features(MM.synth_media_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Breadth: set ops, pivot/cube/rollup, shipping-priority join, approx stats
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    f"""
+SELECT l_orderkey,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    # TPC-H-Q3 shape: selective dim filter -> fact join -> agg -> top-k.
+    # customer is broadcast; the lineitem filter pushes to the parquet scan.
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "set_ops_customers",
+    """
+WITH big_spenders AS (
+  SELECT o_custkey AS custkey FROM orders GROUP BY 1
+  HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) > 300000.0),
+recent_buyers AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+SELECT 'union' AS op, COUNT(*) AS n FROM (
+  SELECT custkey FROM big_spenders UNION SELECT custkey FROM recent_buyers)
+UNION ALL
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+  SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM recent_buyers)
+UNION ALL
+SELECT 'except' AS op, COUNT(*) AS n FROM (
+  SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM recent_buyers)
+""",
+)
+def set_ops_customers(spark, sf_dir):
+    # §2.7: union / intersect / except (beyond-reference; the reference has
+    # no set ops — SURVEY.md §2.7)
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(dsum(F.col("o_totalprice")).alias("spend"))
+        .where(F.col("spend") > 300000.0)
+        .select("custkey")
+    )
+    recent = (
+        orders.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+
+    def count_of(df, op):
+        return df.agg(F.lit(op).alias("op"), F.count(F.lit(1)).alias("n"))
+
+    return (
+        count_of(big.union(recent).distinct(), "union")
+        .unionByName(count_of(big.intersect(recent), "intersect"))
+        .unionByName(count_of(big.exceptAll(recent).distinct(), "except"))
+    )
+
+
+@register(
+    "pivot_returnflag_by_status",
+    f"""
+SELECT l_returnflag,
+       {SQL_DSUM("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F,
+       {SQL_DSUM("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def pivot_returnflag_by_status(spark, sf_dir):
+    # pivot = groupBy + pivot (Catalyst rewrites to conditional aggregation —
+    # the oracle spells out that rewrite)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum(F.col("l_quantity")))
+        .withColumnsRenamed({"F": "qty_F", "O": "qty_O"})
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "rollup_orders_priority",
+    f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n, {SQL_DSUM('o_totalprice')} AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def rollup_orders_priority(spark, sf_dir):
+    # rollup: hierarchical subtotals + grand total in one pass
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {SQL_DSUM('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def cube_lineitem_flags(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register("approx_stats_events", None)  # rows-only: approximate by definition
+def approx_stats_events(spark, sf_dir):
+    # the 100 TB variants of A4/A12: HyperLogLog++ distinct + t-digest
+    # quantiles — sketch-based one-pass, no exact-distinct shuffle
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    )
+
+
+@register(
+    "row_null_threshold_events",
+    """
+WITH flagged AS (
+  SELECT *, (CASE WHEN event_id IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN ts IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN user_id IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN event_type IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN value IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN props IS NULL THEN 0 ELSE 1 END) AS n_non_null
+  FROM events)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept FROM flagged WHERE n_non_null >= 4
+""",
+)
+def row_null_threshold_events(spark, sf_dir):
+    # P4: dropna(thresh=0.7*ncols) (reference data_processor.py:201)
+    from ..operators.relational import row_null_threshold_drop
+
+    ev = _t(spark, sf_dir, "events")
+    return row_null_threshold_drop(ev, 0.7).agg(F.count(F.lit(1)).alias("n_kept"))
