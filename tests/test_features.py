@@ -141,3 +141,22 @@ def test_forward_flag_null_tail(spark):
         .collect()
     )
     assert [r.flag for r in got] == [1, None]  # pandas NaN-tail parity
+
+
+def test_quality_report_and_warnings(spark, sf_dir):
+    from weather_data_pipeline_spark.operators.quality import (
+        WEATHER_VALID_RANGES,
+        quality_report,
+        quality_warnings,
+    )
+    from weather_data_pipeline_spark.plans import features as FP2
+
+    base = FP2.events_as_weather(spark, sf_dir)
+    row = quality_report(
+        base, ["city", "timestamp"], "timestamp", WEATHER_VALID_RANGES
+    ).first()
+    assert row.n_rows == base.count()
+    assert row.duplicate_key_rows == 0
+    assert row.nulls_temperature == 0
+    warnings = quality_warnings(row)
+    assert isinstance(warnings, list)

@@ -119,3 +119,12 @@ def test_registry_versions_and_hash(tmp_path):
     assert abs(cmp["delta"] - 0.05) < 1e-12
     (art / "m.bin").write_bytes(b"tampered")
     assert not reg.verify_artifact(1)
+
+
+def test_grid_search_gbt_fast(spark, feats):
+    m = M.grid_search_gbt(feats.limit(600), num_folds=2, fast=True)
+    # CrossValidator returns the best refit model + per-combo avg metrics
+    assert len(m.avgMetrics) == 4  # 2x2 fast grid
+    assert all(v > 0 for v in m.avgMetrics)
+    pred = m.transform(feats.limit(100).fillna(0))
+    assert "prediction" in pred.columns

@@ -1,0 +1,112 @@
+"""Property-based parity: our window closed-forms vs pandas itself.
+
+The reference computes these with pandas Series methods
+(`data_processor.py:86-190`); hypothesis generates adversarial null/value
+patterns and we assert the Spark closed-form matches pandas exactly —
+stronger than the reference's hand-picked fixtures (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from weather_data_pipeline_spark.operators import windows as W
+
+values = st.lists(
+    st.one_of(st.none(), st.floats(-100, 100, allow_nan=False, width=32)),
+    min_size=1,
+    max_size=12,
+)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, vals):
+    rows = [("g", i, None if v is None else float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "g string, i long, v double")
+
+
+def _col(df, name):
+    return [r[name] for r in df.orderBy("i").collect()]
+
+
+def _eq(a, b):
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(values)
+@SET
+def test_ffill_limit_matches_pandas(spark, vals):
+    got = _col(
+        W.add_ffill_limited(_df(spark, vals), W.entity_window("g", "i"), ["v"], limit=3),
+        "v_ffill",
+    )
+    want = pd.Series(vals, dtype="float64").ffill(limit=3)
+    want = [None if pd.isna(x) else float(x) for x in want]
+    assert all(_eq(g, w) for g, w in zip(got, want)), (vals, got, want)
+
+
+@given(values)
+@SET
+def test_interpolate_matches_pandas(spark, vals):
+    got = _col(
+        W.add_interpolate_linear(_df(spark, vals), "g", "i", ["v"]), "v_interp"
+    )
+    want = pd.Series(vals, dtype="float64").interpolate(
+        method="linear", limit_direction="both"
+    )
+    want = [None if pd.isna(x) else float(x) for x in want]
+    assert all(_eq(g, w) for g, w in zip(got, want)), (vals, got, want)
+
+
+@given(values)
+@SET
+def test_rolling_std_matches_pandas(spark, vals):
+    got = _col(
+        W.add_rolling_std(
+            _df(spark, vals), W.entity_window("g", "i"), ["v"], window=4, min_periods=2
+        ),
+        "v_rolling_std_4",
+    )
+    want = pd.Series(vals, dtype="float64").rolling(window=4, min_periods=2).std()
+    want = [None if pd.isna(x) else float(x) for x in want]
+    assert all(_eq(g, w) for g, w in zip(got, want)), (vals, got, want)
+
+
+@given(values)
+@SET
+def test_rolling_mean_matches_pandas(spark, vals):
+    got = _col(
+        W.add_rolling_mean(_df(spark, vals), W.entity_window("g", "i"), ["v"], window=4),
+        "v_rolling_mean_4",
+    )
+    want = pd.Series(vals, dtype="float64").rolling(window=4, min_periods=1).mean()
+    want = [None if pd.isna(x) else float(x) for x in want]
+    assert all(_eq(g, w) for g, w in zip(got, want)), (vals, got, want)
+
+
+@pytest.mark.parametrize("hour,expected", [(0, "Night"), (6, "Night"), (7, "Morning"),
+                                           (12, "Morning"), (13, "Afternoon"),
+                                           (18, "Afternoon"), (19, "Evening"), (23, "Evening")])
+def test_time_of_day_bin_edges_match_pd_cut(hour, expected):
+    # pd.cut([h], [0,6,12,18,24], labels=..., include_lowest=True) parity
+    got = pd.cut(
+        [hour],
+        bins=[0, 6, 12, 18, 24],
+        labels=["Night", "Morning", "Afternoon", "Evening"],
+        include_lowest=True,
+    )[0]
+    assert str(got) == expected  # our F.when chain encodes exactly these edges

@@ -1549,3 +1549,17 @@ def row_null_threshold_events(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return row_null_threshold_drop(ev, 0.7).agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "quality_report_weather",
+    None,  # rows-only: one-row audit over the derived weather view
+)
+def quality_report_weather(spark, sf_dir):
+    # reference run_quality_checks (data_processor.py:330-400) as ONE pass
+    from ..operators.quality import WEATHER_VALID_RANGES, quality_report
+
+    base = FP.events_as_weather(spark, sf_dir)
+    return quality_report(
+        base, ["city", "timestamp"], ts_col="timestamp", ranges=WEATHER_VALID_RANGES
+    )
