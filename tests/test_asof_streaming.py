@@ -1,0 +1,69 @@
+"""As-of join boundary semantics + stateful streaming vs batch truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather_data_pipeline_spark.operators import asof as AJ
+from weather_data_pipeline_spark.sources.tables import load_events
+from weather_data_pipeline_spark.streaming import jobs as SJ
+
+
+def _ts_df(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_asof_join_at_or_before_semantics(spark):
+    left = _ts_df(
+        spark,
+        [(1, "u", "2024-01-01 10:00:00"), (2, "u", "2024-01-01 12:00:00"),
+         (3, "u", "2024-01-01 08:00:00")],
+        "event_id long, user_id string, ts string",
+    )
+    right = _ts_df(
+        spark,
+        [(10, "u", "2024-01-01 09:00:00", 1.0),
+         (11, "u", "2024-01-01 10:00:00", 2.0),   # same-instant row IS eligible
+         (12, "u", "2024-01-01 11:00:00", 3.0)],
+        "event_id long, user_id string, ts string, v double",
+    )
+    out = {
+        r.event_id: r.v_asof
+        for r in AJ.asof_join(
+            left, right.select("user_id", "ts", "v", "event_id"),
+            key="user_id", ts="ts", value_cols=["v"],
+        ).collect()
+    }
+    assert out == {3: None, 1: 2.0, 2: 3.0}
+
+
+def test_sessionize_gap_boundary(spark):
+    df = _ts_df(
+        spark,
+        [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:59:00"),
+         ("u", "2024-01-01 02:00:00")],  # 61-min gap -> new session (gap=1h)
+        "user_id string, ts string",
+    )
+    got = [
+        r.session_id
+        for r in AJ.sessionize(df, "user_id", "ts", gap_seconds=3600)
+        .orderBy("ts")
+        .collect()
+    ]
+    assert got == [1, 1, 2]
+
+
+def test_stateful_counts_match_batch(spark, sf_dir):
+    got = {
+        r.user_id: (r.n_events, r.max_value)
+        for r in SJ.stateful_user_running_counts(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.mx)
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want

@@ -1563,3 +1563,132 @@ def quality_report_weather(spark, sf_dir):
     return quality_report(
         base, ["city", "timestamp"], ts_col="timestamp", ranges=WEATHER_VALID_RANGES
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, sessionization, sliding/stateful streaming, SQL front door
+# ---------------------------------------------------------------------------
+from ..operators import asof as AJ  # noqa: E402
+
+
+@register(
+    "asof_join_events",
+    ev_sql("""
+WITH errors AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'),
+clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+unioned AS (
+  SELECT event_id, user_id, ts, value, NULL AS click_value, 1 AS side
+  FROM errors
+  UNION ALL
+  SELECT event_id, user_id, ts, NULL AS value, value AS click_value, 0 AS side
+  FROM clicks),
+carried AS (
+  SELECT *, last_value(click_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_value_asof
+  FROM unioned)
+SELECT event_id, user_id, ts, value, click_value_asof
+FROM carried WHERE side = 1
+"""),
+)
+def asof_join_events(spark, sf_dir):
+    # as-of join (pandas merge_asof analog): for each error event, the value
+    # of the user's most recent click at-or-before it. Union-and-carry:
+    # one shuffle, one sort, no range-join explosion.
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value", "event_type")
+    errors = ev.where(F.col("event_type") == "error").drop("event_type")
+    clicks = ev.where(F.col("event_type") == "click").drop("event_type").withColumnRenamed("value", "click_value")
+    out = AJ.asof_join(
+        errors, clicks.select("user_id", "ts", "click_value", F.col("event_id")),
+        key="user_id", ts="ts", value_cols=["click_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "value", "click_value_asof")
+
+
+@register(
+    "session_stats_events",
+    ev_sql("""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(14400 AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM s)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1e6
+         AS duration_seconds
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""),
+)
+def session_stats_events(spark, sf_dir):
+    # gap-based sessionization (4h gap): lag -> boundary flag -> running sum,
+    # then per-session aggregates. One partition exchange end to end.
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return AJ.session_stats(ev, "user_id", "ts", gap_seconds=14400, tiebreak="event_id")
+
+
+@register(
+    "streaming_sliding_agg",
+    ev_sql("""
+WITH buckets AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS win_start,
+         event_type
+  FROM events)
+SELECT win_start, event_type, COUNT(*) AS n_events
+FROM buckets GROUP BY 1, 2
+"""),
+)
+def streaming_sliding_agg(spark, sf_dir):
+    # sliding windows (2h/1h): every event contributes to two overlapping
+    # windows; the batch oracle expands the same two buckets per event
+    return SJ.streaming_sliding_event_counts(spark, sf_dir)
+
+
+@register("streaming_stateful_user_counts", None)  # rows-only: custom state
+def streaming_stateful_user_counts(spark, sf_dir):
+    # applyInPandasWithState: per-user state carried across micro-batches
+    return SJ.stateful_user_running_counts(spark, sf_dir)
+
+
+@register("sql_api_q1", _Q1_SQL)
+def sql_api_q1(spark, sf_dir):
+    # the SQL front door: identical Catalyst plan from spark.sql as from the
+    # DataFrame API (queries are duals; oracle is literally the same string)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SQL)
+
+
+@register(
+    "percentiles_events",
+    ev_sql("""
+SELECT quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+"""),
+)
+def percentiles_events(spark, sf_dir):
+    # exact interpolated percentiles — bit-identical to quantile_cont
+    # (same linear-interpolation definition); approx_stats_events is the
+    # sketch-based 100 TB variant
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.50)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )

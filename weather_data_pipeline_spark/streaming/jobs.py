@@ -104,3 +104,71 @@ def stream_upsert_events(
 
     q = ev.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def sliding_agg_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Sliding-window aggregation (2h window, 1h slide): each event lands in
+    two overlapping windows — the continuous counterpart of the reference's
+    trailing rolling mean (W3)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def streaming_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_batch(sliding_agg_stream(events_stream(spark, sf_dir)), spark)
+
+
+def stateful_user_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running event counter + max value carried across micro-batches (the
+    pattern for session state / online features the reference's scheduler
+    loop cannot express). availableNow + memory sink for bounded runs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n long, vmax double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import uuid as _uuid
+
+    name = f"stateful_out_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink may hold several rows per user (one per batch);
+    # keep the final state per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
