@@ -47,6 +47,10 @@ HEADLINE = [
     "cosine_topk_embeddings",
     "streaming_hourly_agg",
     "feature_pipeline_weather",
+    "q3_shipping_priority",
+    "asof_join_events",
+    "session_stats_events",
+    "salted_agg_events",
 ]
 
 

@@ -1692,3 +1692,82 @@ def percentiles_events(spark, sf_dir):
         F.expr("percentile(value, 0.95)").alias("p95"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
+
+
+@register(
+    "salted_agg_events",
+    ev_sql(f"""
+SELECT user_id, {SQL_DSUM('value')} AS sum_value, COUNT(*) AS n_rows,
+       {SQL_DSUM('value')} / CAST(COUNT(*) AS DOUBLE) AS avg_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""),
+)
+def salted_agg_events(spark, sf_dir):
+    # skew-safe two-phase aggregation: (key, salt) partials -> key combine.
+    # DECIMAL partials make it bit-identical to the direct one-phase agg,
+    # which is exactly what the oracle computes.
+    from ..operators.skew import salted_sum_count
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    return salted_sum_count(
+        ev, "user_id", "value", n_salts=16, tiebreak_col="event_id"
+    ).select("user_id", "sum_value", "n_rows", "avg_value").orderBy("user_id")
+
+
+@register(
+    "shingle_jaccard_pairs_documents",
+    f"""
+WITH base AS (SELECT doc_id AS id, lang AS blk, {_SHINGLES_SQL} AS toks
+              FROM documents),
+sized AS (SELECT id, blk, toks, len(toks) AS n_toks FROM base WHERE len(toks) > 0),
+ex AS (SELECT id, blk, n_toks, unnest(toks) AS tok FROM sized),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+         COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) AS jaccard
+FROM common
+WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.05
+ORDER BY id_a, id_b
+""",
+)
+def shingle_jaccard_pairs_documents(spark, sf_dir):
+    # 3-gram (shingle) Jaccard near-dup: the n-gram variant of
+    # jaccard_pairs_documents — sparse shingle overlap, so candidate pairs
+    # stay rare even on a small vocabulary
+    from ..operators.text import shingle_set
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("blk"),
+        shingle_set(F.col("text")).alias("toks"),
+    ).withColumn("n_toks", F.size("toks")).where(F.col("n_toks") > 0)
+    ex = base.select("id", "blk", "n_toks", F.explode("toks").alias("tok"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_toks").alias("na"),
+            F.col("b.n_toks").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.05)
+        .select("id_a", "id_b", "n_common", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

@@ -20,6 +20,9 @@ NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # oracle comparisons assume UTC wall-clock timestamps (DuckDB is
+    # tz-naive); pin the session tz in case the caller's session isn't UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
