@@ -160,3 +160,20 @@ def test_quality_report_and_warnings(spark, sf_dir):
     assert row.nulls_temperature == 0
     warnings = quality_warnings(row)
     assert isinstance(warnings, list)
+
+
+def test_dashboard_panels_collectable(spark, sf_dir):
+    from weather_data_pipeline_spark.plans.dashboard import dashboard_panels
+
+    panels = dashboard_panels(spark, sf_dir)
+    assert set(panels) == {
+        "current_stats",
+        "entity_comparison",
+        "type_distribution",
+        "latest_per_user",
+        "hourly_profile",
+    }
+    stats = panels["current_stats"].first()
+    assert stats.n_rows > 0 and stats.n_users > 0
+    assert panels["type_distribution"].count() == 5
+    assert panels["latest_per_user"].count() == stats.n_users
