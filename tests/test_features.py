@@ -177,3 +177,20 @@ def test_dashboard_panels_collectable(spark, sf_dir):
     assert stats.n_rows > 0 and stats.n_users > 0
     assert panels["type_distribution"].count() == 5
     assert panels["latest_per_user"].count() == stats.n_users
+
+
+def test_pipeline_empty_input_keeps_schema(spark, sf_dir):
+    # reference edge-case matrix: empty frame in -> empty frame out with the
+    # full widened schema (test_data_processor.py:367-423 analog)
+    base = FP.events_as_weather(spark, sf_dir).where(F.lit(False))
+    out = FP.full_feature_pipeline(base)
+    assert out.count() == 0
+    assert "temperature_future" in out.columns and len(out.columns) >= 60
+
+
+def test_single_city_constant_category(spark, sf_dir):
+    base = FP.events_as_weather(spark, sf_dir).where(F.col("city") == "city_1")
+    base = base.withColumn("weather_main", F.lit("constant"))
+    out = FP.full_feature_pipeline(base)
+    assert out.select("weather_main_encoded").distinct().count() == 1
+    assert out.count() > 0

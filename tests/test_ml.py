@@ -128,3 +128,14 @@ def test_grid_search_gbt_fast(spark, feats):
     assert all(v > 0 for v in m.avgMetrics)
     pred = m.transform(feats.limit(100).fillna(0))
     assert "prediction" in pred.columns
+
+
+def test_predict_latest_single_entity(spark, feats):
+    train, test = SP.temporal_split(feats.limit(1200), "timestamp", 0.2)
+    cols = M.feature_columns(train)
+    best = M.select_best(M.train_regressors(train, test, cols=cols, fast=True))
+    out = M.predict_latest(feats, best, "city", "city_1", cols).collect()
+    assert len(out) == 1
+    import math
+
+    assert math.isfinite(out[0].predicted_temperature)

@@ -318,3 +318,26 @@ def load_model(path: str) -> TrainedModel:
         meta = json.load(f)
     pm = PipelineModel.load(os.path.join(path, "pipeline"))
     return TrainedModel(meta["name"], pm, meta["metrics"])
+
+
+def predict_latest(
+    features: DataFrame, model: TrainedModel, entity_col: str, entity: str, cols: list[str]
+) -> DataFrame:
+    """M11 serving path (reference `predict_temperature`,
+    `dashboard.py:282-310` + `weather_predictor.py:495-508`): select the
+    entity's latest engineered row, reapply the persisted scaler+model via
+    PipelineModel.transform. The entity filter prunes partitions before any
+    feature compute when the table is partitioned by entity."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col).orderBy(F.desc("timestamp"))
+    latest = (
+        features.where(F.col(entity_col) == entity)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .fillna(0, subset=cols)
+    )
+    return model.pipeline_model.transform(latest).select(
+        entity_col, "timestamp", F.col("prediction").alias("predicted_temperature")
+    )
