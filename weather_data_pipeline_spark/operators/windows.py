@@ -218,3 +218,33 @@ def topk_per_group(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def add_time_rolling_mean(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    ts_col: str,
+    cols: Sequence[str],
+    window_seconds: int,
+    exact: bool = False,
+) -> DataFrame:
+    """Time-based trailing mean: RANGE frame over event time (beyond the
+    reference's row-count rolling — the natural semantics when observations
+    are irregularly spaced). Spark RANGE frames need a numeric order key, so
+    the frame runs over unix microseconds."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    us = F.unix_micros(F.col(ts_col))
+    out = df.withColumn("_us", us)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_us")
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    exprs = {}
+    for c in cols:
+        if exact:
+            s = F.sum(F.col(c).cast("decimal(18,6)")).over(w).cast("double")
+            exprs[f"{c}_time_mean_{window_seconds}s"] = s / F.count(F.col(c)).over(w)
+        else:
+            exprs[f"{c}_time_mean_{window_seconds}s"] = F.avg(F.col(c)).over(w)
+    return out.withColumns(exprs).drop("_us")

@@ -1771,3 +1771,24 @@ def shingle_jaccard_pairs_documents(spark, sf_dir):
         .select("id_a", "id_b", "n_common", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "time_rolling_mean_events",
+    ev_sql("""
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS value_time_mean_3600s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""),
+)
+def time_rolling_mean_events(spark, sf_dir):
+    # RANGE-frame trailing 1h mean by EVENT TIME (not row count) — the
+    # irregular-sampling variant of W3; decimal-exact vs the oracle
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = W.add_time_rolling_mean(
+        ev, "user_id", "ts", ["value"], window_seconds=3600, exact=True
+    )
+    return out.select("event_id", "user_id", "ts", "value_time_mean_3600s")
