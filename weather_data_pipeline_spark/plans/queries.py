@@ -1792,3 +1792,38 @@ def time_rolling_mean_events(spark, sf_dir):
         ev, "user_id", "ts", ["value"], window_seconds=3600, exact=True
     )
     return out.select("event_id", "user_id", "ts", "value_time_mean_3600s")
+
+
+@register(
+    "json_props_stats_events",
+    ev_sql(f"""
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events)
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS INT) AS min_k, CAST(MAX(k) AS INT) AS max_k
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""),
+)
+def json_props_stats_events(spark, sf_dir):
+    # JSON scalar functions on the props payload column (the reference's
+    # only JSON handling is ingest-time flatten, S5; this is the in-query
+    # variant: get_json_object stays JVM-side, no UDF)
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
