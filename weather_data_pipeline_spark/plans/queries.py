@@ -1827,3 +1827,10 @@ def json_props_stats_events(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register("ann_ivf_topk_embeddings", None)  # rows-only: recall<1 by design
+def ann_ivf_topk_embeddings(spark, sf_dir):
+    # IVF ANN: seeded-KMeans centroid cells, nprobe nearest cells per query,
+    # exact cosine re-rank inside the probed cells only
+    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
