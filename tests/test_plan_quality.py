@@ -77,3 +77,47 @@ def test_feature_pipeline_no_unbounded_following(spark, sf_dir):
 def test_broadcast_under_threshold_for_vocab_joins(spark, sf_dir):
     df = REGISTRY["label_encode_event_type"].spark(spark, sf_dir)
     assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_band_join_broadcast_nested_loop(spark, sf_dir):
+    # non-equi join against the O(10)-row band dim must broadcast the dim and
+    # stream the fact side — never shuffle or cartesian both sides
+    df = REGISTRY["band_join_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_with_residual(spark, sf_dir):
+    # EXISTS compiles to a left-semi hash join on the equi key; the date
+    # filter is pushed to the orders scan so pruning happens before shuffle
+    df = REGISTRY["q4_late_shipping_priority"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    # supplier/nation⋈region broadcast; only the two facts shuffle
+    df = REGISTRY["q5_local_supplier_volume"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ranking_windows_share_one_exchange(spark, sf_dir):
+    # all five rank functions share one (user_id) partitioning: one shuffle,
+    # one Window operator evaluating the whole family
+    df = REGISTRY["ranking_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    import re
+
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_gapfill_spine_is_broadcast_side(spark, sf_dir):
+    # the generated hour spine is tiny; the hourly rollup must not be
+    # re-shuffled into a sort-merge join against it
+    df = REGISTRY["time_bucket_gapfill_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan

@@ -32,6 +32,8 @@ def valhash(pdf):
     return hashlib.sha256(repr(rows).encode()).hexdigest()[:12], len(pdf)
 
 qs, oracles = E.queries(), E.oracle_sql()
+if len(sys.argv) > 1:  # optional substring filters: check only matching names
+    qs = {n: f for n, f in qs.items() if any(a in n for a in sys.argv[1:])}
 print(f"{len(qs)} queries, {len(oracles)} with oracles")
 fails = 0
 for name, fn in sorted(qs.items()):

@@ -1834,3 +1834,363 @@ def ann_ivf_topk_embeddings(spark, sf_dir):
     # IVF ANN: seeded-KMeans centroid cells, nprobe nearest cells per query,
     # exact cosine re-rank inside the probed cells only
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
+
+# ---------------------------------------------------------------------------
+# Breadth batch 2: ranking windows, grouping sets, per-group percentiles,
+# histogram, band (range) join, gap-filled time-bucket rollup, string
+# functions, array-HOF embedding norms, and two more classic join shapes.
+# All oracled; parity rules from the module docstring apply.
+# ---------------------------------------------------------------------------
+@register(
+    "ranking_events",
+    ev_sql("""
+SELECT event_id, user_id, value,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+"""),
+)
+def ranking_events(spark, sf_dir):
+    # Ranking window family (beyond-reference: SURVEY.md §2.5 notes the
+    # reference has none). One shuffle on user_id serves all five ranks.
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+       COUNT(*) AS n_orders,
+       {SQL_DSUM('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus
+""",
+)
+def grouping_sets_orders(spark, sf_dir):
+    # Explicit GROUPING SETS (beyond rollup/cube already covered); GROUPING()
+    # markers disambiguate aggregated-away NULLs from data NULLs.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("long").alias("g_st"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("g_pri", "g_st", "o_orderpriority", "o_orderstatus")
+    )
+
+
+@register(
+    "percentiles_by_type_events",
+    ev_sql("""
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       COUNT(*) AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type
+"""),
+)
+def percentiles_by_type_events(spark, sf_dir):
+    # Exact per-group interpolated percentiles (Spark percentile() and DuckDB
+    # quantile_cont share the linear-interpolation definition bitwise).
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.50)").alias("p50"),
+            F.expr("percentile(value, 0.75)").alias("p75"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "histogram_value_events",
+    ev_sql(f"""
+SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       {SQL_DSUM('value')} AS sum_value
+FROM events GROUP BY bucket ORDER BY bucket
+"""),
+)
+def histogram_value_events(spark, sf_dir):
+    # Equi-width histogram: a pure map-side bucketing + hash agg (the
+    # distributed analog of pandas value_counts(bins=...)).
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 50.0).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "band_join_events",
+    ev_sql(f"""
+SELECT band_id, COUNT(*) AS n_events, {SQL_DSUM('value')} AS sum_value
+FROM events
+JOIN (SELECT unnest(generate_series(0, 9)) AS band_id) b
+  ON value >= band_id * 50.0 AND value < (band_id + 1) * 50.0
+GROUP BY band_id ORDER BY band_id
+"""),
+)
+def band_join_events(spark, sf_dir):
+    # Non-equi (range/band) join against a tiny broadcast dimension — plans
+    # as BroadcastNestedLoopJoin, the right physical strategy when one side
+    # is O(10) rows; at 100 TB the fact side streams, no shuffle.
+    ev = _t(spark, sf_dir, "events").select("value")
+    bands = spark.range(0, 10).select(F.col("id").cast("long").alias("band_id"))
+    cond = (F.col("value") >= F.col("band_id") * 50.0) & (
+        F.col("value") < (F.col("band_id") + 1) * 50.0
+    )
+    return (
+        ev.join(F.broadcast(bands), cond)
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@register(
+    "time_bucket_gapfill_events",
+    ev_sql(f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n_events, {SQL_DSUM('value')} AS sum_value
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+)
+SELECT spine.bucket AS bucket,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(sum_value, 0.0) AS sum_value
+FROM spine LEFT JOIN hourly ON spine.bucket = hourly.bucket
+ORDER BY bucket
+"""),
+)
+def time_bucket_gapfill_events(spark, sf_dir):
+    # Hypertable-style continuous aggregate with gap filling: hourly rollup
+    # left-joined onto a generated time spine (sequence+explode), missing
+    # buckets emitted as zero. The spine is O(hours) — broadcast side.
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket")
+        )
+    )
+    return (
+        spine.join(hourly, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "string_funcs_documents",
+    """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS text_len,
+       upper(substr(text, 1, 8)) AS prefix_upper,
+       CAST(strpos(text, 'e') AS BIGINT) AS first_e,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+FROM documents
+""",
+)
+def string_funcs_documents(spark, sf_dir):
+    # String-function surface (length/substr/case/instr/replace/regexp) —
+    # all JVM-side codegen'd expressions, one narrow scan, no shuffle.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        F.upper(F.substring("text", 1, 8)).alias("prefix_upper"),
+        F.instr(F.col("text"), "e").cast("long").alias("first_e"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
+        .cast("long")
+        .alias("n_spaces"),
+        F.length(F.regexp_replace("text", "[^aeiou]", "")).cast("long").alias("n_vowels"),
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    f"""
+WITH norms AS (
+  SELECT label,
+         ROUND(sqrt(CAST(list_sum(list_transform(embedding,
+           x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,9))))
+           AS DOUBLE)), 6) AS norm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       {SQL_DAVG('norm')} AS avg_norm,
+       MAX(norm) AS max_norm
+FROM norms GROUP BY label ORDER BY label
+""",
+)
+def embedding_norm_stats(spark, sf_dir):
+    # Array higher-order functions over the embedding column: per-element
+    # square in DOUBLE (identical IEEE product both engines), exact
+    # DECIMAL(20,9) accumulation (order-independent — the HOF fold and
+    # DuckDB's list_sum may reduce in any order), sqrt + round once.
+    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def _sq(x):
+        return (x.cast("double") * x.cast("double")).cast("decimal(20,9)")
+
+    def _add(acc, x):
+        return (acc + x).cast("decimal(20,9)")
+
+    ssum = F.aggregate(
+        F.transform(F.col("embedding"), _sq),
+        F.lit(0).cast("decimal(20,9)"),
+        _add,
+    )
+    norms = emb.select(
+        "label", F.round(F.sqrt(ssum.cast("double")), 6).alias("norm")
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            davg(F.col("norm")).alias("avg_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q4_late_shipping_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q4_late_shipping_priority(spark, sf_dir):
+    # TPC-H-Q4-shaped: EXISTS → left-semi hash join with an extra non-equi
+    # residual (l_shipdate > o_orderdate + 30 days); date filter pushed to
+    # the orders scan prunes before the shuffle.
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+SELECT n_name, {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    # TPC-H-Q5-shaped 6-way join: two big facts shuffle on their join keys;
+    # supplier/nation/region broadcast; the c_nationkey = s_nationkey
+    # residual makes it a genuine multi-predicate join, not a star lookup.
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(nr, s.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("n_name")
+    )
