@@ -2194,3 +2194,138 @@ def q5_local_supplier_volume(spark, sf_dir):
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy("n_name")
     )
+
+
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "bpe_token_stats_documents",
+    f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(length(text) AS DOUBLE)
+         / CAST(length(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
+         AS chars_per_token
+FROM documents
+""",
+)
+def bpe_token_stats_documents(spark, sf_dir):
+    # BPE-ish token counting (letter runs | digit runs | single punctuation)
+    # next to whitespace tokens — the two token-budget estimators a training
+    # corpus pipeline carries per document. Pattern kept RE2/Java-portable.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)))
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        bpe.cast("long").alias("n_bpe_tokens"),
+        ws.cast("long").alias("n_ws_tokens"),
+        (F.length("text").cast("double") / bpe.cast("double")).alias("chars_per_token"),
+    )
+
+
+@register(
+    "word_counts_documents",
+    """
+SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 20
+""",
+)
+def word_counts_documents(spark, sf_dir):
+    # The generator/UDTF surface: tokenize → explode → re-aggregate. At scale
+    # the explode multiplies rows ~n_tokens×; the partial agg combines
+    # map-side before the word-key shuffle, and top-20 is TakeOrdered.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(20)
+    )
+
+
+def _sql_regr(y: str, x: str) -> dict[str, str]:
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    sx, sy = SQL_DSUM(x), SQL_DSUM(y)
+    sxy, sxx = SQL_DSUM(f"{x} * {y}"), SQL_DSUM(f"{x} * {x}")
+    slope = f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
+    return {
+        "slope": slope,
+        "intercept": f"(({sy} - {slope} * {sx}) / {n})",
+        "covar_pop": f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {n}))",
+    }
+
+
+_REGR = _sql_regr("l_extendedprice", "l_quantity")
+
+
+@register(
+    "regr_stats_lineitem",
+    f"""
+SELECT {_REGR['slope']} AS slope,
+       {_REGR['intercept']} AS intercept,
+       {_REGR['covar_pop']} AS covar_pop,
+       COUNT(*) AS n_rows
+FROM lineitem
+""",
+)
+def regr_stats_lineitem(spark, sf_dir):
+    # Linear-regression moments (slope/intercept/covariance) from exact
+    # decimal sums — the same closed forms as _sql_corr, so both engines
+    # evaluate identical IEEE expressions over identical inputs.
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    sx, sy = dsum(x), dsum(y)
+    sxy, sxx = dsum(x * y), dsum(x * x)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return li.agg(
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "streaming_session_window_stats",
+    ev_sql(f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN lag(ts) OVER ({_EVW}) IS NULL
+              OR ts - lag(ts) OVER ({_EVW}) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), g AS (
+  SELECT *, SUM(new_sess) OVER ({_EVW} ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {SQL_DSUM('value')} AS sum_value
+FROM g GROUP BY user_id, sess_id
+"""),
+)
+def streaming_session_window_stats(spark, sf_dir):
+    # Native streaming session windows (F.session_window, 30 min gap) driven
+    # to completion on the bounded source; the oracle is the batch
+    # gaps-and-islands dual — same gap ⇒ bit-identical sessions, proving the
+    # streaming operator against relational SQL.
+    from ..streaming import jobs as SJ
+
+    return SJ.streaming_session_stats(spark, sf_dir)

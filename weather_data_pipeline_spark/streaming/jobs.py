@@ -172,3 +172,30 @@ def stateful_user_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def session_agg_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (F.session_window): per-user sessions close
+    after `gap` of inactivity; Spark merges overlapping candidate windows in
+    state. The streaming dual of the batch gaps-and-islands sessionization
+    (operators/windows sessionize) — same gap ⇒ identical sessions, which is
+    what the DuckDB oracle checks."""
+    return (
+        events.withWatermark("ts", "4 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_batch(session_agg_stream(events_stream(spark, sf_dir)), spark)
