@@ -121,3 +121,40 @@ def test_gapfill_spine_is_broadcast_side(spark, sf_dir):
     df = REGISTRY["time_bucket_gapfill_events"].spark(spark, sf_dir)
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_all_filters_pushed_no_shuffle(spark, sf_dir):
+    # pure scan-filter-agg: every predicate reaches the parquet reader and
+    # only the 1-row partials cross the wire (single final agg, no data shuffle)
+    df = REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # 4-column projection pruned
+
+
+def test_q19_extracts_equi_key_not_cartesian(spark, sf_dir):
+    # the OR-of-ANDs join keeps p_partkey = l_partkey as the hash key with a
+    # residual — it must never degrade to a cartesian/nested-loop product
+    df = REGISTRY["q19_disjunctive_brand_revenue"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join_with_pruned_build(spark, sf_dir):
+    # NOT EXISTS → LeftAnti; the orders date filter must push to the scan so
+    # the anti build side shrinks before the join
+    df = REGISTRY["q22_idle_balance_customers"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q17_decorrelated_avg_broadcasts(spark, sf_dir):
+    # the hand-decorrelated per-part average joins back by broadcast —
+    # lineitem itself is never shuffled for the threshold comparison
+    df = REGISTRY["q17_small_quantity_revenue"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -2329,3 +2329,336 @@ def streaming_session_window_stats(spark, sf_dir):
     from ..streaming import jobs as SJ
 
     return SJ.streaming_session_stats(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth batch 2: Q6/Q10/Q13/Q14/Q15/Q17/Q18/Q19/Q22 shapes adapted to
+# the testdata schema (no partsupp / l_shipmode / c_phone columns).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+SELECT {SQL_DSUM('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    # TPC-H-Q6-shaped: pure scan-filter-aggregate. All three predicates push
+    # to the parquet scan (PushedFilters), the projection prunes to 4 columns,
+    # and the single global agg is a map-side partial + 1-row final — the
+    # cheapest possible shape at 100 TB (no shuffle of data, only partials).
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+SELECT c_custkey, c_name,
+       {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def q10_returned_items(spark, sf_dir):
+    # TPC-H-Q10-shaped returned-item report: both fact filters (quarter,
+    # returnflag) push to their scans before the orderkey shuffle; customer
+    # and nation broadcast; top-20 is TakeOrdered on the driver, so only
+    # 20 rows leave the cluster.
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_order_count_distribution(spark, sf_dir):
+    # TPC-H-Q13-shaped: outer join preserving order-less customers, then a
+    # two-level aggregation (per-customer count → histogram of counts). The
+    # second agg's key space is tiny, so the second shuffle moves ~nothing;
+    # the first shuffles on custkey which is near-uniform (no skew salt).
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    f"""
+SELECT 100.0 * {SQL_DSUM("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+""",
+)
+def q14_promo_revenue_ratio(spark, sf_dir):
+    # TPC-H-Q14-shaped promo ratio: one month of lineitem (pushed filter)
+    # broadcast-joined to part — a conditional aggregate over the join, no
+    # fact-side shuffle at all (broadcast + single global agg of partials).
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(disc)).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark, sf_dir):
+    # TPC-H-Q15-shaped: revenue-per-supplier then keep the max. The scalar
+    # subquery decorrelates to a 1-row broadcast joined back on equality —
+    # the per-supplier agg is computed once (cached local exchange reuse via
+    # AQE), never collected to the driver. Exact-decimal revenue makes the
+    # float equality well-defined in both engines.
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+SELECT {SQL_DSUM('l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * {SQL_DAVG('l2.l_quantity')}
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    # TPC-H-Q17-shaped correlated scalar subquery, decorrelated by hand into
+    # a per-part average aggregated once and broadcast back (part keys are
+    # dim-sized even at 100 TB of lineitem). The exact-decimal per-part mean
+    # makes the l_quantity < 0.2*avg threshold bit-identical across engines.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       {SQL_DSUM('l_quantity')} AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 180)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    # TPC-H-Q18-shaped: HAVING subquery → aggregate once, semi-join the fact
+    # on orderkey (both sides already hash-partitioned on l_orderkey, so AQE
+    # reuses the exchange), then re-aggregate with order/customer context.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_sq"))
+        .where(F.col("_sq") > 180)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_bk"), li.l_orderkey == F.col("_bk"), "inner")
+        .drop("_bk")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_brand_revenue",
+    f"""
+SELECT {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 21)
+    OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))
+""",
+)
+def q19_disjunctive_brand_revenue(spark, sf_dir):
+    # TPC-H-Q19-shaped disjunctive join: Catalyst extracts the common
+    # p_partkey = l_partkey equi-key for the (broadcast) hash join and keeps
+    # the OR-of-ANDs as a residual filter; the brand/size disjunction also
+    # derives a part-side pre-filter so the broadcast build side shrinks.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#3") & size.between(1, 15) & qty.between(1, 21))
+        | ((brand == "Brand#12") & size.between(10, 30) & qty.between(10, 30))
+        | ((brand == "Brand#20") & size.between(20, 50) & qty.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_idle_balance_customers",
+    f"""
+SELECT c_mktsegment, COUNT(*) AS numcust, {SQL_DSUM('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {SQL_DAVG('c_acctbal')} FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def q22_idle_balance_customers(spark, sf_dir):
+    # TPC-H-Q22-shaped (no phone column → segment in place of cntrycode):
+    # uncorrelated scalar subquery broadcast as a 1-row threshold +
+    # anti-join against recent orders. The orders side prunes on the date
+    # filter BEFORE the anti-join, so the build side stays small at scale.
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal")).alias("_avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("_avg_bal"))
+        .drop("_avg_bal")
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
