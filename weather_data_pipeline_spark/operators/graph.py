@@ -1,0 +1,65 @@
+"""Distributed connected components (min-label propagation / Hash-to-Min).
+
+Beyond-reference mandate: near-duplicate *clustering* for training corpora —
+LSH/Jaccard candidate pairs give edges; components give the dedup groups from
+which one canonical document per cluster is kept.
+
+Spark-first design: the BSP formulation. Each superstep is one hash join
+(edges ⋈ labels on the node key) plus one min-aggregate — both shuffle on the
+same node key, so AQE reuses the partitioning — and converges in
+O(component diameter) rounds, which for near-dup clusters is tiny (near-dup
+graphs are unions of small dense cliques, diameter ≤ ~3). `localCheckpoint`
+truncates the iterative plan's lineage so round N's DAG doesn't replay rounds
+1..N-1. The driver sees only a 1-row convergence count per round — the data
+itself never leaves the cluster. At 100 TB this is the standard scalable CC
+(GraphX/GraphFrames use the same propagation under the hood).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "s", dst: str = "d", max_iter: int = 25
+) -> DataFrame:
+    """Return (node, component) for every node in the undirected edge set.
+
+    `edges` is treated as undirected (each pair is doubled internally);
+    `component` is the minimum node id in the component — deterministic.
+    Raises RuntimeError if propagation hasn't converged after max_iter
+    supersteps (i.e. a component with diameter > max_iter).
+    """
+    und = edges.selectExpr(f"{src} AS s", f"{dst} AS d").union(
+        edges.selectExpr(f"{dst} AS s", f"{src} AS d")
+    ).localCheckpoint()
+    labels = (
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = und.join(labels, und.s == labels.node).select(
+            F.col("d").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def component_sizes(cc: DataFrame) -> DataFrame:
+    """Attach component_size to a (node, component) frame."""
+    w = Window.partitionBy("component")
+    return cc.withColumn("component_size", F.count(F.lit(1)).over(w).cast("long"))

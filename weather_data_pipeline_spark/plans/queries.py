@@ -2662,3 +2662,219 @@ def q22_idle_balance_customers(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops batch 2: within-doc repetition, eval-set decontamination,
+# TF-IDF, corpus growth, and near-dup connected components.
+# ---------------------------------------------------------------------------
+
+_W_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _grams_sql(k: int) -> str:
+    parts = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    return f"list_transform(generate_series(1, len(w) - {k - 1}), i -> {parts})"
+
+
+def _grams_spark(w, k: int):
+    # 1-based element_at mirrors DuckDB list indexing; caller guarantees
+    # size(w) >= k so the sequence is never descending.
+    return F.transform(
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+    )
+
+
+@register(
+    "repetition_score_documents",
+    f"""
+WITH toks AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+ng AS (SELECT doc_id, {_grams_sql(2)} AS g2, {_grams_sql(3)} AS g3
+       FROM toks WHERE len(w) >= 3)
+SELECT doc_id,
+       CAST(len(g2) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) AS bigram_distinct_ratio,
+       CAST(len(g3) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) AS trigram_distinct_ratio
+FROM ng ORDER BY doc_id
+""",
+)
+def repetition_score_documents(spark, sf_dir):
+    # Within-document repetition (degenerate-text detector for training
+    # corpora): distinct-n-gram ratio at n=2,3. Entirely array-HOF — no
+    # explode, no shuffle beyond the final sort; at 100 TB this is a pure
+    # map-side scan whose cost is linear in corpus bytes.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = d.withColumn("w", w).where(F.size("w") >= 3)
+    g2, g3 = _grams_spark(F.col("w"), 2), _grams_spark(F.col("w"), 3)
+    ratio = lambda g: F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double")
+    return d.select(
+        "doc_id",
+        F.size(g2).cast("long").alias("n_bigrams"),
+        ratio(g2).alias("bigram_distinct_ratio"),
+        F.size(g3).cast("long").alias("n_trigrams"),
+        ratio(g3).alias("trigram_distinct_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "decontaminate_3gram_documents",
+    f"""
+WITH toks AS (SELECT doc_id, source, {_W_SQL} AS w FROM documents),
+ng AS (SELECT doc_id, source, unnest(list_distinct({_grams_sql(3)})) AS gram
+       FROM toks WHERE len(w) >= 3)
+SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_contaminated_grams
+FROM (SELECT doc_id, gram FROM ng WHERE source <> 'src0') t
+JOIN (SELECT DISTINCT gram FROM ng WHERE source = 'src0') e USING (gram)
+GROUP BY t.doc_id
+ORDER BY n_contaminated_grams DESC, t.doc_id LIMIT 50
+""",
+)
+def decontaminate_3gram_documents(spark, sf_dir):
+    # Eval-set decontamination: docs from source 'src0' act as the held-out
+    # benchmark; every other doc is scored by how many distinct 3-grams it
+    # shares with it. Spark shape: per-doc DISTINCT gram explode → hash join
+    # on gram (eval side aggregated to distinct grams and — being a
+    # benchmark, i.e. tiny vs the corpus — broadcast) → per-doc count.
+    # At 100 TB the train side never shuffles: explode + broadcast-semi.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = d.withColumn("w", w).where(F.size("w") >= 3).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_grams_spark(F.col("w"), 3))).alias("gram"),
+    )
+    eval_grams = grams.where(F.col("source") == "src0").select("gram").distinct()
+    train = grams.where(F.col("source") != "src0")
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+        .orderBy(F.desc("n_contaminated_grams"), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "tfidf_top_terms_documents",
+    f"""
+WITH words AS (
+  SELECT doc_id, unnest({_W_SQL.replace('text', 'text')}) AS word
+  FROM documents),
+w2 AS (SELECT doc_id, word FROM words WHERE word <> ''),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w2 GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w2 GROUP BY word),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+ORDER BY tfidf DESC, word, doc_id LIMIT 20
+""",
+)
+def tfidf_top_terms_documents(spark, sf_dir):
+    # Classic TF-IDF surface: tokenize → per-(doc,word) tf → per-word df →
+    # weight. df is a word-keyed partial-agg (map-side combine collapses the
+    # Zipf head before the shuffle); N is a 1-row broadcast. Rounded to 6 dp
+    # in both engines because ln() may differ in the last ulp across libm
+    # implementations.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")), 6
+    )
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "word", F.col("tf").cast("long").alias("tf"), tfidf.alias("tfidf"))
+        .orderBy(F.desc("tfidf"), "word", "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "cumulative_distinct_users_events",
+    ev_sql("""
+WITH firsts AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+d AS (SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS new_users
+      FROM firsts GROUP BY 1)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_distinct_users
+FROM d ORDER BY day
+"""),
+)
+def cumulative_distinct_users_events(spark, sf_dir):
+    # Cumulative COUNT(DISTINCT) over time — Spark windows don't allow
+    # DISTINCT aggregates, so this uses the first-occurrence trick: distinct
+    # collapses to MIN(ts) per user, then a running sum over day grain. The
+    # only global-order window runs over day-cardinality rows (tiny), so the
+    # single-partition window is safe at any corpus scale.
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    daily = firsts.groupBy(
+        F.date_trunc("day", F.col("first_ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_distinct_users"),
+    ).orderBy("day")
+
+
+@register(
+    "neardup_components_documents",
+    f"""
+WITH RECURSIVE base AS (SELECT doc_id AS id, lang AS blk, {_SHINGLES_SQL} AS toks
+              FROM documents),
+sized AS (SELECT id, blk, toks, len(toks) AS n_toks FROM base WHERE len(toks) > 0),
+ex AS (SELECT id, blk, n_toks, unnest(toks) AS tok FROM sized),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+         COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2, 3, 4),
+edges AS (
+  SELECT id_a, id_b FROM common
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.05),
+und AS (SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(node, label) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN und e ON r.node = e.s),
+cc AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+FROM cc ORDER BY doc_id
+""",
+)
+def neardup_components_documents(spark, sf_dir):
+    # Near-duplicate clustering: connected components over the shingle-
+    # Jaccard >= 0.05 pair graph (the edge set is itself the oracled
+    # shingle_jaccard_pairs_documents query). Spark side is min-label
+    # propagation — the BSP/Pregel formulation (Hash-to-Min): each round is
+    # one join + one min-aggregate, both hash-partitioned on the node key,
+    # and converges in O(component diameter) rounds. localCheckpoint()
+    # truncates the growing lineage each round; the driver only ever sees a
+    # 1-row convergence count, never the data.
+    from ..operators.graph import component_sizes, connected_components
+
+    pairs = REGISTRY["shingle_jaccard_pairs_documents"].spark(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        component_sizes(cc)
+        .select(F.col("node").alias("doc_id"), "component", "component_size")
+        .orderBy("doc_id")
+    )
