@@ -158,3 +158,40 @@ def test_q17_decorrelated_avg_broadcasts(spark, sf_dir):
     df = REGISTRY["q17_small_quantity_revenue"].spark(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_chunk_documents_no_hash_shuffle(spark, sf_dir):
+    # chunking is a pure map-side explode: chunks never leave the producing
+    # partition — the only exchange allowed is the presentation orderBy
+    df = REGISTRY["chunk_documents"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "hashpartitioning" not in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_hash_split_partial_agg(spark, sf_dir):
+    # split assignment is a pure map; only 3 partial rows per task cross the
+    # wire (map-side combine), never the documents themselves
+    df = REGISTRY["hash_split_documents"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in read_schema  # hash is over doc_id only
+
+
+def test_stratified_sample_prunes_text(spark, sf_dir):
+    # the 30% sample reads only the 3 projected columns — never the text
+    # payload, which dominates bytes at corpus scale
+    df = REGISTRY["stratified_sample_documents"].spark(spark, sf_dir)
+    read_schema = plan_of(df).split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in read_schema
+
+
+def test_label_centroids_partial_agg_collapses_explode(spark, sf_dir):
+    # posexplode multiplies rows 64x, but map-side partial sums reduce to
+    # n_labels x 64 before the single shuffle
+    df = REGISTRY["label_centroids_embeddings"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan  # the explode stayed in-plan (no UDF)

@@ -2878,3 +2878,172 @@ def neardup_components_documents(spark, sf_dir):
         .select(F.col("node").alias("doc_id"), "component", "component_size")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops batch 3: deterministic splits/sampling, chunking,
+# label centroids, stream-static enrichment.
+# ---------------------------------------------------------------------------
+
+_ID_HASH = _PHASH.format(t="CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "hash_split_documents",
+    f"""
+WITH h AS (SELECT doc_id, n_chars, {_ID_HASH} % 10 AS b FROM documents)
+SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM h GROUP BY 1 ORDER BY 1
+""",
+)
+def hash_split_documents(spark, sf_dir):
+    # Deterministic train/val/test assignment by content-stable hash — the
+    # split a 100 TB corpus needs: no global shuffle, no seed state, any
+    # executor can recompute a doc's split locally (pure map + tiny agg).
+    # Engine-portable md5 bucket (not Spark's xxhash) so the oracle agrees.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = X.portable_token_hash(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.groupBy(split)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "stratified_sample_documents",
+    f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_ID_HASH} % 100 < 30
+ORDER BY doc_id
+""",
+)
+def stratified_sample_documents(spark, sf_dir):
+    # Deterministic 30% corpus subsample: a pure map-side filter on a
+    # content-stable hash — reproducible across runs/engines (unlike
+    # df.sample whose seed streams differ), composable per stratum, and at
+    # scale it prunes rows before any downstream shuffle.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    b = X.portable_token_hash(F.col("doc_id").cast("string")) % 100
+    return d.where(b < 30).orderBy("doc_id")
+
+
+@register(
+    "chunk_documents",
+    f"""
+WITH toks AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+st AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 40)) AS start
+       FROM toks WHERE len(w) >= 1),
+c AS (SELECT doc_id, CAST((start - 1) // 40 AS BIGINT) AS chunk_idx,
+             CAST(start AS BIGINT) AS chunk_start,
+             w[start:least(start + 49, len(w))] AS chunk
+      FROM st)
+SELECT doc_id, chunk_idx, chunk_start,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM c ORDER BY doc_id, chunk_idx
+""",
+)
+def chunk_documents(spark, sf_dir):
+    # Context-window chunking (50-token chunks, stride 40 → 10-token
+    # overlap): the map-side explode that turns documents into training
+    # samples. Row count multiplies ~n_tokens/40× but no shuffle happens —
+    # chunks stay on the producing partition; the md5 chunk hash doubles as
+    # a chunk-level exact-dedup key downstream.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = d.withColumn("w", w).where(F.size("w") >= 1)
+    starts = F.sequence(F.lit(1), F.size("w"), F.lit(40))
+    d = d.select("doc_id", "w", F.explode(starts).alias("start"))
+    chunk = F.slice(
+        F.col("w"),
+        F.col("start"),
+        F.least(F.lit(50), F.size("w") - F.col("start") + 1),
+    )
+    return d.select(
+        "doc_id",
+        ((F.col("start") - 1) / 40).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "label_centroids_embeddings",
+    """
+SELECT label, CAST(g.i AS INTEGER) AS pos,
+       CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE)
+         / COUNT(*) AS centroid
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+GROUP BY label, g.i
+ORDER BY label, pos
+""",
+)
+def label_centroids_embeddings(spark, sf_dir):
+    # Per-class centroid vectors (the IVF/coarse-quantizer training step and
+    # the nearest-class-mean classifier): posexplode to (label, dim) keys —
+    # 64× row multiplication but map-side partial sums collapse it to
+    # n_labels × 64 rows before the shuffle. Exact decimal accumulation
+    # keeps the mean order-independent.
+    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@register(
+    "streaming_static_enrichment",
+    ev_sql(f"""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       c_mktsegment,
+       COUNT(*) AS n_events,
+       {SQL_DSUM('value')} AS sum_value
+FROM events JOIN customer ON c_custkey = user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""),
+)
+def streaming_static_enrichment(spark, sf_dir):
+    # Stream-static join: the canonical streaming dimension-enrichment —
+    # each micro-batch broadcast-joins the static customer dim (re-read per
+    # epoch, so slowly-changing dims stay fresh), then a watermarked tumbling
+    # agg per (hour, segment). Oracle is the batch join+rollup dual.
+    from ..streaming import jobs as SJ
+
+    ev = SJ.events_stream(spark, sf_dir)
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .join(cust, ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return SJ.run_stream_to_batch(agg, spark).orderBy("hour_start", "c_mktsegment")
