@@ -195,3 +195,31 @@ def test_label_centroids_partial_agg_collapses_explode(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("HashAggregate") >= 2
     assert "Generate" in plan  # the explode stayed in-plan (no UDF)
+
+
+def test_q7_broadcasts_nation_lookups_pushes_daterange(spark, sf_dir):
+    # both nation-name lookups ride broadcast joins; the 2-year shipdate
+    # range reaches the lineitem scan so pruning happens before any shuffle
+    df = REGISTRY["q7_volume_shipping"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q8_share_single_agg_no_self_join(spark, sf_dir):
+    # numerator and denominator are one conditional aggregate over the same
+    # rows — the fact tables are scanned once, never self-joined
+    df = REGISTRY["q8_market_share"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == plan.count("Scan parquet")  # sanity
+    assert plan.count("lineitem.parquet") <= 1
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q9_part_filter_semi_prunes_lineitem(spark, sf_dir):
+    # the ECONOMY part filter reduces lineitem via broadcast semi-join
+    # before the big orders join
+    df = REGISTRY["q9_product_profit_by_nation"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastHashJoin") >= 1

@@ -3047,3 +3047,170 @@ def streaming_static_enrichment(spark, sf_dir):
         )
     )
     return SJ.run_stream_to_batch(agg, spark).orderBy("hour_start", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth batch 3: Q7/Q8/Q9 shapes (volume shipping, market share,
+# product profit). No partsupp table in this schema, so Q9 drops the
+# supply-cost term; join graph and aggregation shape are preserved.
+# ---------------------------------------------------------------------------
+
+_VOL = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       {SQL_DSUM(_VOL)} AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def q7_volume_shipping(spark, sf_dir):
+    # TPC-H-Q7 shape: bilateral trade volume between two nations by ship
+    # year. Both nation lookups broadcast pre-filtered to the 2 named rows,
+    # so the disjunctive pair predicate runs as a residual on already-tiny
+    # build sides — lineitem/orders shuffle once on the equi keys and the
+    # shipdate range is pushed to the parquet scan.
+    names = ("NATION_1", "NATION_2")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*names))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = F.broadcast(
+        s.join(n.select("n_nationkey", F.col("n_name").alias("supp_nation")),
+               s.s_nationkey == F.col("n_nationkey")).select("s_suppkey", "supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = c.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        (F.col("supp_nation") == names[0]) & (F.col("cust_nation") == names[1])
+    ) | ((F.col("supp_nation") == names[1]) & (F.col("cust_nation") == names[0]))
+    return (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       {SQL_DSUM(f"CASE WHEN n2.n_name = 'NATION_1' THEN {_VOL} ELSE 0 END")}
+         / {SQL_DSUM(_VOL)} AS mkt_share
+FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+  AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+  AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q8_market_share(spark, sf_dir):
+    # TPC-H-Q8 shape: one supplier nation's share of PROMO-part revenue sold
+    # into EUROPE, by order year. The share is a conditional decimal sum over
+    # the same rows as the total — one aggregate pass, no self-join. part /
+    # supplier / nation⋈region all broadcast; only lineitem⋈orders⋈customer
+    # shuffle.
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur_nations = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(F.col("n_nationkey").alias("eur_nk"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ce = c.join(eur_nations, c.c_nationkey == F.col("eur_nk")).select("c_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = F.broadcast(
+        s.join(n.select("n_nationkey", F.col("n_name").alias("supp_nation")),
+               s.s_nationkey == F.col("n_nationkey")).select("s_suppkey", "supp_nation")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(ce, o.o_custkey == ce.c_custkey, "left_semi")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                / dsum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit_by_nation",
+    f"""
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       {SQL_DSUM(_VOL)} AS profit
+FROM part, supplier, lineitem, orders, nation
+WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_type = 'ECONOMY'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+""",
+)
+def q9_product_profit_by_nation(spark, sf_dir):
+    # TPC-H-Q9 shape: profit on ECONOMY parts by supplier nation and order
+    # year (no partsupp table in this schema, so the ps_supplycost term is
+    # dropped — docstring notes the delta). part filter broadcast-semi-prunes
+    # lineitem before the orders shuffle; supplier⋈nation broadcasts.
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "n_name")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(sn, F.col("l_suppkey") == sn.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
