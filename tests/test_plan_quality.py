@@ -223,3 +223,37 @@ def test_q9_part_filter_semi_prunes_lineitem(spark, sf_dir):
     plan = plan_of(df)
     assert "LeftSemi" in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q21_single_orderkey_exchange_no_self_join(spark, sf_dir):
+    # the double EXISTS/NOT-EXISTS collapses to one groupBy + one window on
+    # the same l_orderkey partitioning: lineitem is scanned once and its
+    # rows cross the wire once — never self-joined
+    df = REGISTRY["q21_waiting_supplier"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    import re
+
+    assert plan.count("lineitem.parquet") == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    # at scale the join's l_orderkey exchange is reused by both the agg
+    # (grouping-subset rule) and the window; no third lineitem-sized shuffle
+    assert plan.count("hashpartitioning(l_orderkey") <= 2
+
+
+def test_q16_anti_and_part_filters_broadcast(spark, sf_dir):
+    # exclusion list rides a broadcast anti-join, part attrs a broadcast
+    # inner join — the only all-to-all shuffle is the distinct-count agg
+    df = REGISTRY["q16_supplier_part_variety"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_lineitem_shuffles_once(spark, sf_dir):
+    # decorrelated min: one scan + one shuffle of lineitem; the l_partkey
+    # window exchange only moves per-(part,supplier) aggregates
+    df = REGISTRY["q2_min_cost_supplier"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan

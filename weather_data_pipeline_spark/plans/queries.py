@@ -3214,3 +3214,165 @@ def q9_product_profit_by_nation(spark, sf_dir):
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+w AS (
+  SELECT l_suppkey, is_late,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM per)
+SELECT s_name, COUNT(*) AS numwait
+FROM w JOIN supplier ON s_suppkey = l_suppkey
+WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name
+""",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    # TPC-H-Q21 shape: suppliers who were the SOLE late shipper on a
+    # multi-supplier finalized order ("late" adapted to shipdate > orderdate
+    # + 90d — no commit/receipt dates in this schema). The classic form is a
+    # double correlated EXISTS/NOT EXISTS (two lineitem self-joins); Spark-
+    # first it collapses to one groupBy + one window over the SAME orderkey
+    # partitioning — Catalyst reuses the exchange, so lineitem shuffles once
+    # instead of three times.
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    per = per.select(
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    ).where((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        per.join(s, per.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_variety(spark, sf_dir):
+    # TPC-H-Q16 shape: how many distinct suppliers ship each (brand, type,
+    # size) family — lineitem stands in for partsupp as the part↔supplier
+    # link. The NOT IN exclusion list (negative-balance suppliers, the
+    # "complaints" stand-in) is O(10) rows → broadcast anti-join; the part
+    # attribute filters broadcast-inner-join, so the only shuffle is the
+    # final distinct-count agg.
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+WITH eligible AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1, 2),
+best AS (
+  SELECT l_partkey, MIN(unit_price) AS min_price FROM eligible GROUP BY 1)
+SELECT p_partkey, p_brand, s_name, s_acctbal, unit_price AS min_unit_price
+FROM eligible
+JOIN best ON best.l_partkey = eligible.l_partkey AND unit_price = min_price
+JOIN part ON p_partkey = eligible.l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size = 10
+ORDER BY s_acctbal DESC, p_partkey, s_name
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    # TPC-H-Q2 shape: for each size-10 part, the EUROPE supplier(s) offering
+    # the minimum observed unit price (lineitem unit economics stand in for
+    # ps_supplycost). The correlated scalar-min subquery is decorrelated
+    # Spark-first with a min-preserving window over ONE (l_partkey,
+    # l_suppkey) aggregation — no join-back of an aggregate to itself.
+    # lineitem shuffles once (the agg); the window's l_partkey exchange
+    # moves only the already-aggregated per-(part,supplier) rows.
+    eur = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    eur_supp = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(eur, n.n_regionkey == eur.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    eligible = (
+        li.join(eur_supp, li.l_suppkey == eur_supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = eligible.withColumn("min_price", F.min("unit_price").over(w)).where(
+        F.col("unit_price") == F.col("min_price")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_size") == 10).select("p_partkey", "p_brand")
+    )
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            F.col("unit_price").alias("min_unit_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+    )
