@@ -257,3 +257,25 @@ def test_q2_lineitem_shuffles_once(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("lineitem.parquet") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_q11_lineitem_aggregated_once(spark, sf_dir):
+    # the scalar total is derived from the per-part rollup, not a second
+    # scan: lineitem appears once and the threshold side is a broadcast
+    df = REGISTRY["q11_revenue_concentration"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final part rollup
+
+
+def test_bigram_window_over_aggregated_counts(spark, sf_dir):
+    # the bigram explosion is map-side; the only shuffle of exploded data is
+    # the partial-combined count agg, and the P(w2|w1) window runs over the
+    # aggregated (w1,w2) rows — never over raw bigrams
+    df = REGISTRY["bigram_lm_documents"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    import re
+
+    assert plan.count("HashAggregate") >= 2  # partial + final count
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert "Generate" in plan  # explode stayed JVM-side (no UDF)

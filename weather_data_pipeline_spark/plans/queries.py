@@ -3376,3 +3376,144 @@ def q2_min_cost_supplier(spark, sf_dir):
         )
         .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch: stream-stream join, Q11-shape revenue concentration, bigram LM.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_view_purchase_attribution",
+    ev_sql("""
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+       a.ts AS view_ts, b.ts AS purchase_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+ORDER BY 1, 2, 3
+"""),
+)
+def streaming_view_purchase_attribution(spark, sf_dir):
+    # Watermarked stream-stream inner join: attribute each purchase to the
+    # view(s) by the same user in the preceding 30 minutes. Both sides carry
+    # watermarks + the time-range predicate, so join state is bounded — old
+    # view rows age out once the purchase watermark passes view_ts + 30 min.
+    # This is the Structured Streaming op batch engines fake with triggers;
+    # the oracle is the batch self-join dual.
+    from ..streaming import jobs as SJ
+
+    ev = SJ.events_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    return SJ.run_stream_to_batch_append(joined, spark).orderBy(
+        "user_id", "view_id", "purchase_id"
+    )
+
+
+@register(
+    "q11_revenue_concentration",
+    f"""
+WITH pr AS (
+  SELECT l_partkey, {SQL_DSUM(_VOL)} AS part_rev
+  FROM lineitem GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(CAST(part_rev AS DECIMAL(18,6))) AS DOUBLE) AS total,
+         COUNT(*) AS n_parts FROM pr)
+SELECT l_partkey, part_rev
+FROM pr, tot
+WHERE part_rev > 1.5 * (total / n_parts)
+ORDER BY part_rev DESC, l_partkey
+""",
+)
+def q11_revenue_concentration(spark, sf_dir):
+    # TPC-H-Q11 shape (no partsupp → revenue concentration): parts whose
+    # revenue exceeds 1.5x the mean per-part revenue (SF-invariant). A naive scalar-subquery
+    # translation (agg → crossJoin back) makes Catalyst compute the rollup
+    # TWICE — two lineitem scans and shuffles. Instead the global total is an
+    # unpartitioned window over the ALREADY-aggregated per-part rows: the
+    # fact table is scanned and shuffled exactly once, and the single-
+    # partition window only ever sees dimension-cardinality (n_parts) rows.
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    pr = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_rev")
+    )
+    w = Window.partitionBy()
+    total = (
+        F.sum(F.col("part_rev").cast("decimal(18,6)")).over(w).cast("double")
+    )
+    n = F.count(F.lit(1)).over(w)
+    return (
+        pr.withColumn("total", total)
+        .withColumn("n_parts", n)
+        .where(F.col("part_rev") > 1.5 * (F.col("total") / F.col("n_parts")))
+        .select("l_partkey", "part_rev")
+        .orderBy(F.col("part_rev").desc(), "l_partkey")
+    )
+
+
+@register(
+    "bigram_lm_documents",
+    """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM toks, (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2),
+c AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2)
+SELECT w1, w2, n_pair,
+       CAST(n_pair AS DOUBLE) / SUM(n_pair) OVER (PARTITION BY w1) AS p_cond
+FROM c
+ORDER BY n_pair DESC, w1, w2 LIMIT 30
+""",
+)
+def bigram_lm_documents(spark, sf_dir):
+    # Bigram language-model counts with conditional probability P(w2|w1) —
+    # the n-gram statistics pass of a corpus pipeline. Bigrams explode
+    # map-side (no shuffle until the count agg, which combines partially);
+    # the conditional denominator is a window over the ALREADY-aggregated
+    # (w1, w2) counts, so the explosion never re-shuffles.
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    d = d.select(F.split(F.trim(F.lower("text")), r"\s+").alias("w")).where(
+        F.size("w") >= 2
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    wv = Window.partitionBy("w1")
+    return (
+        c.withColumn(
+            "p_cond",
+            F.col("n_pair").cast("double") / F.sum("n_pair").over(wv),
+        )
+        .orderBy(F.col("n_pair").desc(), "w1", "w2")
+        .limit(30)
+    )

@@ -199,3 +199,18 @@ def session_agg_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(session_agg_stream(events_stream(spark, sf_dir)), spark)
+
+
+def run_stream_to_batch_append(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a bounded stream in `append` mode (required for stream-stream
+    joins, where `complete` is unsupported) and return the emitted rows."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
