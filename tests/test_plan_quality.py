@@ -279,3 +279,29 @@ def test_bigram_window_over_aggregated_counts(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial + final count
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
     assert "Generate" in plan  # explode stayed JVM-side (no UDF)
+
+
+def test_int8_quantize_stays_map_side(spark, sf_dir):
+    # array-HOF quantization: no explode, no shuffle (bar the presentation
+    # sort), no Python — the whole pass is JVM map-side
+    df = REGISTRY["int8_quantize_embeddings"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "hashpartitioning" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
+    # the 640-row centroid table broadcasts; the vector side is never
+    # shuffled for the distance computation, and distances partial-combine
+    df = REGISTRY["nearest_centroid_confusion"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_per_source_cap_single_exchange(spark, sf_dir):
+    # one hash exchange on source for the rank; nothing else moves
+    df = REGISTRY["per_source_cap_documents"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(source") == 1

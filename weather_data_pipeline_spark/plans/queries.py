@@ -3517,3 +3517,160 @@ def bigram_lm_documents(spark, sf_dir):
         .orderBy(F.col("n_pair").desc(), "w1", "w2")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops batch 4: per-source caps, embedding quantization,
+# nearest-centroid classification.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "per_source_cap_documents",
+    """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 10 ORDER BY source, rk
+""",
+)
+def per_source_cap_documents(spark, sf_dir):
+    # Per-domain document cap (keep <=10 per source): the anti-domination
+    # guard a web corpus needs so no single domain floods a split. Rank by
+    # content-stable md5 — a deterministic, engine-portable shuffle within
+    # each source — so the kept set is reproducible across runs and engines,
+    # unlike rand()-based sampling. One shuffle on source; rank state per
+    # group is O(1).
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 10)
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "int8_quantize_embeddings",
+    """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0)
+SELECT vec_id, scale,
+       list_max(list_transform(v, x -> abs(x - round(x * scale) / scale)))
+         AS max_err,
+       CAST(len(list_filter(v, x -> abs(round(x * scale)) >= 127)) AS BIGINT)
+         AS n_sat
+FROM s ORDER BY vec_id
+""",
+)
+def int8_quantize_embeddings(spark, sf_dir):
+    # Per-vector symmetric int8 quantization (the storage/serving compression
+    # step for a 100 TB embedding store): scale = 127/max|v|, reporting the
+    # max reconstruction error and saturated-dim count. Pure array HOFs —
+    # no explode, no shuffle, whole plan stays map-side; every arithmetic op
+    # is the same IEEE double sequence in both engines so no rounding fudge
+    # is needed.
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    amax = F.array_max(F.expr("transform(v, x -> abs(x))"))
+    e = e.withColumn("scale", F.lit(127.0) / amax).where(amax > 0)
+    return e.select(
+        "vec_id",
+        "scale",
+        F.array_max(
+            F.expr("transform(v, x -> abs(x - round(x * scale) / scale))")
+        ).alias("max_err"),
+        F.size(F.expr("filter(v, x -> abs(round(x * scale)) >= 127)"))
+        .cast("long")
+        .alias("n_sat"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "nearest_centroid_confusion",
+    """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+c AS (
+  SELECT label AS c_label, g.i AS pos,
+         CAST(SUM(CAST(v[g.i] AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS centroid
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY 1, 2),
+d AS (
+  SELECT vec_id, label, c_label,
+         CAST(SUM(CAST((v[pos] - centroid) * (v[pos] - centroid)
+                       AS DECIMAL(30,15))) AS DOUBLE) AS dist2
+  FROM e, c
+  GROUP BY 1, 2, 3),
+b AS (
+  SELECT label, c_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+  FROM d)
+SELECT label AS true_label, c_label AS assigned_label, COUNT(*) AS n
+FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def nearest_centroid_confusion(spark, sf_dir):
+    # Nearest-class-mean classification confusion matrix: the cheap sanity
+    # check that label structure survives in embedding space (and the assign
+    # step of IVF/k-means). Centroids are computed once (exact decimal means,
+    # same formula as label_centroids) and BROADCAST — 640 tiny rows — so the
+    # big vector table is never shuffled for the distance computation; the
+    # per-(vec,candidate) squared distances partial-combine map-side and the
+    # argmin window runs on 10 aggregated rows per vector. Exact decimal
+    # accumulation makes the argmin order-independent, so the confusion
+    # counts are deterministic across partitionings.
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    ex = e.select("vec_id", "label", F.posexplode("v").alias("pos0", "val"))
+    cent = (
+        ex.groupBy(
+            F.col("label").alias("c_label"),
+            (F.col("pos0") + 1).alias("pos"),
+        )
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+    )
+    dist = (
+        ex.select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+        .join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                ((F.col("val") - F.col("centroid")) * (F.col("val") - F.col("centroid")))
+                .cast("decimal(30,15)")
+            )
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy(
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "assigned_label")
+    )
