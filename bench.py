@@ -51,25 +51,39 @@ HEADLINE = [
     "asof_join_events",
     "session_stats_events",
     "salted_agg_events",
+    "q7_volume_shipping",
+    "q21_waiting_supplier",
+    "hash_split_documents",
+    "chunk_documents",
+    "bigram_lm_documents",
+    "int8_quantize_embeddings",
 ]
 
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("wdp-bench")
-    # JVM + parquet-footer warmup on a trivial action so per-query timings
-    # measure the engine, not process startup.
+    # JVM + whole-stage-codegen + parquet-footer warmup: a scan-agg-join that
+    # exercises the codegen/JIT paths so the first measured query doesn't pay
+    # one-time compilation cost.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    warm.groupBy("l_returnflag").count().count()
 
+    # best-of-2 per query: single-JVM local mode shares the host with other
+    # work, so one-shot wall times mix engine cost with transient load; the
+    # min of two runs is a stable estimate of true plan cost.
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in REGISTRY]
     for name in names:
         fn = REGISTRY[name].spark
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
