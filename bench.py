@@ -83,6 +83,11 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             df.count()
             best = min(best, time.perf_counter() - t0)
+            # streaming queries leave their memory-sink tables pinned in the
+            # JVM; drop them so later queries don't pay the GC pressure
+            for t in spark.catalog.listTables():
+                if t.name.startswith(("stream_out_", "stateful_out_")):
+                    spark.catalog.dropTempView(t.name)
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
