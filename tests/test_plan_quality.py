@@ -305,3 +305,12 @@ def test_per_source_cap_single_exchange(spark, sf_dir):
     df = REGISTRY["per_source_cap_documents"].spark(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("hashpartitioning(source") == 1
+
+
+def test_ewma_single_exchange_no_python(spark, sf_dir):
+    # the 20-tap EWMA shares the one per-user exchange and stays JVM-side:
+    # array HOFs, not a Pandas UDF
+    df = REGISTRY["ewma_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

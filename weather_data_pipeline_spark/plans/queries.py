@@ -3674,3 +3674,81 @@ def nearest_centroid_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_label", "assigned_label")
     )
+
+
+@register(
+    "streaming_dedup_keys",
+    ev_sql("""
+SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2
+"""),
+)
+def streaming_dedup_keys(spark, sf_dir):
+    # Streaming exactly-once dedup: dropDuplicatesWithinWatermark keeps one
+    # row per (user_id, event_type) and expires its key state once the
+    # watermark passes — the bounded-state form of streaming dedup (plain
+    # dropDuplicates would grow state forever on an unbounded stream). WHICH
+    # row survives depends on arrival order, so the query emits only the key
+    # columns — a deterministic set with a trivial batch-DISTINCT oracle.
+    from ..streaming import jobs as SJ
+
+    ev = SJ.events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    dedup = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return SJ.run_stream_to_batch_append(dedup, spark).orderBy(
+        "user_id", "event_type"
+    )
+
+
+@register(
+    "ewma_events",
+    ev_sql("""
+WITH v AS (
+  SELECT event_id, user_id, ts, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+  FROM events),
+e AS (
+  SELECT event_id, user_id, ts,
+         (SELECT SUM(vals[i] * POWER(0.9, len(vals) - i))
+          FROM unnest(generate_series(1, len(vals))) AS g(i)) AS num,
+         (SELECT SUM(POWER(0.9, len(vals) - i))
+          FROM unnest(generate_series(1, len(vals))) AS g(i)) AS den
+  FROM v)
+SELECT event_id, user_id, ts, ROUND(num / den, 6) + 0.0 AS ewma_value
+FROM e ORDER BY user_id, ts, event_id
+"""),
+)
+def ewma_events(spark, sf_dir):
+    # Exponentially-weighted rolling mean, finite 20-tap kernel (decay 0.9):
+    # the trend smoother a forecasting feature set wants, with a bounded
+    # frame so state and compute are O(taps) per row. Implemented as
+    # collect_list over the rolling frame + an indexed-transform fold — all
+    # JVM array HOFs inside the SAME single per-user exchange every other
+    # per-user window shares; no UDF, no second shuffle. Rounded 6dp both
+    # engines (small-frame float-accumulation rule from the module header).
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    d = ev.withColumn("vals", vals)
+    num = F.expr(
+        "aggregate(zip_with(vals, sequence(1, size(vals)), (x, i) -> "
+        "x * power(0.9, size(vals) - i)), 0D, (acc, x) -> acc + x)"
+    )
+    den = F.expr(
+        "aggregate(transform(sequence(1, size(vals)), i -> "
+        "power(0.9, size(vals) - i)), 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        d.select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.round(num / den, 6) + F.lit(0.0)).alias("ewma_value"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
