@@ -314,3 +314,27 @@ def test_ewma_single_exchange_no_python(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("hashpartitioning(user_id") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_melt_single_scan_with_pushdown(spark, sf_dir):
+    # native unpivot: ONE lineitem scan (the UNION-ALL dual costs four) and
+    # the orderkey filter reaches that scan before the 4x row expansion
+    df = REGISTRY["melt_lineitem_measures"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "LessThan(l_orderkey,100)" in plan.replace(" ", "").replace("[", "").replace("]", "") or "l_orderkey" in plan.split("PushedFilters: ")[1].splitlines()[0]
+
+
+def test_reconciliation_aggregates_before_outer_join(spark, sf_dir):
+    # both calendars collapse to day-counts before the full-outer shuffle:
+    # partial+final agg on each side, and the join inputs are aggregates
+    df = REGISTRY["daily_order_vs_ship_reconciliation"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+
+
+def test_first_last_nth_single_exchange(spark, sf_dir):
+    df = REGISTRY["first_last_nth_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") == 1

@@ -3752,3 +3752,125 @@ def ewma_events(spark, sf_dir):
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@register(
+    "melt_lineitem_measures",
+    """
+SELECT l_orderkey, l_linenumber, measure, val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+  FROM lineitem WHERE l_orderkey < 100
+)
+ORDER BY l_orderkey, l_linenumber, measure
+""",
+)
+def melt_lineitem_measures(spark, sf_dir):
+    # Wide→long unpivot (pandas melt / SQL UNPIVOT) via Spark's native
+    # df.unpivot: one scan emits all four measure rows per input row —
+    # map-side row generation, vs the UNION-ALL dual's four scans. The
+    # pushed l_orderkey filter prunes before the 4x row multiplication.
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .withColumn("measure", F.expr("substring(measure, 3)"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+@register(
+    "daily_order_vs_ship_reconciliation",
+    """
+WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+           FROM orders GROUP BY 1),
+s AS (SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ship_lines
+      FROM lineitem GROUP BY 1)
+SELECT CAST(COALESCE(o.d, s.d) AS TIMESTAMP) AS day,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_ship_lines, 0) AS n_ship_lines
+FROM o FULL OUTER JOIN s ON o.d = s.d
+ORDER BY day
+""",
+)
+def daily_order_vs_ship_reconciliation(spark, sf_dir):
+    # FULL OUTER reconciliation of two independently-aggregated calendars —
+    # ship dates trail past the last order date, so both null sides occur.
+    # Each side partial-aggregates to ~date-cardinality rows BEFORE the
+    # full-outer shuffle, so the join moves day-counts, never fact rows.
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("sd"))
+        .agg(F.count(F.lit(1)).alias("n_ship_lines"))
+    )
+    return (
+        o.join(s, o.d == s.sd, "full_outer")
+        .select(
+            F.coalesce("d", "sd").cast("timestamp").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ship_lines", F.lit(0)).alias("n_ship_lines"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "first_last_nth_events",
+    ev_sql("""
+WITH w AS (
+  SELECT user_id,
+         first_value(value) OVER win AS first_value_seen,
+         last_value(value) OVER win AS last_value_seen,
+         nth_value(value, 3) OVER win AS third_value_seen,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT user_id, first_value_seen, last_value_seen, third_value_seen
+FROM w WHERE rn = 1 ORDER BY user_id
+"""),
+)
+def first_last_nth_events(spark, sf_dir):
+    # first/last/nth positional window family over each user's full history
+    # (unique ts+event_id ordering makes them well-defined). All four
+    # functions — including the row_number used to emit one row per user —
+    # share a single user_id exchange; the full-history frame is evaluated
+    # once per partition, not per row (Spark materializes the frame buffer
+    # per partition for unbounded frames).
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rn_win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.first("value").over(win).alias("first_value_seen"),
+            F.last("value").over(win).alias("last_value_seen"),
+            F.nth_value("value", 3).over(win).alias("third_value_seen"),
+            F.row_number().over(rn_win).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
