@@ -3874,3 +3874,97 @@ def first_last_nth_events(spark, sf_dir):
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+@register(
+    "oov_rate_documents",
+    f"""
+WITH words AS (
+  SELECT doc_id, unnest({_W_SQL}) AS word FROM documents
+  WHERE length(trim(text)) > 0),
+vocab AS (
+  SELECT word FROM words GROUP BY word
+  ORDER BY COUNT(*) DESC, word LIMIT 50),
+j AS (
+  SELECT w.doc_id, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+  FROM words w LEFT JOIN vocab v ON w.word = v.word)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM j GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def oov_rate_documents(spark, sf_dir):
+    # Out-of-vocabulary rate per document against the corpus top-50 vocab —
+    # the tokenizer-coverage check run before committing to a vocab size.
+    # The fitted vocab is tiny → broadcast LEFT join against the exploded
+    # token stream (tokens never shuffle for the lookup); per-doc re-agg
+    # partial-combines map-side because tokens stay partitioned by document.
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+        .select("word")
+    )
+    j = words.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            (F.sum(oov).cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "unigram_logprob_documents",
+    f"""
+WITH words AS (
+  SELECT doc_id, unnest({_W_SQL}) AS word FROM documents
+  WHERE length(trim(text)) > 0),
+freq AS (
+  SELECT word, COUNT(*) AS n_word FROM words GROUP BY word),
+tot AS (SELECT SUM(n_word) AS n_total FROM freq),
+lp AS (
+  SELECT w.doc_id,
+         CAST(ROUND(LN(CAST(n_word AS DOUBLE) / n_total), 6) AS DECIMAL(18,6)) AS logp
+  FROM words w JOIN freq USING (word) CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_logprob
+FROM lp GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def unigram_logprob_documents(spark, sf_dir):
+    # Per-document mean unigram log-probability — the cheap LM-score proxy
+    # used to quality-filter a pretraining corpus (fluent text scores higher
+    # than gibberish under the corpus unigram model). Corpus word frequencies
+    # broadcast to the token stream; per-word logs are rounded to 6dp and
+    # accumulated as exact decimals so the per-doc mean is order-independent
+    # and engine-portable (libm vs JVM log differ in the last ulp).
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    w = Window.partitionBy()
+    freq = freq.withColumn("n_total", F.sum("n_word").over(w))
+    logp = F.round(
+        F.log(F.col("n_word").cast("double") / F.col("n_total")), 6
+    ).cast("decimal(18,6)")
+    j = words.join(F.broadcast(freq), "word").withColumn("logp", logp)
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

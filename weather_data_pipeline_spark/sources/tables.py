@@ -56,3 +56,29 @@ def write_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(table_name)
     )
+
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # micros; default JSON fmt drops to millis
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one object per row, gzip-friendly at scale)."""
+    df.write.mode("overwrite").option("timestampFormat", TS_FMT).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema.
+
+    Schema inference on JSON costs a full extra pass over the data and can
+    silently widen types between runs — at 100 TB both are unacceptable, so
+    the schema is required. Malformed lines surface in `_corrupt_record`
+    (PERMISSIVE mode) rather than failing the job; callers filter or count
+    them as a data-quality metric.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("timestampFormat", TS_FMT)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
