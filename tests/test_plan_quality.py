@@ -338,3 +338,21 @@ def test_first_last_nth_single_exchange(spark, sf_dir):
     df = REGISTRY["first_last_nth_events"].spark(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_pareto_windows_over_rollup_only(spark, sf_dir):
+    # rank/cumsum/total are windows over per-customer aggregates; orders
+    # scans and shuffles exactly once
+    df = REGISTRY["pareto_customers"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_funnel_single_scan_single_exchange(spark, sf_dir):
+    # single-pass funnel: events scans ONCE and the three chained
+    # conditional window mins share one user_id exchange
+    df = REGISTRY["funnel_stages_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("events.parquet") == 1
+    assert plan.count("hashpartitioning(user_id") == 1

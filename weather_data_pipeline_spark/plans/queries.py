@@ -3968,3 +3968,216 @@ def unigram_logprob_documents(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics + corpus batch: robust outliers, Pareto concentration,
+# conversion funnel, dedup keep-list.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_outliers_events",
+    ev_sql("""
+WITH med AS (
+  SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+mad AS (
+  SELECT e.user_id, median(abs(value - med)) AS mad, ANY_VALUE(med) AS med
+  FROM events e JOIN med USING (user_id) GROUP BY e.user_id),
+j AS (
+  SELECT e.user_id, med, mad,
+         CASE WHEN abs(value - med) > 3 * 1.4826 * mad THEN 1 ELSE 0 END AS is_out
+  FROM events e JOIN mad USING (user_id))
+SELECT user_id, ROUND(ANY_VALUE(med), 6) AS median_value,
+       ROUND(ANY_VALUE(mad), 6) AS mad_value,
+       CAST(SUM(is_out) AS BIGINT) AS n_outliers
+FROM j GROUP BY user_id ORDER BY user_id
+"""),
+)
+def mad_outliers_events(spark, sf_dir):
+    # Robust per-user outlier census: median / MAD (the scaled-MAD 3σ rule),
+    # immune to the very outliers it detects — the screen μ/σ-based checks
+    # miss. Two grouped medians on the SAME user_id partitioning (Catalyst
+    # reuses the exchange) and the per-user medians join back fact-side.
+    # Medians rounded 6dp: interpolation halves are the one float op whose
+    # last-ulp can differ across engines.
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+            F.first("med").alias("med_"),
+        )
+    )
+    j = ev.join(mad.select("user_id", "mad", F.col("med_").alias("med")), "user_id")
+    is_out = F.when(
+        F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+    ).otherwise(0)
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad_value"),
+            F.sum(is_out).cast("long").alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "pareto_customers",
+    f"""
+WITH r AS (
+  SELECT o_custkey, {SQL_DSUM('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1),
+w AS (
+  SELECT o_custkey, revenue,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
+         CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+              OVER (ORDER BY revenue DESC, o_custkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue,
+         CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER () AS DOUBLE) AS total
+  FROM r)
+SELECT CAST(rnk AS BIGINT) AS rnk, o_custkey, revenue,
+       cum_revenue / total AS cum_share
+FROM w WHERE rnk <= 100 ORDER BY rnk
+""",
+)
+def pareto_customers(spark, sf_dir):
+    # Pareto / Lorenz concentration: top-100 customers with their cumulative
+    # revenue share. The ranking, running sum, and grand total are all
+    # windows over the ALREADY-aggregated per-customer rollup (customer-
+    # cardinality rows), accumulated as exact decimals so the running sum is
+    # prefix-deterministic; orders itself shuffles once for the rollup.
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    r = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    order = [F.col("revenue").desc(), F.col("o_custkey")]
+    w_rank = Window.orderBy(*order)
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        r.select(
+            F.row_number().over(w_rank).cast("long").alias("rnk"),
+            "o_custkey",
+            "revenue",
+            (
+                F.sum(F.col("revenue").cast("decimal(18,6)")).over(w_cum).cast("double")
+                / F.sum(F.col("revenue").cast("decimal(18,6)")).over(w_all).cast("double")
+            ).alias("cum_share"),
+        )
+        .where(F.col("rnk") <= 100)
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "funnel_stages_events",
+    ev_sql("""
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts >= t_view GROUP BY 1),
+p AS (SELECT e.user_id, MIN(ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts >= t_click GROUP BY 1)
+SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT 'view>click', COUNT(*) FROM c
+UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
+ORDER BY n_users DESC, stage
+"""),
+)
+def funnel_stages_events(spark, sf_dir):
+    # Ordered conversion funnel (view → click → purchase): each stage
+    # requires the NEXT event type at-or-after the previous stage's first
+    # time — strictly stronger than set-membership funnels. Spark-first
+    # single-pass form: the three stage times are conditional window mins
+    # chained over ONE user_id partitioning (a join-based translation scans
+    # events once per union branch — 6 scans, since Catalyst shares no
+    # subtrees). Events scan once, shuffle once; the final 1-row stage
+    # vector unpivots to rows.
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    d = ev.withColumn("tv", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("tv")),
+            F.col("ts"),
+        )
+    ).over(w)
+    d = d.withColumn("tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("tc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    d = d.withColumn("tp", tp)
+    per_user = d.groupBy("user_id").agg(
+        F.first("tv").alias("tv"), F.first("tc").alias("tc"), F.first("tp").alias("tp")
+    )
+    counts = per_user.agg(
+        F.count("tv").alias("view"),
+        F.count("tc").alias("view>click"),
+        F.count("tp").alias("view>click>purchase"),
+    )
+    return (
+        counts.unpivot([], ["view", "view>click", "view>click>purchase"], "stage", "n_users")
+        .orderBy(F.col("n_users").desc(), "stage")
+    )
+
+
+@register(
+    "dedup_keep_list_documents",
+    f"""
+WITH RECURSIVE base AS (SELECT doc_id AS id, lang AS blk, {_SHINGLES_SQL} AS toks
+              FROM documents),
+sized AS (SELECT id, blk, toks, len(toks) AS n_toks FROM base WHERE len(toks) > 0),
+ex AS (SELECT id, blk, n_toks, unnest(toks) AS tok FROM sized),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+         COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2, 3, 4),
+edges AS (
+  SELECT id_a, id_b FROM common
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.05),
+und AS (SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(node, label) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN und e ON r.node = e.s),
+cc AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node),
+rep AS (SELECT component, MIN(doc_id) AS rep_id FROM cc GROUP BY 1)
+SELECT d.doc_id, (cc.doc_id IS NOT NULL) AS from_dup_cluster
+FROM documents d
+LEFT JOIN cc ON d.doc_id = cc.doc_id
+LEFT JOIN rep ON cc.component = rep.component
+WHERE cc.doc_id IS NULL OR d.doc_id = rep.rep_id
+ORDER BY d.doc_id
+""",
+)
+def dedup_keep_list_documents(spark, sf_dir):
+    # End-to-end near-dup dedup decision: connected components over the
+    # shingle-Jaccard graph → keep the min-id representative per cluster +
+    # every untouched singleton. This is the list a corpus build actually
+    # consumes. Reuses the BSP min-label-propagation components (bounded
+    # supersteps, no driver-side loops over collect()); the representative
+    # pick and the anti-membership test are two dimension-sized joins against
+    # the full doc list.
+    comp = REGISTRY["neardup_components_documents"].spark(spark, sf_dir).select(
+        "doc_id", "component"
+    )
+    rep = comp.groupBy("component").agg(F.min("doc_id").alias("rep_id"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(comp, "doc_id", "left")
+        .join(rep, "component", "left")
+        .where(F.col("component").isNull() | (F.col("doc_id") == F.col("rep_id")))
+        .select("doc_id", F.col("component").isNotNull().alias("from_dup_cluster"))
+        .orderBy("doc_id")
+    )
