@@ -35,3 +35,49 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(city" in plan
     assert df.count() > 0
     assert df.select("city").distinct().collect()[0][0] == "city_3"
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    from weather_data_pipeline_spark.sources.tables import compact_parquet, load_table
+
+    src = str(tmp_path / "fragmented")
+    # simulate an epoch-fragmented table: 32 tiny files
+    load_table(spark, sf_dir, "orders").repartition(32).write.parquet(src)
+    dest = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dest, target_file_bytes=64 * 1024 * 1024)
+    import glob
+
+    out_files = glob.glob(f"{dest}/*.parquet")
+    assert len(out_files) == n <= 4
+    assert spark.read.parquet(dest).count() == spark.read.parquet(src).count()
+
+
+def test_range_sorted_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    # the data-skipping contract: each output file covers a disjoint range of
+    # the sort key, so footer min/max stats prune files before any IO
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from weather_data_pipeline_spark.sources.tables import load_table, write_range_sorted
+
+    path = str(tmp_path / "sorted")
+    write_range_sorted(
+        load_table(spark, sf_dir, "events").select("event_id", "user_id", "value"),
+        path,
+        "user_id",
+        4,
+    )
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["user_id"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # no overlap between consecutive files

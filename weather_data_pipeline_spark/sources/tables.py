@@ -82,3 +82,46 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dest: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Compact a small-files parquet directory into ~target-sized files.
+
+    The streaming upsert sink and per-epoch writers leave O(epochs) small
+    files; at scale that turns every scan into a listing + open storm. One
+    pass sizes the output from the INPUT byte count (no extra job), then
+    round-robin repartitions — not coalesce, which would skip the shuffle
+    but inherit the skewed input file boundaries. Returns the file count.
+    """
+    import math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(r, f))
+        for r, _, fs in _os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(dest)
+    return n_files
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, col: str, n_files: int
+) -> None:
+    """Range-partitioned, sorted-within-file parquet write for data skipping.
+
+    Files get disjoint [min, max] ranges of `col`, so a point/range filter
+    prunes whole files from the parquet footer min/max stats before any IO —
+    the single cheapest scan optimization at 100 TB. The sortWithinPartitions
+    keeps row-group stats tight inside each file too.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
