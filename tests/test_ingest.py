@@ -202,3 +202,54 @@ def test_jsonl_corrupt_record_surfaces(spark, tmp_path):
     df = read_jsonl(spark, str(p), schema).cache()
     assert df.count() == 3
     assert df.where("_corrupt_record IS NOT NULL").count() == 1
+
+
+def test_weather_rest_datasource_batch(spark):
+    from weather_data_pipeline_spark.sources import rest_datasource as RD
+
+    RD.register(spark)
+    df = (
+        spark.read.format("weather_rest")
+        .option("cities", "London,Paris,Tokyo")
+        .option("cycles", "4")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 12  # 3 cities x 4 cycles, one partition per city
+    assert df.rdd.getNumPartitions() == 3
+    # deterministic offline transport: same (city, cycle) -> same observation
+    again = (
+        spark.read.format("weather_rest")
+        .option("cities", "London,Paris,Tokyo")
+        .option("cycles", "4")
+        .load()
+        .collect()
+    )
+    assert sorted(rows) == sorted(again)
+    one = [r for r in rows if r.city == "London" and r.cycle == 0][0]
+    assert -10 <= one.temp <= 35 and 20 <= one.humidity < 100
+
+
+def test_weather_rest_datasource_stream(spark, tmp_path):
+    from weather_data_pipeline_spark.sources import rest_datasource as RD
+
+    RD.register(spark)
+    df = (
+        spark.readStream.format("weather_rest")
+        .option("cities", "London,Paris")
+        .option("cycles", "3")
+        .load()
+    )
+    name = "weather_rest_stream_test"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    # 2 cities x 3 cycles drained across micro-batches
+    assert out.count() == 6
+    assert out.select("cycle").distinct().count() == 3
