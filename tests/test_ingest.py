@@ -253,3 +253,21 @@ def test_weather_rest_datasource_stream(spark, tmp_path):
     # 2 cities x 3 cycles drained across micro-batches
     assert out.count() == 6
     assert out.select("cycle").distinct().count() == 3
+
+
+def test_observed_flatten_metrics_single_pass(spark):
+    import copy
+
+    bad_missing_temp = copy.deepcopy(RAW_OK)
+    bad_missing_temp["main"]["temp"] = None
+    bad_no_weather = copy.deepcopy(RAW_OK)
+    bad_no_weather["weather"] = []
+    raw = _raw_df(spark, [RAW_OK, RAW_OK, bad_missing_temp, bad_no_weather])
+
+    flat, obs = WI.observed_flatten(raw)
+    n_valid = flat.count()  # the ONE action; metrics ride along
+    m = obs.get
+    assert m["n_raw"] == 4
+    assert m["n_invalid"] == 2
+    assert m["n_null_temp"] == 1
+    assert n_valid == 2

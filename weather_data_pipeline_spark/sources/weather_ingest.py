@@ -241,3 +241,39 @@ def fetch_with_retry(
                 return None
             sleep(base_delay * (2**attempt))
             attempt += 1
+
+
+def observed_flatten(df: DataFrame):
+    """Validate + flatten with in-flight quality metrics (`df.observe`).
+
+    The reference counts rejects with a second pass over the batch
+    (`weather_collector.py:255-286` logs per-record); at scale a second scan
+    of every micro-batch doubles ingest IO. `Observation` accumulates the
+    counters ON the task side during the one real pass — after the first
+    action, `obs.get` carries n_raw / n_invalid / n_null_temp for the
+    data-quality ledger, at zero extra jobs.
+
+    Returns (flattened_df, observation); metrics are available after the
+    caller's first action on flattened_df.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_quality")
+    valid_pred = (
+        F.col("name").isNotNull()
+        & F.col("dt").isNotNull()
+        & F.col("main").isNotNull()
+        & F.col("main.temp").isNotNull()
+        & F.col("wind").isNotNull()
+        & F.col("coord").isNotNull()
+        & (F.size(F.coalesce(F.col("weather"), F.array())) > 0)
+    )
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(~valid_pred, 1).otherwise(0)).alias("n_invalid"),
+        F.sum(F.when(F.col("main.temp").isNull(), 1).otherwise(0)).alias(
+            "n_null_temp"
+        ),
+    )
+    return flatten_raw(validate_raw(observed)), obs
