@@ -34,3 +34,85 @@ def test_stream_upsert_idempotent(spark, sf_dir, tmp_path):
     # replay the whole stream: the key-merge keeps counts stable
     SJ.stream_upsert_events(spark, sf_dir, path)
     assert spark.read.parquet(path).count() == src_n
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    # Behavioral contract of withWatermark in append mode: once the watermark
+    # (max event time - delay) passes a window's end, a later micro-batch
+    # CANNOT add rows to it. The watermark lags one batch (batch N filters
+    # with the value computed at batch N-1's end), so THREE single-file
+    # micro-batches are needed: batch 0 advances event time, batch 1
+    # activates the 11:00 watermark, batch 2's stale 00:20 row is dropped.
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    on_time = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 1), ("2024-01-01 12:00:00", 2)], ["ts", "v"]
+    ).select(F.col("ts").cast("timestamp"), "v")
+    advance = spark.createDataFrame([("2024-01-01 12:30:00", 4)], ["ts", "v"]).select(
+        F.col("ts").cast("timestamp"), "v"
+    )
+    late = spark.createDataFrame([("2024-01-01 00:20:00", 3)], ["ts", "v"]).select(
+        F.col("ts").cast("timestamp"), "v"
+    )
+    # two separate files; lexicographic names fix the batch order
+    # write the two batch files directly (pyarrow) with strictly increasing
+    # mtimes — the file stream source orders unprocessed files by mtime
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_schema = pa.schema([("ts", pa.timestamp("us")), ("v", pa.int64())])
+
+    def _write(df, name, mtime):
+        tbl = pa.Table.from_pandas(df.toPandas(), preserve_index=False).cast(
+            arrow_schema
+        )
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    now = _time.time()
+    _write(on_time, "0001.parquet", now - 120)
+    _write(advance, "0002.parquet", now - 60)
+    _write(late, "0003.parquet", now)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.sum("v").alias("total"))
+        .select(F.col("win.start").alias("win_start"), "total")
+    )
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r.win_start.isoformat(): r.total for r in spark.table(name).collect()}
+    # the 00:00 window emitted with ONLY the on-time row; the late v=3 was
+    # dropped by the active 11:00 watermark (visible in the state metrics)
+    assert out == {"2024-01-01T00:00:00": 1}
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1

@@ -4181,3 +4181,56 @@ def dedup_keep_list_documents(spark, sf_dir):
         .select("doc_id", F.col("component").isNotNull().alias("from_dup_cluster"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q20_concentrated_suppliers",
+    """
+WITH pq AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                             AND l_shipdate < TIMESTAMP '1998-01-01'
+                            THEN l_quantity ELSE 0 END AS DECIMAL(18,6)))
+              AS DOUBLE) AS qty_1997,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_total
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'ECONOMY'
+  GROUP BY 1)
+SELECT s_name, s_acctbal, qty_1997, qty_total
+FROM supplier JOIN pq ON s_suppkey = l_suppkey
+WHERE qty_1997 > 0.2 * qty_total
+ORDER BY s_name
+""",
+)
+def q20_concentrated_suppliers(spark, sf_dir):
+    # TPC-H-Q20 shape (no partsupp → shipment concentration): suppliers
+    # whose 1997 ECONOMY-part shipments exceed 20% of their all-time ECONOMY
+    # volume. The year-window and lifetime sums come from ONE conditional
+    # aggregate pass (the classic translation runs two correlated subqueries
+    # = two lineitem scans); the part filter broadcast-semi-prunes before
+    # the supplier rollup, and the supplier dim joins the tiny rollup by
+    # broadcast.
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_1997 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    pq = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(F.when(in_1997, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "qty_1997"
+            ),
+            dsum(F.col("l_quantity")).alias("qty_total"),
+        )
+        .where(F.col("qty_1997") > 0.2 * F.col("qty_total"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        s.join(F.broadcast(pq), s.s_suppkey == pq.l_suppkey)
+        .select("s_name", "s_acctbal", "qty_1997", "qty_total")
+        .orderBy("s_name")
+    )
