@@ -356,3 +356,22 @@ def test_funnel_single_scan_single_exchange(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("events.parquet") == 1
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_ohlc_windows_and_agg_share_one_exchange(spark, sf_dir):
+    # both row_number specs AND the final group agg use the same
+    # (event_type, hour) keys: one hash exchange end-to-end (the only other
+    # exchange is the global sort of the tiny hourly output)
+    df = REGISTRY["ohlc_hourly_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(event_type") == 1
+    assert plan.count("events.parquet") == 1
+
+
+def test_cooccurrence_expands_pairs_map_side(spark, sf_dir):
+    # the pair expansion is array algebra after the per-user collect_set —
+    # no self-join: one scan, no SortMergeJoin/BroadcastHashJoin anywhere
+    df = REGISTRY["event_type_cooccurrence"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan

@@ -4335,6 +4335,103 @@ def pack_sequences_documents(spark, sf_dir):
     )
 
 
+@register(
+    "ohlc_hourly_events",
+    ev_sql("""
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value
+  FROM events),
+w AS (
+  SELECT event_type, hour, value,
+         row_number() OVER (PARTITION BY event_type, hour
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, hour
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e)
+SELECT event_type, hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       COUNT(*) AS volume
+FROM w GROUP BY event_type, hour
+ORDER BY event_type, hour
+"""),
+)
+def ohlc_hourly_events(spark, sf_dir):
+    # OHLC downsampling (the time-series rollup the reference's dashboard
+    # charts imply): first/last/min/max of `value` per (event_type, hour).
+    # First/last are made deterministic with (ts, event_id) row_numbers; the
+    # ascending and descending specs share one hash partitioning, so the
+    # whole query is a single exchange + sort + agg — at 100 TB the hour
+    # column also serves as the partition-pruning key for incremental runs.
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts", "event_id", "value",
+    )
+    part = Window.partitionBy("event_type", "hour")
+    asc = part.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    desc = part.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    w = ev.select(
+        "event_type", "hour", "value",
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(desc).alias("rn_d"),
+    )
+    return (
+        w.groupBy("event_type", "hour")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "event_type_cooccurrence",
+    ev_sql("""
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""),
+)
+def event_type_cooccurrence(spark, sf_dir):
+    # Market-basket co-occurrence: for every unordered pair of event types,
+    # how many users did both. The oracle's self-join shape would shuffle
+    # the distinct set twice and materialize the join; here the pair
+    # expansion is map-side array algebra after ONE shuffle by user
+    # (collect_set, then ordered pairs via transform+slice), so the only
+    # other exchange is the tiny per-pair count — with T event types the
+    # output is <= T(T-1)/2 rows regardless of input scale.
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    sets = (
+        ev.distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(F.col("types"), i + 2, F.size(F.col("types"))),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
+
+
 @register("hll_mergeable_distinct_events", None)  # rows-only: sketch estimate
 def hll_mergeable_distinct_events(spark, sf_dir):
     # Mergeable distinct-count sketches (Apache DataSketches HLL): build one
