@@ -116,3 +116,42 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1
+
+
+import pytest
+
+from weather_data_pipeline_spark.streaming.jobs import HAS_TWS_PROTO
+
+
+@pytest.mark.skipif(
+    not HAS_TWS_PROTO,
+    reason="transformWithState needs protobuf (not shipped in this container)",
+)
+def test_tws_type_counts_match_batch_truth(spark, sf_dir):
+    # the transformWithStateInPandas path (ValueState total + MapState
+    # per-type counts over RocksDB) must converge to the batch groupBy
+    # truth once the bounded stream drains
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.sources.tables import load_table
+    from weather_data_pipeline_spark.streaming import jobs as SJ
+
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.user_total)
+        for r in SJ.tws_user_type_counts(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want_counts = {
+        (r.user_id, r.event_type): r.n
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want_totals = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) == set(want_counts)
+    for (uid, et), (n, total) in got.items():
+        assert n == want_counts[(uid, et)], (uid, et)
+        assert total == want_totals[uid], uid

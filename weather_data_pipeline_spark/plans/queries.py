@@ -1663,6 +1663,17 @@ def streaming_stateful_user_counts(spark, sf_dir):
     return SJ.stateful_user_running_counts(spark, sf_dir)
 
 
+if SJ.HAS_TWS_PROTO:
+    # transformWithStateInPandas needs protobuf for its state protocol;
+    # register only where the runtime ships it (this container does not)
+
+    @register("streaming_tws_type_counts", None)  # rows-only: typed state
+    def streaming_tws_type_counts(spark, sf_dir):
+        # Spark 4 typed-state API: ValueState + MapState per user over
+        # RocksDB; final counts equal batch truth (tested)
+        return SJ.tws_user_type_counts(spark, sf_dir)
+
+
 @register("sql_api_q1", _Q1_SQL)
 def sql_api_q1(spark, sf_dir):
     # the SQL front door: identical Catalyst plan from spark.sql as from the

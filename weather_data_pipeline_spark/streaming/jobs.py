@@ -214,3 +214,106 @@ def run_stream_to_batch_append(df: DataFrame, spark: SparkSession) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+try:  # transformWithState's state-server protocol needs protobuf, which this
+    # container does not ship; gate the operator rather than pip-install
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS_PROTO = True
+except ImportError:
+    HAS_TWS_PROTO = False
+
+
+def tws_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user typed state via transformWithStateInPandas — Spark 4's
+    successor to applyInPandasWithState: instead of one monolithic state
+    tuple, the processor composes named state variables (here a ValueState
+    running total plus a MapState of per-event-type counts), each
+    independently evolvable and TTL-able. Requires the RocksDB state store
+    provider (state variables map to virtual column families), set for the
+    duration of the query and restored after.
+
+    Emits, on every micro-batch a user appears in, the user's full per-type
+    count map so far; the final emission per (user, type) equals the batch
+    groupBy truth (asserted in tests/test_streaming.py)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.total = handle.getValueState("total", "n long")
+            self.per_type = handle.getMapState("per_type", "t string", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            fresh: dict[str, int] = {}
+            n_new = 0
+            for pdf in rows:
+                n_new += len(pdf)
+                for t, c in pdf.groupby("event_type").size().items():
+                    fresh[t] = fresh.get(t, 0) + int(c)
+            prev = self.total.get()
+            total = (prev[0] if prev is not None else 0) + n_new
+            self.total.update((total,))
+            for t, c in fresh.items():
+                cur = self.per_type.getValue((t,))
+                self.per_type.updateValue((t,), ((cur[0] if cur else 0) + c,))
+            pairs = sorted((k[0], v[0]) for k, v in self.per_type.iterator())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(pairs),
+                    "event_type": [p[0] for p in pairs],
+                    "n_events": [p[1] for p in pairs],
+                    "user_total": [total] * len(pairs),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeCounts(),
+            outputStructType=(
+                "user_id long, event_type string, n_events long, user_total long"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = f"tws_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    # update-mode sink holds one emission per (user, batch); counts are
+    # monotone, so the final state per (user, type) is the max row
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("user_total"), F.desc("n_events")
+    )
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
