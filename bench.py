@@ -57,6 +57,8 @@ HEADLINE = [
     "chunk_documents",
     "bigram_lm_documents",
     "int8_quantize_embeddings",
+    "zscore_anomaly_events",
+    "cohort_retention_events",
 ]
 
 

@@ -95,3 +95,26 @@ def test_ann_recall_measured(spark, sf_dir):
         for r in S.ivf_topk(emb, qids, k=5, n_centroids=8, nprobe=4).collect()
     }
     assert ivf == ivf2
+
+
+def test_pq_encode_codes_and_distortion(spark, sf_dir):
+    # PQ codes: m codes per vector in [0, k); deterministic across runs;
+    # a 16-centroid codebook must reconstruct better than a 2-centroid one
+    # (MLlib KMeans requires k >= 2), or the clustering did nothing
+    from weather_data_pipeline_spark.operators import similarity as S
+    from weather_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.pq_encode(emb, m=4, k=16).collect()
+    assert len(out) == emb.count()
+    for r in out[:50]:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 16 for c in r.codes)
+        assert r.recon_err >= 0.0
+    out2 = {r.vec_id: (tuple(r.codes), r.recon_err) for r in S.pq_encode(emb, m=4, k=16).collect()}
+    assert {r.vec_id: (tuple(r.codes), r.recon_err) for r in out} == out2
+
+    mean_err_16 = sum(r.recon_err for r in out) / len(out)
+    base = S.pq_encode(emb, m=4, k=2).collect()
+    mean_err_2 = sum(r.recon_err for r in base) / len(base)
+    assert mean_err_16 < mean_err_2, (mean_err_16, mean_err_2)

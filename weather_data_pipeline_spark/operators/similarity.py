@@ -284,3 +284,74 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "cosine_sim", F.col("_rk").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+# --- Product quantization (PQ) ----------------------------------------------
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantize d-dim float vectors into m small integer codes (one
+    seeded-KMeans codebook per subspace) — the storage-side companion of the
+    IVF index above (IVF+PQ is the standard billion-scale ANN layout).
+
+    Returns one row per vector: (id, codes array<int>, recon_err double =
+    L2 distance between the vector and its codebook reconstruction).
+
+    Scale shape: the m codebooks are tiny (k centroids each) and train on a
+    sample; encoding is m broadcast hash joins against k-row codebook tables
+    plus array HOFs — no shuffle of the embedding table itself, so the plan
+    is a single map-side stage per subspace at 100 TB. Stored codes are m
+    bytes/vector (64 float32 dims → 4 bytes at m=4, 64× compression).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    d = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    assert d % m == 0, f"dim {d} not divisible into {m} subspaces"
+    sub = d // m
+
+    df = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    err_terms = []
+    for j in range(m):
+        sl = F.slice(F.col("_v"), j * sub + 1, sub)
+        df = df.withColumn(f"_sub{j}", array_to_vector(sl))
+        km = KMeans(
+            k=k,
+            seed=seed + j,
+            featuresCol=f"_sub{j}",
+            predictionCol=f"code_{j}",
+            initMode="k-means||",
+        )
+        model = km.fit(df)
+        df = model.transform(df)
+        codebook = spark.createDataFrame(
+            [(int(c), [float(x) for x in center]) for c, center in enumerate(model.clusterCenters())],
+            f"code_{j} int, _cent{j} array<double>",
+        )
+        df = df.join(F.broadcast(codebook), on=f"code_{j}")
+        # squared residual of this subspace: Σ (x_i - c_i)²
+        err_terms.append(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_v"), j * sub + 1, sub),
+                    F.col(f"_cent{j}"),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    total_sq = err_terms[0]
+    for t in err_terms[1:]:
+        total_sq = total_sq + t
+    return df.select(
+        id_col,
+        F.array(*[F.col(f"code_{j}") for j in range(m)]).alias("codes"),
+        F.sqrt(total_sq).alias("recon_err"),
+    )

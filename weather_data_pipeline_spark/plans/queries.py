@@ -4476,3 +4476,319 @@ def hll_mergeable_distinct_events(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series analytics batch: anomaly detection, changepoint, trend,
+# normalization — the monitoring/feature operators a metrics pipeline runs
+# per entity. Beyond-reference (the reference's closest surface is the
+# rolling-stat family, data_processor.py:101-116); each is a single-exchange
+# window plan (one hash partition on user_id / event_type serves every
+# window), so the shape survives a 1000-executor scale-up. Oracled with the
+# module-header decimal-exactness rules.
+# ---------------------------------------------------------------------------
+@register(
+    "zscore_anomaly_events",
+    ev_sql(f"""
+WITH stats AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / COUNT(value) OVER w AS m,
+         CASE WHEN COUNT(value) OVER w >= 12 THEN
+           sqrt(GREATEST(
+             (CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+              - CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                * CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                / CAST(COUNT(value) OVER w AS DOUBLE))
+             / (CAST(COUNT(value) OVER w AS DOUBLE) - 1.0), 0.0))
+         END AS s
+  FROM events
+  WINDOW w AS ({_EVW} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, ts, value, ROUND((value - m) / s, 6) AS zscore
+FROM stats
+WHERE s > 1e-9 AND abs(value - m) / s > 3.0
+"""),
+)
+def zscore_anomaly_events(spark, sf_dir):
+    # Rolling z-score anomaly flag: |value - trailing-24 mean| > 3 trailing
+    # stds (warm-up guard: >= 12 observations). Same decimal closed forms as
+    # rolling_std_events, so Spark and DuckDB see bit-identical m and s; the
+    # irrational zscore is rounded at 6 dp. One window exchange; the filter
+    # makes the output sparse (anomalies only) — at 100 TB this is the shape
+    # you sink to an alerting topic, not a full-table rewrite.
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    frame = _event_window().rowsBetween(-23, 0)
+    dec = F.col("value").cast("decimal(18,6)")
+    n = F.count("value").over(frame)
+    s1 = F.sum(dec).over(frame).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)")).over(frame).cast("double")
+    m = s1 / n
+    var = (s2 - s1 * s1 / n.cast("double")) / (n.cast("double") - F.lit(1.0))
+    s = F.when(n >= 12, F.sqrt(F.greatest(var, F.lit(0.0))))
+    z = (F.col("value") - m) / s
+    return (
+        ev.withColumn("m", m)
+        .withColumn("s", s)
+        .where((F.col("s") > 1e-9) & (F.abs(F.col("value") - F.col("m")) / F.col("s") > 3.0))
+        .select("event_id", "user_id", "ts", "value",
+                F.round((F.col("value") - F.col("m")) / F.col("s"), 6).alias("zscore"))
+    )
+
+
+@register(
+    "seasonal_baseline_events",
+    ev_sql("""
+WITH b AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hour_of_day, value,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER h AS DOUBLE)
+           / COUNT(value) OVER h AS hour_mean
+  FROM events
+  WINDOW h AS (PARTITION BY event_type, CAST(hour(ts) AS INT)))
+SELECT event_id, event_type, hour_of_day, value,
+       hour_mean, value - hour_mean AS deviation
+FROM b
+"""),
+)
+def seasonal_baseline_events(spark, sf_dir):
+    # Seasonal (hour-of-day) baseline deviation: each event vs the mean of
+    # its (event_type, hour-of-day) cell — the "is this value unusual FOR
+    # 3am" anomaly primitive. Whole-partition window, no ORDER BY → no sort;
+    # the mean is a decimal-exact double so the deviation is bit-identical.
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "event_type", F.hour("ts").cast("int").alias("hour_of_day"), "value"
+    )
+    h = Window.partitionBy("event_type", "hour_of_day")
+    hour_mean = (
+        F.sum(F.col("value").cast("decimal(18,6)")).over(h).cast("double")
+        / F.count("value").over(h)
+    )
+    return base.withColumn("hour_mean", hour_mean).withColumn(
+        "deviation", F.col("value") - F.col("hour_mean")
+    )
+
+
+@register(
+    "cusum_changepoint_events",
+    ev_sql(f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER run AS DOUBLE)
+           - (ROW_NUMBER() OVER run)
+             * (CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER u AS DOUBLE)
+                / COUNT(value) OVER u) AS cusum
+  FROM events
+  WINDOW run AS ({_EVW} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         u AS (PARTITION BY user_id)),
+r AS (
+  SELECT user_id, ts, event_id, cusum,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY abs(cusum) DESC, ts, event_id) AS rn
+  FROM c)
+SELECT user_id, ts AS cp_ts, event_id AS cp_event_id, cusum AS cp_cusum
+FROM r WHERE rn = 1 ORDER BY user_id
+"""),
+)
+def cusum_changepoint_events(spark, sf_dir):
+    # CUSUM changepoint candidate per entity: the row where the cumulative
+    # deviation from the series mean peaks (classic mean-shift detector).
+    # Running decimal sum minus i*mean keeps every intermediate bit-identical
+    # across engines; both the running and the whole-partition window reuse
+    # ONE user_id exchange, and the argmax is a row_number over the same
+    # partitioning — three windows, one shuffle.
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    run = _event_window().rowsBetween(Window.unboundedPreceding, 0)
+    u = Window.partitionBy("user_id")
+    dec = F.col("value").cast("decimal(18,6)")
+    mean = F.sum(dec).over(u).cast("double") / F.count("value").over(u)
+    cusum = (
+        F.sum(dec).over(run).cast("double")
+        - F.row_number().over(_event_window()).cast("double") * mean
+    )
+    c = ev.withColumn("cusum", cusum)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.abs(F.col("cusum")).desc(), "ts", "event_id")
+    )
+    return (
+        c.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("cp_ts"),
+            F.col("event_id").alias("cp_event_id"),
+            F.col("cusum").alias("cp_cusum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "trend_slope_events",
+    ev_sql("""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+         MIN(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS sec0
+  FROM events),
+s AS (
+  SELECT user_id,
+         COUNT(*) AS n_obs,
+         CAST(SUM(CAST(CAST(sec - sec0 AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(sec - sec0 AS DOUBLE) * value AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(sec - sec0 AS DOUBLE) * CAST(sec - sec0 AS DOUBLE)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM t GROUP BY user_id)
+SELECT user_id, n_obs,
+       CASE WHEN n_obs >= 2 AND (n_obs * sxx - sx * sx) > 0 THEN
+         ROUND((n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx) * 86400.0, 6)
+       END AS slope_per_day
+FROM s ORDER BY user_id
+"""),
+)
+def trend_slope_events(spark, sf_dir):
+    # Per-entity OLS trend (value vs event time): closed-form slope from
+    # decimal-exact moment sums — the distributed twin of the reference's
+    # driver-side sklearn LinearRegression fit (weather_predictor.py:198),
+    # and DuckDB's regr_slope, but order-independent: x is centered on the
+    # per-user min BEFORE squaring so the double moments stay inside 53 bits,
+    # then each product is quantized to DECIMAL(38,6) so partial aggregation
+    # order (1 core or 1000 executors) cannot change the result. Slope is
+    # rescaled to per-day and rounded (irrational division).
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sec = F.col("ts").cast("long")
+    u = Window.partitionBy("user_id")
+    t = ev.select(
+        "user_id",
+        sec.alias("sec"),
+        "value",
+    ).withColumn("sec0", F.min("sec").over(u))
+    x = (F.col("sec") - F.col("sec0")).cast("double")
+    s = t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(x.cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((x * F.col("value")).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    n = F.col("n_obs").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        (F.col("n_obs") >= 2) & (denom > 0),
+        F.round((n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom * 86400.0, 6),
+    )
+    return s.select("user_id", "n_obs", slope.alias("slope_per_day")).orderBy("user_id")
+
+
+@register(
+    "minmax_normalize_events",
+    ev_sql("""
+SELECT event_id, event_type, value,
+       CASE WHEN mx > mn THEN (value - mn) / (mx - mn) END AS value_norm
+FROM (SELECT event_id, event_type, value,
+             MIN(value) OVER (PARTITION BY event_type) AS mn,
+             MAX(value) OVER (PARTITION BY event_type) AS mx
+      FROM events)
+"""),
+)
+def minmax_normalize_events(spark, sf_dir):
+    # Per-group min-max feature scaling (the MinMaxScaler sibling of
+    # standardize_value_events / reference E2-E3): min/max are exact, the
+    # ratio is deterministic IEEE — no rounding needed. Degenerate groups
+    # (mx == mn) yield NULL, not a 0/0 NaN.
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    g = Window.partitionBy("event_type")
+    mn, mx = F.min("value").over(g), F.max("value").over(g)
+    norm = F.when(mx > mn, (F.col("value") - mn) / (mx - mn))
+    return ev.withColumn("value_norm", norm)
+
+
+@register(
+    "drawdown_events",
+    ev_sql(f"""
+WITH r AS (
+  SELECT user_id, value,
+         MAX(value) OVER ({_EVW}
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+  FROM events)
+SELECT user_id,
+       MAX(run_max - value) AS max_drawdown,
+       MAX(run_max) AS peak_value
+FROM r GROUP BY user_id ORDER BY user_id
+"""),
+)
+def drawdown_events(spark, sf_dir):
+    # Running-peak drawdown per entity (the classic "how far below the
+    # best-so-far did the series fall" analytic). Exact: running max is
+    # order-defined, subtraction of identical doubles is deterministic.
+    # The window and the final groupBy share the user_id exchange.
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    run = _event_window().rowsBetween(Window.unboundedPreceding, 0)
+    r = ev.withColumn("run_max", F.max("value").over(run))
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.max(F.col("run_max") - F.col("value")).alias("max_drawdown"),
+            F.max("run_max").alias("peak_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register("pq_codes_embeddings", None)  # rows-only: KMeans codebooks, not SQL
+def pq_codes_embeddings(spark, sf_dir):
+    # Product quantization of the embedding store (IVF+PQ layout): 4
+    # subspaces x 16-centroid seeded codebooks -> 4 codes/vector + the L2
+    # reconstruction error. Deterministic given the seed (tested); quality
+    # (PQ beats the 1-centroid degenerate codebook) is gated in tests.
+    return S.pq_encode(
+        _t(spark, sf_dir, "embeddings"), m=4, k=16
+    ).orderBy("vec_id")
+
+
+@register(
+    "cohort_retention_events",
+    ev_sql("""
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS INT)
+           AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+       week_offset, COUNT(*) AS n_users
+FROM a GROUP BY cohort_day, week_offset
+ORDER BY cohort_day, week_offset
+"""),
+)
+def cohort_retention_events(spark, sf_dir):
+    # Cohort retention matrix (the classic product-analytics query): users
+    # bucketed by first-seen day, counted once per (cohort, week-offset)
+    # cell. Two aggregations share the user_id exchange (min-date then
+    # distinct), and the cohort lookup joins back on the same key — at
+    # 100 TB the first-seen table is small (|users|) and broadcastable,
+    # while the fact table shuffles once on user_id.
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_day", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_day", "week_offset")
+    )
