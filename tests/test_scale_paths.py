@@ -133,3 +133,15 @@ def _cleanup_warehouse(spark):
     yield
     for t in ("li_b", "ord_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cms_heavy_hitters_never_undercount(spark, sf_dir):
+    # count-min sketch estimates are biased high by construction; at
+    # eps=1e-4 over these cardinalities the top-10 should be near-exact
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["cms_heavy_hitters_events"].spark(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.est_n >= r.exact_n, (r.user_id, r.est_n, r.exact_n)
+        assert r.overcount_ratio <= 0.01, (r.user_id, r.overcount_ratio)

@@ -4519,15 +4519,21 @@ def zscore_anomaly_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     frame = _event_window().rowsBetween(-23, 0)
     dec = F.col("value").cast("decimal(18,6)")
-    n = F.count("value").over(frame)
-    s1 = F.sum(dec).over(frame).cast("double")
-    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)")).over(frame).cast("double")
-    m = s1 / n
-    var = (s2 - s1 * s1 / n.cast("double")) / (n.cast("double") - F.lit(1.0))
-    s = F.when(n >= 12, F.sqrt(F.greatest(var, F.lit(0.0))))
-    z = (F.col("value") - m) / s
+    # one Window node: the three primitives computed exactly once, the
+    # scalar algebra derived from the materialized columns afterwards
+    prims = ev.withColumns({
+        "_n": F.count("value").over(frame),
+        "_s1": F.sum(dec).over(frame).cast("double"),
+        "_s2": F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+        .over(frame)
+        .cast("double"),
+    })
+    n = F.col("_n").cast("double")
+    m = F.col("_s1") / F.col("_n")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - F.lit(1.0))
+    s = F.when(F.col("_n") >= 12, F.sqrt(F.greatest(var, F.lit(0.0))))
     return (
-        ev.withColumn("m", m)
+        prims.withColumn("m", m)
         .withColumn("s", s)
         .where((F.col("s") > 1e-9) & (F.abs(F.col("value") - F.col("m")) / F.col("s") > 3.0))
         .select("event_id", "user_id", "ts", "value",
@@ -4792,3 +4798,155 @@ def cohort_retention_events(spark, sf_dir):
         )
         .orderBy("cohort_day", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence / sampling / sketch batch: Markov transitions, inter-arrival
+# stats, deterministic weighted sampling, count-min heavy hitters.
+# ---------------------------------------------------------------------------
+@register(
+    "event_transition_probs_events",
+    ev_sql(f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER ({_EVW}) AS prev_type
+  FROM events),
+c AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+FROM c ORDER BY prev_type, next_type
+"""),
+)
+def event_transition_probs_events(spark, sf_dir):
+    # First-order Markov transition matrix over per-user event sequences:
+    # P(next_type | prev_type) — the event-stream sibling of
+    # bigram_lm_documents. The lag shuffles once on user_id; the transition
+    # counts then aggregate over a tiny (|types|²) key space, so the second
+    # exchange is negligible at any scale, and the normalizing SUM runs as a
+    # window over the already-aggregated counts (no second fact scan).
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(_event_window()))
+    c = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("prev_type"))
+    return c.withColumn("p", p).orderBy("prev_type", "next_type")
+
+
+@register(
+    "inter_event_gap_stats_events",
+    ev_sql(f"""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_EVW}) AS gap_us
+  FROM events)
+SELECT event_type,
+       COUNT(gap_us) AS n_gaps,
+       CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / COUNT(gap_us) / 1000000.0
+         AS mean_gap_s,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""),
+)
+def inter_event_gap_stats_events(spark, sf_dir):
+    # Inter-arrival-time distribution per event type (sampling-cadence /
+    # burstiness census): gaps are exact integer microseconds from one lag
+    # window, so the sum is overflow-safe int64 and the mean is the same
+    # IEEE division chain in both engines — no decimal needed. The window
+    # shuffles on user_id; the 5-type aggregation is map-side combinable.
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    us = F.unix_micros(F.col("ts"))
+    g = ev.withColumn("gap_us", us - F.lag(us).over(_event_window())).where(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1000000.0)).alias(
+                "mean_gap_s"
+            ),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "weighted_sample_documents",
+    f"""
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         pow(CAST({_ID_HASH} % 1073741824 AS DOUBLE) / 1073741824.0,
+             1.0 / n_chars) AS key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, source, n_chars, CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rnk FROM k)
+WHERE rnk <= 20 ORDER BY rnk
+""",
+)
+def weighted_sample_documents(spark, sf_dir):
+    # Deterministic weighted sampling without replacement (Efraimidis-
+    # Spirakis A-Res): each doc draws u from its content-stable md5 hash
+    # and ranks by u^(1/weight), weight = n_chars — longer docs win
+    # proportionally more often, yet the draw is reproducible across runs
+    # AND engines (no RNG state). Spark plans the top-k as
+    # TakeOrderedAndProject: a map-side per-partition heap + tiny driver
+    # merge, no global sort — the 100 TB-safe shape. Rank is assigned after
+    # the 20-row cut, so the row_number window is on a trivial frame.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars").where(
+        F.col("n_chars") > 0
+    )
+    u = (X.portable_token_hash(F.col("doc_id").cast("string")) % 1073741824).cast(
+        "double"
+    ) / F.lit(1073741824.0)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    top = d.withColumn("key", key).orderBy(F.desc("key"), "doc_id").limit(20)
+    rank = F.row_number().over(Window.orderBy(F.desc("key"), "doc_id"))
+    return top.withColumn("rank", rank).select("doc_id", "source", "n_chars", "rank")
+
+
+@register("cms_heavy_hitters_events", None)  # rows-only: sketch estimate
+def cms_heavy_hitters_events(spark, sf_dir):
+    # Count-min-sketch heavy hitters: estimate per-user event counts from a
+    # fixed-size mergeable sketch and compare against the exact top-10 —
+    # the frequency-sketch companion of hll_mergeable_distinct_events. At
+    # 100 TB the sketch is built with one map-side-combinable pass (each
+    # partition sketches locally, sketches merge associatively) and is
+    # persisted; any key's frequency is then answered without rescanning.
+    # CMS never under-counts (estimate >= truth) — gated in tests.
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sk = ev.agg(
+        F.count_min_sketch("user_id", F.lit(0.0001), F.lit(0.99), F.lit(42)).alias("s")
+    ).first()["s"]
+    jvm = spark._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+        .collect()
+    )
+    rows = [
+        (r.user_id, r.exact_n, int(sketch.estimateCount(r.user_id))) for r in top
+    ]
+    out = spark.createDataFrame(rows, "user_id long, exact_n long, est_n long")
+    return out.select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        ((F.col("est_n") - F.col("exact_n")).cast("double") / F.col("exact_n")).alias(
+            "overcount_ratio"
+        ),
+    ).orderBy(F.desc("exact_n"), "user_id")
