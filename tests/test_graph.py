@@ -41,3 +41,18 @@ def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(6)], "s long, d long")
     with pytest.raises(RuntimeError):
         connected_components(df, max_iter=1)
+
+
+def test_pagerank_star_graph(spark):
+    # star: 1..4 all point at 0; 0 points at 1. Hub 0 must dominate, the
+    # reciprocal spoke 1 must beat the pure leaves 2/3/4 (which tie), and
+    # the renormalized ranks must sum to 1.
+    from weather_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)], "s long, d long"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, n_iter=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[0] > ranks[1] > ranks[2]
+    assert abs(ranks[2] - ranks[3]) < 1e-12 and abs(ranks[3] - ranks[4]) < 1e-12

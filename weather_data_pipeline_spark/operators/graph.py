@@ -63,3 +63,58 @@ def component_sizes(cc: DataFrame) -> DataFrame:
     """Attach component_size to a (node, component) frame."""
     w = Window.partitionBy("component")
     return cc.withColumn("component_size", F.count(F.lit(1)).over(w).cast("long"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "d",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank on a directed edge set: (node, rank).
+
+    Same BSP shape as connected_components: each iteration is one join of
+    contributions (rank/out_degree) along edges plus one sum-aggregate, both
+    shuffling on the node key; `localCheckpoint` truncates the per-round
+    lineage. Dangling nodes (no out-edges) leak their mass — the classic
+    simplification — so ranks are renormalized by the retained total each
+    round, keeping the vector a distribution. Fixed n_iter (no tolerance
+    loop): the driver never sees per-node data, only schedules rounds.
+
+    Ranks are deterministic for a fixed iteration count up to float
+    associativity; tests pin a hand-checkable graph, not bit equality.
+    """
+    nodes = (
+        edges.selectExpr(f"{src} AS node")
+        .union(edges.selectExpr(f"{dst} AS node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    out_deg = (
+        edges.selectExpr(f"{src} AS node").groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    ed = edges.selectExpr(f"{src} AS s", f"{dst} AS d").localCheckpoint()
+    for _ in range(n_iter):
+        contribs = (
+            ed.join(ranks.withColumnRenamed("node", "s"), "s")
+            .join(out_deg.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        incoming = contribs.groupBy("node").agg(F.sum("c").alias("in_sum"))
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        total = ranks.agg(F.sum("rank")).first()[0]
+        ranks = ranks.withColumn("rank", F.col("rank") / F.lit(total)).localCheckpoint()
+    return ranks

@@ -4950,3 +4950,104 @@ def cms_heavy_hitters_events(spark, sf_dir):
             "overcount_ratio"
         ),
     ).orderBy(F.desc("exact_n"), "user_id")
+
+
+@register("pagerank_neardup_documents", None)  # rows-only: iterative float alg
+def pagerank_neardup_documents(spark, sf_dir):
+    # PageRank centrality over the shingle-Jaccard near-dup graph (doubled
+    # to undirected): ranks the "hub" documents inside duplicate clusters —
+    # the doc most templates derive from. Same BSP join+agg supersteps as
+    # connected_components (operators/graph.py), fixed 10 iterations,
+    # lineage truncated per round. Output: top 20 nodes by rank.
+    from ..operators.graph import pagerank
+
+    edges = (
+        REGISTRY["shingle_jaccard_pairs_documents"]
+        .spark(spark, sf_dir)
+        .select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    )
+    pr = pagerank(edges.union(edges.selectExpr("d AS s", "s AS d")), n_iter=10)
+    return (
+        pr.select(F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "pmi_collocations_documents",
+    """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0),
+uni AS (
+  SELECT unnest(w) AS word FROM toks),
+uc AS (SELECT word, COUNT(*) AS n_w FROM uni GROUP BY word),
+n1 AS (SELECT SUM(n_w) AS total_uni FROM uc),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM toks, (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2),
+bc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2),
+n2 AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS total_bi FROM bc)
+SELECT w1, w2, n_pair,
+       ROUND(LN(
+         (CAST(n_pair AS DOUBLE) / total_bi)
+         / ((CAST(a.n_w AS DOUBLE) / total_uni) * (CAST(b.n_w AS DOUBLE) / total_uni))
+       ), 6) AS pmi
+FROM bc
+JOIN uc a ON bc.w1 = a.word
+JOIN uc b ON bc.w2 = b.word
+CROSS JOIN n1 CROSS JOIN n2
+WHERE n_pair >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 30
+""",
+)
+def pmi_collocations_documents(spark, sf_dir):
+    # Pointwise mutual information collocations: word pairs that co-occur
+    # far more than their unigram frequencies predict — the phrase-mining /
+    # tokenizer-merge-candidate pass of a corpus pipeline. Unigram and
+    # bigram counts each aggregate map-side; the PMI join hits two
+    # broadcastable vocab tables (Zipf: vocab << corpus); the final
+    # irrational LN is rounded at 6dp for engine parity. n_pair >= 5 keeps
+    # the collocation list statistically meaningful and the top-k tiny.
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = d.select(F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
+    uni = toks.select(F.explode("w").alias("word"))
+    uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    uc = uc.withColumn("total_uni", F.sum("n_w").over(Window.partitionBy()))
+    pairs = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    bc = bc.withColumn("total_bi", F.sum("n_pair").over(Window.partitionBy()))
+    a = uc.select(F.col("word").alias("w1"), F.col("n_w").alias("n_w1"), "total_uni")
+    b = uc.select(F.col("word").alias("w2"), F.col("n_w").alias("n_w2"))
+    j = (
+        bc.where(F.col("n_pair") >= 5)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") / F.col("total_bi"))
+            / (
+                (F.col("n_w1").cast("double") / F.col("total_uni"))
+                * (F.col("n_w2").cast("double") / F.col("total_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        j.select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(30)
+    )
