@@ -81,3 +81,68 @@ def test_range_sorted_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # no overlap between consecutive files
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from weather_data_pipeline_spark.sources.tables import zorder_key
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (255, 0)], "x long, y long")
+    got = [
+        r.k
+        for r in df.select(
+            zorder_key(F.col("x"), F.col("y"), bits=8).alias("k")
+        ).collect()
+    ]
+    # x=0b11,y=0b01 -> bit0=x0,bit1=y0,bit2=x1,bit3=y1 = 0b0111
+    assert got == [0b0111, 0, 0b0101010101010101]
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    # for a box predicate selective on BOTH columns, z-order must overlap
+    # no more files than a single-column range sort (whose second-column
+    # stats span everything), and must actually skip some files
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from weather_data_pipeline_spark.sources.tables import (
+        load_table,
+        write_range_sorted,
+        write_zorder_2d,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zpath, rpath = str(tmp_path / "zord"), str(tmp_path / "rsort")
+    write_zorder_2d(ev, zpath, "user_id", "value", n_files=16, bits=8)
+    write_range_sorted(ev, rpath, "user_id", 16)
+
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    u_lo = stats[0] + (stats[1] - stats[0]) * 2 // 5
+    u_hi = stats[0] + (stats[1] - stats[0]) * 3 // 5
+    v_lo = stats[2] + (stats[3] - stats[2]) * 2 / 5
+    v_hi = stats[2] + (stats[3] - stats[2]) * 3 / 5
+
+    def overlapping(path):
+        n = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            span = {}
+            for c in ("user_id", "value"):
+                st = [
+                    md.row_group(rg).column(idx[c]).statistics
+                    for rg in range(md.num_row_groups)
+                ]
+                span[c] = (min(s.min for s in st), max(s.max for s in st))
+            if span["user_id"][0] <= u_hi and span["user_id"][1] >= u_lo and \
+               span["value"][0] <= v_hi and span["value"][1] >= v_lo:
+                n += 1
+        return n
+
+    z_n, r_n = overlapping(zpath), overlapping(rpath)
+    n_z_files = len(glob.glob(f"{zpath}/*.parquet"))
+    assert spark.read.parquet(zpath).count() == ev.count()
+    assert z_n <= r_n, (z_n, r_n)
+    assert z_n < n_z_files, (z_n, n_z_files)

@@ -13,7 +13,7 @@ predicate pushdown intact); the ns→µs conversion is one codegen'd projection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
@@ -122,6 +122,59 @@ def write_range_sorted(
     (
         df.repartitionByRange(n_files, F.col(col))
         .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Interleave the low `bits` of two non-negative integer columns into a
+    Z-order (Morton) key — pure JVM bit arithmetic, no UDF."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
+def write_zorder_2d(
+    df: DataFrame, path: str, col_x: str, col_y: str, n_files: int, bits: int = 16
+) -> None:
+    """Z-order clustered parquet write: multi-dimensional data skipping.
+
+    `write_range_sorted` gives perfect skipping on ONE column but none on a
+    second; Z-ordering interleaves the bit patterns of two columns so files
+    cover compact rectangles in (x, y) space and footer min/max stats prune
+    on BOTH predicates — the standard lakehouse layout for two-column
+    selective scans (e.g. entity-id × event-time). Each column is first
+    quantized to `bits` buckets over its observed [min, max] (one tiny agg;
+    at 100 TB use static bounds or a sample), then rows are range-
+    partitioned and sorted by the interleaved Morton key.
+    """
+    mn_x, mx_x, mn_y, mx_y = df.agg(
+        F.min(col_x).cast("double"),
+        F.max(col_x).cast("double"),
+        F.min(col_y).cast("double"),
+        F.max(col_y).cast("double"),
+    ).first()
+    scale = float((1 << bits) - 1)
+
+    def bucket(c: str, mn: float, mx: float) -> Column:
+        span = (mx - mn) or 1.0
+        return F.least(
+            F.lit(scale),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(scale)),
+        ).cast("long")
+
+    key = zorder_key(bucket(col_x, mn_x, mx_x), bucket(col_y, mn_y, mx_y), bits)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
         .write.mode("overwrite")
         .parquet(path)
     )
