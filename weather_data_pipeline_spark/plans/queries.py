@@ -5051,3 +5051,109 @@ def pmi_collocations_documents(spark, sf_dir):
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(30)
     )
+
+
+@register(
+    "rolling_corr_events",
+    ev_sql(f"""
+WITH lagged AS (
+  SELECT event_id, user_id, ts, value AS x,
+         LAG(value) OVER ({_EVW}) AS y
+  FROM events),
+sums AS (
+  SELECT event_id, user_id, ts,
+         COUNT(y) OVER w AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,6))) FILTER (WHERE y IS NOT NULL) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(18,6))) FILTER (WHERE y IS NOT NULL) OVER w AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy
+  FROM lagged
+  WINDOW w AS ({_EVW} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, ts,
+       CASE WHEN n >= 12
+             AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         ROUND((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS autocorr_lag1_24
+FROM sums
+"""),
+)
+def rolling_corr_events(spark, sf_dir):
+    # Trailing 24-row lag-1 autocorrelation per entity (the rolling
+    # BIVARIATE stat the reference's rolling family lacks): Pearson r
+    # between value and its lag over the trailing window, from the same
+    # decimal-exact moment sums as rolling_std_events. The lag window and
+    # the five rolling sums share one user_id exchange + one sort; pairs
+    # where the lag is null (group head) are excluded from BOTH sides via
+    # the FILTER twin of a null-masked x. Warm-up guard n >= 12; the
+    # irrational r is rounded at 6 dp.
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    lagged = ev.select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("x"),
+        F.lag("value").over(_event_window()).alias("y"),
+    )
+    w = _event_window().rowsBetween(-23, 0)
+    xm = F.when(F.col("y").isNotNull(), F.col("x"))  # pairwise-complete x
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    sums = lagged.withColumns({
+        "_n": F.count("y").over(w),
+        "_sx": F.sum(dec(xm)).over(w).cast("double"),
+        "_sy": F.sum(dec(F.col("y"))).over(w).cast("double"),
+        "_sxx": F.sum(dec(xm * xm)).over(w).cast("double"),
+        "_syy": F.sum(dec(F.col("y") * F.col("y"))).over(w).cast("double"),
+        "_sxy": F.sum(dec(F.col("x") * F.col("y"))).over(w).cast("double"),
+    })
+    n = F.col("_n").cast("double")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = F.when(
+        (F.col("_n") >= 12) & (vx > 0) & (vy > 0),
+        F.round((n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / F.sqrt(vx * vy), 6),
+    )
+    return sums.select("event_id", "user_id", "ts", r.alias("autocorr_lag1_24"))
+
+
+@register(
+    "benford_digit_quality_events",
+    ev_sql("""
+WITH pos AS (SELECT value FROM events WHERE value > 0),
+d0 AS (
+  SELECT CAST(FLOOR(value / POW(10.0, FLOOR(LOG10(value)))) AS INT) AS d
+  FROM pos),
+d AS (
+  SELECT CASE WHEN d = 10 THEN 1 WHEN d = 0 THEN 9 ELSE d END AS digit
+  FROM d0),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / total AS obs_freq,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_freq
+FROM c CROSS JOIN t ORDER BY digit
+"""),
+)
+def benford_digit_quality_events(spark, sf_dir):
+    # Benford leading-digit census — the fraud/corruption screen in a data-
+    # quality suite (reference's closest surface: the VALID_RANGES physical
+    # checks, data_processor.py:316-328). The leading digit comes from
+    # FLOOR(v / 10^FLOOR(log10 v)) (both engines return exact log10 on
+    # powers of ten; the 10→1 / 0→9 CASE absorbs the one-ulp edge), a pure
+    # map expression; the census is a 9-key map-side-combinable agg.
+    ev = _t(spark, sf_dir, "events").select("value").where(F.col("value") > 0)
+    d0 = ev.select(
+        F.floor(F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value"))))
+        .cast("int")
+        .alias("d")
+    )
+    d = d0.select(
+        F.when(F.col("d") == 10, 1).when(F.col("d") == 0, 9).otherwise(F.col("d")).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    c = c.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    return c.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("obs_freq"),
+        F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias("benford_freq"),
+    ).orderBy("digit")
