@@ -375,3 +375,28 @@ def test_cooccurrence_expands_pairs_map_side(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("events.parquet") == 1
     assert "Join" not in plan
+
+
+def test_zscore_single_window_single_exchange(spark, sf_dir):
+    # the three rolling primitives (count, sum, sum-of-squares) must land in
+    # ONE Window node over ONE user_id exchange — no duplicated frames
+    df = REGISTRY["zscore_anomaly_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count(") Window") == 1
+
+
+def test_rolling_corr_shares_lag_exchange(spark, sf_dir):
+    # the lag window and the five rolling-moment windows reuse the same
+    # user_id partitioning: one exchange for the whole bivariate stat
+    df = REGISTRY["rolling_corr_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_cusum_single_user_exchange(spark, sf_dir):
+    # running sum, whole-partition mean, and the argmax row_number all hash
+    # by user_id once
+    df = REGISTRY["cusum_changepoint_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") == 1

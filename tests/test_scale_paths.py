@@ -145,3 +145,22 @@ def test_cms_heavy_hitters_never_undercount(spark, sf_dir):
     for r in rows:
         assert r.est_n >= r.exact_n, (r.user_id, r.est_n, r.exact_n)
         assert r.overcount_ratio <= 0.01, (r.user_id, r.overcount_ratio)
+
+
+def test_fpgrowth_pairs_match_cooccurrence_oracle(spark, sf_dir):
+    # FP-Growth's size-2 itemsets must carry exactly the per-pair user
+    # counts the (DuckDB-oracled) co-occurrence query computes
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    fp = {
+        tuple(r.items): r.n_users
+        for r in REGISTRY["fpgrowth_itemsets_events"].spark(spark, sf_dir).collect()
+        if len(r.items) == 2
+    }
+    co = {
+        (r.type_a, r.type_b): r.n_users
+        for r in REGISTRY["event_type_cooccurrence"].spark(spark, sf_dir).collect()
+    }
+    assert fp, "no pair itemsets above support threshold"
+    for pair, n in fp.items():
+        assert co.get(tuple(sorted(pair))) == n, (pair, n)

@@ -5157,3 +5157,24 @@ def benford_digit_quality_events(spark, sf_dir):
         (F.col("n").cast("double") / F.col("total")).alias("obs_freq"),
         F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias("benford_freq"),
     ).orderBy("digit")
+
+
+@register("fpgrowth_itemsets_events", None)  # rows-only: MLlib FP-Growth
+def fpgrowth_itemsets_events(spark, sf_dir):
+    # Frequent itemsets over per-user event-type baskets (MLlib FP-Growth):
+    # the general-arity market-basket operator whose pair slice is exactly
+    # event_type_cooccurrence — tests cross-validate the two, giving the
+    # MLlib path an exact-count oracle by proxy. Baskets form with one
+    # user_id agg (collect_set); FP-Growth then mines the tiny distinct-
+    # basket space. Counts are exact, so output is deterministic.
+    from pyspark.ml.fpm import FPGrowth
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    baskets = ev.groupBy("user_id").agg(F.collect_set("event_type").alias("items"))
+    model = FPGrowth(itemsCol="items", minSupport=0.2, minConfidence=0.5).fit(baskets)
+    return (
+        model.freqItemsets.select(
+            F.array_sort("items").alias("items"), F.col("freq").cast("long").alias("n_users")
+        )
+        .orderBy(F.size("items"), F.col("items").cast("string"))
+    )
