@@ -139,3 +139,30 @@ def test_predict_latest_single_entity(spark, feats):
     import math
 
     assert math.isfinite(out[0].predicted_temperature)
+
+
+def test_strip_training_summary_prevents_observation_capture(spark):
+    # regression (Spark 4.1): any df.observe() initializes the session's
+    # lazy ObservationManager; a fitted classifier's trainingSummary then
+    # drags session -> manager into the transform task closure and dies
+    # with NotSerializableException. strip_training_summary severs that.
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import Observation
+
+    from weather_data_pipeline_spark.ml.models import strip_training_summary
+
+    obs = Observation("probe_obs")
+    spark.range(5).observe(obs, F.count(F.lit(1)).alias("n")).count()
+    assert obs.get["n"] == 5
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 2).cast("double").alias("label"),
+    )
+    vec = VectorAssembler(inputCols=["x"], outputCol="features").transform(df)
+    m = strip_training_summary(RandomForestClassifier(numTrees=3, seed=1).fit(vec))
+    assert not m.hasSummary
+    auc = BinaryClassificationEvaluator().evaluate(m.transform(vec))
+    assert 0.0 <= auc <= 1.0

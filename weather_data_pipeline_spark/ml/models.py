@@ -59,6 +59,33 @@ EXCLUDED_FEATURE_COLS = {
 LABEL_COL = "temperature_future"
 
 
+def strip_training_summary(model):
+    """Drop MLlib training summaries from a fitted model (PipelineModel
+    stages included) and return the model.
+
+    Spark 4.1 workaround: summaries (e.g. BinaryRandomForestClassification-
+    TrainingSummaryImpl) hold the SparkSession, whose lazy
+    `observationManager` field — once initialized by ANY `df.observe()` in
+    the session — is NOT serializable. A later `model.transform` then dies
+    in task-closure serialization with
+    `NotSerializableException: ObservationManager`. We never read the
+    summaries (metrics come from evaluators), so dropping them keeps the
+    model's closure session-free and serialization-safe.
+    """
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
+    stages = getattr(model, "stages", None) or [model]
+    for st in stages:
+        jo = getattr(st, "_java_obj", None)
+        if jo is not None and hasattr(jo, "setSummary"):
+            try:
+                jo.setSummary(jvm.scala.Option.empty())
+            except Exception:
+                pass  # model type without a scala setSummary — nothing to strip
+    return model
+
+
 def feature_columns(df: DataFrame, max_null_ratio: float = 0.3) -> list[str]:
     """M1 feature selection (reference `weather_predictor.py:40-59`): numeric
     columns minus ids/labels/raw categoricals, dropping columns over the null
@@ -163,7 +190,7 @@ def train_regressors(
     results = []
     for name, reg in regressor_suite(fast).items():
         pipe = Pipeline(stages=feature_pipeline(cols).getStages() + [reg])
-        model = pipe.fit(filled_train)
+        model = strip_training_summary(pipe.fit(filled_train))
         m = {}
         m.update(_evaluate(model.transform(filled_train), "train"))
         m.update(_evaluate(model.transform(filled_test), "test"))
@@ -201,7 +228,7 @@ def train_rain_classifier(
         seed=42,
     )
     pipe = Pipeline(stages=feature_pipeline(cols).getStages() + [clf])
-    model = pipe.fit(tr)
+    model = strip_training_summary(pipe.fit(tr))
     pred = model.transform(te)
     metrics = {
         "roc_auc": float(
@@ -245,7 +272,7 @@ def stacking_ensemble(
     fitted = {}
     for n, reg in bases.items():
         pipe = Pipeline(stages=feature_pipeline(cols).getStages() + [reg])
-        fitted[n] = pipe.fit(tr)
+        fitted[n] = strip_training_summary(pipe.fit(tr))
 
     def add_base_preds(df: DataFrame) -> DataFrame:
         out = df
@@ -265,7 +292,7 @@ def stacking_ensemble(
             LinearRegression(featuresCol="features", labelCol=LABEL_COL),
         ]
     )
-    meta_model = meta_pipe.fit(meta_train)
+    meta_model = strip_training_summary(meta_pipe.fit(meta_train))
     metrics = _evaluate(meta_model.transform(meta_test), "test")
     tr.unpersist()
     return TrainedModel("stacking", meta_model, metrics)
@@ -292,7 +319,9 @@ def grid_search_gbt(
         parallelism=4,
         seed=42,
     )
-    return cv.fit(train.fillna(0, subset=cols))
+    cvm = cv.fit(train.fillna(0, subset=cols))
+    strip_training_summary(cvm.bestModel)
+    return cvm
 
 
 def feature_importances(model: TrainedModel, cols: list[str]) -> list[tuple[str, float]]:
