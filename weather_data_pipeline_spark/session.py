@@ -70,7 +70,9 @@ def get_spark(
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Read every star-schema table under ``sf_dir`` as a DataFrame."""
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    from .sources.tables import load_table
+
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

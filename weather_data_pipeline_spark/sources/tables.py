@@ -25,7 +25,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _ntz_to_ltz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to plain TimestampType.
+
+    The driver's parquet stores tz-naive timestamps; with the session tz
+    pinned to UTC the cast is a pure wall-clock reinterpretation (same
+    values), and keeps one timestamp type across the whole engine — the
+    JSON/CSV format options, window(), and streaming watermarks all key off
+    the LTZ type.
+    """
+    ntz = [f.name for f in df.schema.fields if f.dataType.simpleString() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,7 +49,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _ntz_to_ltz(df)
 
 
 def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:

@@ -27,7 +27,7 @@ from ..sources.weather_ingest import upsert_parquet
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns in the parquet; converted below
+        T.StructField("ts", T.TimestampNTZType()),  # tz-naive in the parquet
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -37,7 +37,11 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet with µs event time."""
+    """File-source stream over the events parquet with µs event time.
+
+    The NTZ→LTZ cast (UTC session) gives watermarks/windows the LTZ type
+    they key off, with identical wall-clock values to the batch loader.
+    """
     spark.conf.set(NANOS_CONF, "true")
     # file stream sources need a directory; glob-filter to the events file
     raw = (
@@ -45,7 +49,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
