@@ -91,6 +91,72 @@ def test_upsert_accumulates_and_replaces(spark, tmp_path):
     }
 
 
+def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "weather_part")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "city string, timestamp string, temperature double, created_at string",
+        ).select(
+            "city",
+            F.to_timestamp("timestamp").alias("timestamp"),
+            "temperature",
+            F.to_timestamp("created_at").alias("created_at"),
+        )
+
+    def part_files(day):
+        d = os.path.join(path, f"part_day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    WI.upsert_parquet_partitioned(
+        mk(
+            [
+                ("a", "2024-01-01 00:00:00", 1.0, "2024-01-01 01:00:00"),
+                ("a", "2024-01-02 00:00:00", 2.0, "2024-01-02 01:00:00"),
+            ]
+        ),
+        path,
+    )
+    day1_before = part_files("2024-01-01")
+    # merge touching only day 2: replace one key, add one key
+    WI.upsert_parquet_partitioned(
+        mk(
+            [
+                ("a", "2024-01-02 00:00:00", 9.0, "2024-01-02 02:00:00"),
+                ("b", "2024-01-02 12:00:00", 5.0, "2024-01-02 02:00:00"),
+            ]
+        ),
+        path,
+    )
+    # untouched partition's files are byte-identical (same names, same mtimes)
+    assert part_files("2024-01-01") == day1_before
+    got = {
+        (r.city, str(r.timestamp)): r.temperature
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01 00:00:00"): 1.0,
+        ("a", "2024-01-02 00:00:00"): 9.0,
+        ("b", "2024-01-02 12:00:00"): 5.0,
+    }
+    # idempotency: re-applying the same batch changes nothing
+    WI.upsert_parquet_partitioned(
+        mk([("a", "2024-01-02 00:00:00", 9.0, "2024-01-02 02:00:00")]), path
+    )
+    got2 = {
+        (r.city, str(r.timestamp)): r.temperature
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got2 == got
+
+
 class _Boom(Exception):
     def __init__(self, status=None):
         self.status_code = status

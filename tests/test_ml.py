@@ -67,9 +67,52 @@ def test_regressor_suite_metrics_finite(spark, feats):
     assert len(names) >= 5  # xgboost or the documented gbt_deep substitute
     for m in results:
         for k, v in m.metrics.items():
+            if isinstance(v, str):
+                continue  # e.g. the gbt_deep deviation note
             assert math.isfinite(v), (m.name, k, v)
     best = M.select_best(results)
     assert best.metrics["test_r2"] == max(m.metrics["test_r2"] for m in results)
+
+
+def test_m13_plot_feed_queries(spark, sf_dir):
+    """M13 data contract (reference weather_predictor.py:550-633): the
+    model-comparison and feature-importance feeds a plotting client needs."""
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    comp = REGISTRY["ml_model_comparison_feed"].spark(spark, sf_dir).collect()
+    models = {r.model for r in comp}
+    assert len(models) >= 5
+    # every model emits exactly train/test x mse/mae/r2
+    assert len(comp) == 6 * len(models)
+    assert {(r.split, r.metric) for r in comp} == {
+        (s, m) for s in ("train", "test") for m in ("mse", "mae", "r2")
+    }
+    imp = REGISTRY["ml_feature_importance_feed"].spark(spark, sf_dir).collect()
+    assert 0 < len(imp) <= 10
+    assert [r.rank for r in imp] == list(range(1, len(imp) + 1))
+    imps = [r.importance for r in imp]
+    assert imps == sorted(imps, reverse=True)
+
+
+def test_xgboost_fallback_decision_on_record(spark, feats):
+    """M5 parity decision (VERDICT r01 #7): the reference trains XGBoost;
+    this environment has no xgboost wheel, so the suite must contain the
+    documented GBT stand-in with its exact recorded params — and if the
+    environment ever ships xgboost, the real SparkXGBRegressor instead."""
+    suite = M.regressor_suite(fast=True)
+    if M.HAS_XGBOOST:
+        assert "xgboost" in suite and "gbt_deep" not in suite
+        assert type(suite["xgboost"]).__name__ == "SparkXGBRegressor"
+    else:
+        assert "gbt_deep" in suite and "xgboost" not in suite
+        gbt = suite["gbt_deep"]
+        assert type(gbt).__name__ == "GBTRegressor"
+        assert gbt.getMaxDepth() == 6 and gbt.getStepSize() == 0.1
+        # and the deviation must be visible in the training output itself
+        train, test = SP.temporal_split(feats.limit(600), "timestamp", 0.2)
+        results = M.train_regressors(train, test, fast=True)
+        deep = next(m for m in results if m.name == "gbt_deep")
+        assert "xgboost unavailable" in deep.metrics["note"]
 
 
 def test_rain_classifier_and_importances(spark, feats):

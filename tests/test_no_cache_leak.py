@@ -1,0 +1,64 @@
+"""No registered query may leave cached RDD partitions behind (VERDICT r01 #4).
+
+A `persist()`/`cache()` without a paired `unpersist()` accumulates executor
+memory across calls in a long-lived session — at 100 TB that is an OOM, not a
+nuisance. The persist-prone query surfaces (LSH candidate generation,
+walk-forward CV) are exercised here and the session's persistent-RDD map and
+SQL cache manager are asserted empty afterwards.
+"""
+
+from __future__ import annotations
+
+from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    # other test modules may have live localCheckpoint RDDs awaiting GC in
+    # the shared session, so leak checks are DELTAS against a snapshot, not
+    # assertions of a globally empty map
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def _sql_cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_persist_prone_queries_leave_no_cache(spark, sf_dir):
+    spark.catalog.clearCache()
+    before = _persistent_rdd_ids(spark)
+    for name in (
+        "minhash_lsh_candidates_documents",
+        "walk_forward_fold_bounds",
+        "multimodal_feature_extract",
+    ):
+        REGISTRY[name].spark(spark, sf_dir).collect()
+        leaked = _persistent_rdd_ids(spark) - before
+        assert not leaked, f"{name} leaked persistent RDDs: {leaked}"
+        assert _sql_cache_empty(spark), f"{name} leaked SQL-cached plans"
+
+
+def test_train_regressors_unpersists(spark, sf_dir, tmp_path):
+    # train paths cache the filled training frame; they must unpersist it
+    # before returning (ml/models.py train_regressors / stacking_ensemble).
+    import pyspark.sql.functions as F
+
+    from weather_data_pipeline_spark.ml import models as M
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("value").alias("temperature"),
+            (F.col("value") * 2).alias("humidity"),
+            F.col("value").alias("temperature_future"),
+        )
+        .limit(200)
+    )
+    spark.catalog.clearCache()
+    before = _persistent_rdd_ids(spark)
+    M.train_regressors(ev, ev, cols=["temperature", "humidity"], fast=True)
+    assert not (_persistent_rdd_ids(spark) - before)
+    assert _sql_cache_empty(spark)

@@ -38,6 +38,60 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     assert joined.count() > 0
 
 
+def test_q12_bucketed_end_to_end_single_exchange(spark, sf_dir):
+    # q12_priority_by_returnflag claims "bucket both facts by orderkey and
+    # the join goes shuffle-free at 100 TB" — prove it end-to-end: same
+    # query over bucketed tables must (a) return identical results and
+    # (b) plan with ONE Exchange total (the 3-group final agg), zero
+    # exchanges feeding the join.
+    import shutil
+
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    for t in ("li_q12b", "ord_q12b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), t
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+    write_bucketed(load_table(spark, sf_dir, "lineitem"), "li_q12b", "l_orderkey", 8)
+    write_bucketed(load_table(spark, sf_dir, "orders"), "ord_q12b", "o_orderkey", 8)
+
+    li = (
+        spark.table("li_q12b")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = spark.table("ord_q12b").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucketed = (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+    plan = bucketed._sc._jvm.PythonSQLUtils.explainString(
+        bucketed._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan
+    # join inputs read pre-bucketed: no exchange hash-partitions either join
+    # key — the only exchanges left are the 3-group agg and the orderBy
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    want = REGISTRY["q12_priority_by_returnflag"].spark(spark, sf_dir).collect()
+    got = bucketed.collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    for t in ("li_q12b", "ord_q12b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     # two micro-batches: batch 2 carries an event older than the watermark
     # (advanced by batch 1) -> its window never appears in append output

@@ -57,12 +57,23 @@ def temporal_split_by_cutoff(
 
 
 def walk_forward_folds(
-    df: DataFrame, ts_col: str, n_splits: int = 5, tiebreak: str | None = None
+    df: DataFrame,
+    ts_col: str,
+    n_splits: int = 5,
+    tiebreak: str | None = None,
+    persist: bool = False,
 ) -> list[tuple[DataFrame, DataFrame]]:
     """M4 expanding-window CV (reference `weather_predictor.py:107-172`,
-    sklearn TimeSeriesSplit parity). Returns n_splits (train, test) pairs;
-    the position column is computed once and reused by every fold."""
-    pos = _with_pos(df, ts_col, tiebreak).cache()
+    sklearn TimeSeriesSplit parity). Returns n_splits (train, test) pairs.
+
+    `persist=True` caches the shared position frame across folds — callers
+    that train on every fold should enable it and `unpersist()` the train
+    frames' source when done. The default recomputes per fold (correct,
+    slightly slower) so query-surface callers leave no cached partitions
+    behind."""
+    pos = _with_pos(df, ts_col, tiebreak)
+    if persist:
+        pos = pos.cache()
     folds = []
     for i in range(1, n_splits + 1):
         test_size = F.floor(F.col("_n") / (n_splits + 1))

@@ -159,14 +159,16 @@ def minhash_lsh_candidates(
     base = df.select(F.col(id_col).alias("id"), text_col).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    # persist: the signature frame (tiny: one row/doc, k ints) feeds both
-    # sides of the self-join — without it the md5+minhash plan runs twice
-    sigs = add_minhash(base, text_col).drop(text_col).persist()
-    # carry the full signature on each band row so the join output already
-    # has both sides' signatures — no re-join against sigs afterwards
+    # Signatures are computed exactly once: each doc row fans out to N_BANDS
+    # band rows, then a single groupBy(band, key) collects co-bucketed docs.
+    # (The previous design self-joined the band frame, which either recomputes
+    # the md5/minhash plan on both sides or needs a persist() that leaks cached
+    # partitions across calls — the bucket-groupBy needs neither.)
+    sigs = add_minhash(base, text_col).drop(text_col)
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(k)])
     bands = sigs.select(
         "id",
-        *[F.col(f"mh_{i}") for i in range(k)],
+        sig_arr.alias("sig"),
         F.explode(
             F.array(
                 *[
@@ -184,21 +186,41 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("id", *[f"mh_{i}" for i in range(k)], "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    est = sum(
-        (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int") for i in range(k)
-    ).cast("double") / F.lit(float(k))
+    ).select("id", "sig", "bk.band", "bk.key")
+    # One shuffle: bucket docs sharing a band key, emit intra-bucket pairs.
+    # Bucket membership is sorted by id so pairs come out (id_a < id_b); the
+    # estimated Jaccard is the fraction of equal signature components,
+    # computed via zip_with over the carried signature arrays (no re-join).
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    pair_idx = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("docs") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("docs") - 1),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    matches = F.zip_with(
+        F.col("da.sig"), F.col("db.sig"), lambda x, y: (x == y).cast("int")
+    )
+    est = (
+        F.aggregate(matches, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / F.lit(float(k))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(F.col("docs"), F.explode(pair_idx).alias("p"))
+        .select(
+            F.col("docs")[F.col("p.i")].alias("da"),
+            F.col("docs")[F.col("p.j")].alias("db"),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("da.id").alias("id_a"),
+            F.col("db.id").alias("id_b"),
             est.alias("est_jaccard"),
         )
         .distinct()

@@ -54,10 +54,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# The driver's events.parquet stores ns timestamps; Spark truncates to µs
-# (sources/tables.py). This CTE shadows the DuckDB `events` view with the
-# identically-truncated ts so both engines compare/window/return the same µs
-# values. Prepend to every events oracle.
+# Current fixtures store events.ts as µs TIMESTAMP_NTZ (CAST is then an
+# identity); the CTE also normalizes the legacy ns-fixture case where both
+# engines truncate to µs (sources/tables.py). Prepend to every events oracle
+# so both engines compare/window/return the same µs values.
 EV = (
     "WITH ev_us AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "
     "user_id, event_type, value, props FROM events)"
@@ -1309,6 +1309,52 @@ def ml_train_eval_metrics(spark, sf_dir):
     ).orderBy("model")
 
 
+@register("ml_model_comparison_feed", None)  # rows-only (training output)
+def ml_model_comparison_feed(spark, sf_dir):
+    # M13 data contract (reference weather_predictor.py:550-633): the tidy
+    # long-form frame the reference's 2x2 comparison plots consume —
+    # (model, split, metric, value) for MSE/MAE/R2 on train and test. The
+    # plotting itself is out of scope (no matplotlib in container); any
+    # client can pivot/plot this feed directly.
+    from ..ml import models as M
+
+    feats = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir)).limit(4000)
+    train, test = SP.temporal_split(feats, "timestamp", 0.2)
+    results = M.train_regressors(train, test, fast=True)
+    rows = [
+        (m.name, split, metric, float(m.metrics[f"{split}_{metric}"]))
+        for m in results
+        for split in ("train", "test")
+        for metric in ("mse", "mae", "r2")
+    ]
+    return spark.createDataFrame(
+        rows, "model string, split string, metric string, value double"
+    ).orderBy("model", "split", "metric")
+
+
+@register("ml_feature_importance_feed", None)  # rows-only (training output)
+def ml_feature_importance_feed(spark, sf_dir):
+    # M13/M12 data contract: top-N feature importances of the tree model as
+    # the bar-chart-ready frame (model, rank, feature, importance).
+    from pyspark.ml import Pipeline
+
+    from ..ml import models as M
+
+    feats = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir)).limit(4000)
+    train, _ = SP.temporal_split(feats, "timestamp", 0.2)
+    cols = M.feature_columns(train)
+    rf = M.regressor_suite(fast=True)["random_forest"]
+    pipe = Pipeline(stages=M.feature_pipeline(cols).getStages() + [rf])
+    filled = train.fillna(0, subset=cols)
+    model = M.strip_training_summary(pipe.fit(filled))
+    tm = M.TrainedModel("random_forest", model, {})
+    top = M.feature_importances(tm, cols)[:10]
+    return spark.createDataFrame(
+        [("random_forest", i + 1, feat, float(imp)) for i, (feat, imp) in enumerate(top)],
+        "model string, rank int, feature string, importance double",
+    ).orderBy("rank")
+
+
 @register("ml_rain_classifier_metrics", None)  # rows-only
 def ml_rain_classifier_metrics(spark, sf_dir):
     # M8: balanced-weight RandomForest rain classifier + ROC-AUC/acc/P/R
@@ -1364,8 +1410,20 @@ def multimodal_metadata_summary(spark, sf_dir):
 @register("multimodal_feature_extract", None)  # rows-only: Python (Arrow) path
 def multimodal_feature_extract(spark, sf_dir):
     # binary -> mapInPandas (Arrow batches) -> fixed-dim feature vectors;
-    # the decode itself is a deterministic stub (no media libs in container)
-    return MM.extract_features(MM.synth_media_table(spark, sf_dir))
+    # the decode itself is a deterministic stub (no media libs in container).
+    # The query surface projects a scalar checksum of the feature array (the
+    # driver's canonicalizer sorts rows with pandas and cannot hash a raw
+    # array<double> column); library users call MM.extract_features directly
+    # for the full vector.
+    feats = MM.extract_features(MM.synth_media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "kind",
+        "byte_len",
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("feature_checksum"),
+    )
 
 
 # ---------------------------------------------------------------------------

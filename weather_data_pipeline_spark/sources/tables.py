@@ -1,10 +1,14 @@
 """Star-schema parquet sources.
 
-The driver's `events.parquet` stores TIMESTAMP(NANOS); Spark's TimestampType
-is microseconds and its vectorized reader refuses INT64(NANOS) unless
-`spark.sql.legacy.parquet.nanosAsLong` is set. We read nanos as long and
-truncate to microseconds (`ts div 1000`) — the same floor semantics DuckDB
-uses for `CAST(ts_ns AS TIMESTAMP)`, so oracles line up exactly.
+The driver's current fixtures (sf0.001/0.01/0.1) store timestamps as
+microsecond TIMESTAMP_NTZ; `_ntz_to_ltz` reinterprets them as plain
+(UTC-pinned) TimestampType so one timestamp type flows through the whole
+engine. `load_events` additionally keeps an explicit legacy fallback for
+older fixtures that stored INT64 TIMESTAMP(NANOS): with
+`spark.sql.legacy.parquet.nanosAsLong` set, the column arrives as bigint and
+is floor-truncated to µs (`ts div 1000`) — the same semantics DuckDB uses
+for `CAST(ts_ns AS TIMESTAMP)`. That branch is dead for current data but is
+retained in case ns fixtures reappear.
 
 Scale notes: everything stays a plain parquet scan (column pruning +
 predicate pushdown intact); the ns→µs conversion is one codegen'd projection.
@@ -36,11 +40,23 @@ def _ntz_to_ltz(df: DataFrame) -> DataFrame:
     values), and keeps one timestamp type across the whole engine — the
     JSON/CSV format options, window(), and streaming watermarks all key off
     the LTZ type.
+
+    Only TOP-LEVEL fields are converted; an NTZ timestamp nested inside a
+    struct/array would pass through unchanged. The driver's tables have no
+    nested timestamps, so this is a documented limitation, not a live bug.
     """
-    ntz = [f.name for f in df.schema.fields if f.dataType.simpleString() == "timestamp_ntz"]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
-    return df
+    ntz = {
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "timestamp_ntz"
+    }
+    if not ntz:
+        return df
+    # single select (one projection) instead of a withColumn per column
+    return df.select(
+        *[
+            F.col(f.name).cast("timestamp").alias(f.name) if f.name in ntz else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

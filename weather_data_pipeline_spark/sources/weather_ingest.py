@@ -16,7 +16,7 @@ import time
 from collections import deque
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -187,6 +187,70 @@ def upsert_parquet(
     if os.path.exists(table_path):
         shutil.rmtree(table_path)
     os.rename(tmp, table_path)
+
+
+def upsert_parquet_partitioned(
+    new_rows: DataFrame,
+    table_path: str,
+    keys: tuple[str, ...] = ("city", "timestamp"),
+    version_col: str = "created_at",
+    partition_of: Column | None = None,
+    partition_col: str = "part_day",
+) -> None:
+    """Partition-scoped S7 upsert: the 100 TB shape of `upsert_parquet`.
+
+    The target is laid out `partitionBy(partition_col)` with the partition
+    value derived from each row (`partition_of`, default `to_date(timestamp)`).
+    A merge then:
+
+    1. computes the (small, bounded) set of partitions the batch touches,
+    2. reads ONLY those partitions of the existing table (partition pruning —
+       untouched partitions are never opened),
+    3. dedups per key keeping the newest `version_col`,
+    4. rewrites only the touched partition directories via dynamic partition
+       overwrite.
+
+    A daily micro-batch against a year-partitioned 100 TB table therefore
+    reads and writes ~1/365th of it instead of all of it — this replaces the
+    full-table rewrite the plain `upsert_parquet` does (kept for the tiny
+    reference-parity path; on a lakehouse this whole function is Delta
+    `MERGE INTO` with partition pruning).
+
+    Requirement: `partition_of` must be a deterministic function of the
+    row's key fields (same key ⇒ same partition), otherwise two versions of
+    a key could land in different partitions and both survive.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    spark = new_rows.sparkSession
+    if partition_of is None:
+        partition_of = F.to_date(F.col("timestamp"))
+    batch = new_rows.withColumn(partition_col, partition_of.cast("string"))
+    touched = [r[0] for r in batch.select(partition_col).distinct().collect()]
+    if os.path.exists(table_path):
+        existing = (
+            spark.read.parquet(table_path)
+            # partition-type inference may give date; normalize to string
+            .withColumn(partition_col, F.col(partition_col).cast("string"))
+            .where(F.col(partition_col).isin(touched))
+        )
+        merged = existing.unionByName(batch, allowMissingColumns=True)
+    else:
+        merged = batch
+    w = Window.partitionBy(*keys).orderBy(F.desc(version_col))
+    deduped = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    (
+        deduped.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_path)
+    )
 
 
 # --- driver-side HTTP utilities (S1-S3) ------------------------------------

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.tables import NANOS_CONF
-from ..sources.weather_ingest import upsert_parquet
+from ..sources.weather_ingest import upsert_parquet_partitioned
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -42,6 +42,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The NTZ→LTZ cast (UTC session) gives watermarks/windows the LTZ type
     they key off, with identical wall-clock values to the batch loader.
     """
+    # pin UTC like sources/tables.load_table does: the NTZ→LTZ cast below is
+    # tz-sensitive, and a caller-built non-UTC session would silently shift
+    # event times (and window/watermark boundaries) vs the batch loader
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set(NANOS_CONF, "true")
     # file stream sources need a directory; glob-filter to the events file
     raw = (
@@ -98,13 +102,23 @@ def stream_upsert_events(
 ) -> None:
     """foreachBatch upsert: each micro-batch is dedup-merged into the target
     parquet table (reference scheduler-loop + S7 upsert, continuous form).
-    Exactly-once per epoch because the merge is idempotent on the key."""
+    Exactly-once per epoch because the merge is idempotent on the key.
+
+    The sink table is day-partitioned on the event time and each epoch
+    rewrites only the partitions its batch touches — at 100 TB a micro-batch
+    merge must not scale with table size, only with batch size."""
     ev = events_stream(spark, sf_dir).withColumn(
         "created_at", F.current_timestamp()
     )
 
     def merge(batch_df: DataFrame, _epoch: int) -> None:
-        upsert_parquet(batch_df, table_path, keys=keys, version_col="created_at")
+        upsert_parquet_partitioned(
+            batch_df,
+            table_path,
+            keys=keys,
+            version_col="created_at",
+            partition_of=F.to_date(F.col("ts")),
+        )
 
     q = ev.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
     q.awaitTermination()
