@@ -1,17 +1,24 @@
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "families": {...}, "full": {...}}
 
-Each query is forced to full execution with a count-style action that cannot
-be optimized into metadata (`df.write.format("noop")` would skip collect; we
-use foreach-noop via count on the final plan, which executes every operator).
+`value`/`queries` stay the headline-set total (round-over-round comparable).
+`full` adds a single-shot timing for EVERY registered query, grouped into
+`families` subtotals, so per-family regressions are visible — bounded by
+$SPARK_GRAFT_BENCH_BUDGET seconds (default 420); anything unvisited when the
+budget runs out is listed in `not_benched` rather than silently dropped.
+
+Each query is forced to full execution with a count() action on the final
+plan, which executes every operator.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -21,6 +28,7 @@ from weather_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
 from weather_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FULL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
 
 # Headline set: one per operator family — scan/agg/join/window/custom-window/
 # text/dedup/similarity/streaming/feature-pipeline
@@ -61,6 +69,56 @@ HEADLINE = [
     "cohort_retention_events",
 ]
 
+# family classification for the full-registry pass (first match wins)
+_FAMILY_RULES: list[tuple[str, str]] = [
+    (r"^streaming_", "streaming"),
+    (r"^ml_", "ml_train"),
+    (r"^(feature_pipeline|weather_indices|time_features|temp_change|"
+     r"label_encode|standardize|minmax_normalize|quality_report|"
+     r"temporal_split|walk_forward)", "features_ml_prep"),
+    (r"^(q\d+_|sql_api_q1|revenue_by_nation|customers_without_orders|"
+     r"customer_order_activity|top_customers_by_revenue|pareto_customers|"
+     r"daily_order_vs_ship)", "join_tpch"),
+    (r"^(asof_join|band_join)", "join_custom"),
+    (r"^multimodal_", "multimodal"),
+    (r"(minhash|jaccard|simhash|dedup|shingle|neardup|pagerank|"
+     r"decontaminate|fingerprint)", "dedup"),
+    (r"(chunk_documents|pack_sequences|hash_split|stratified_sample|"
+     r"weighted_sample|per_source_cap)", "corpus_assembly"),
+    (r"(_embeddings$|^label_centroids|^nearest_centroid|^embedding_norm)",
+     "similarity"),
+    (r"(token|bpe|language_id|quality_score|word_counts|tfidf|pmi|oov|"
+     r"unigram|bigram|repetition|string_funcs|ngram_novelty|zipf)", "text"),
+    (r"(^lag_|^lead_|^diff_|rolling|ffill|interpolate|ewma|zscore|cusum|"
+     r"seasonal|ohlc|trend_slope|drawdown|mad_outliers|gapfill|"
+     r"inter_event_gap|session_stats|funnel|cohort|transition|first_last|"
+     r"^ranking|cumulative|forward_rain|latest_event)", "window_ts"),
+    (r"(^recent_events_scan|^topk_events|row_null_threshold)", "scan"),
+]
+
+
+def family(name: str) -> str:
+    for pat, fam in _FAMILY_RULES:
+        if re.search(pat, name):
+            return fam
+    return "agg_quality"  # aggs, quality checks, set ops, pivots, sketches
+
+
+def _drop_stream_tables(spark) -> None:
+    # streaming queries leave their memory-sink tables pinned in the JVM;
+    # drop them so later queries don't pay the GC pressure
+    for t in spark.catalog.listTables():
+        if t.name.startswith(("stream_out_", "stateful_out_")):
+            spark.catalog.dropTempView(t.name)
+
+
+def _run_once(spark, name: str) -> float:
+    t0 = time.perf_counter()
+    REGISTRY[name].spark(spark, SF_DIR).count()
+    dt = time.perf_counter() - t0
+    _drop_stream_tables(spark)
+    return dt
+
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -78,20 +136,51 @@ def main() -> None:
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in REGISTRY]
     for name in names:
-        fn = REGISTRY[name].spark
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-            # streaming queries leave their memory-sink tables pinned in the
-            # JVM; drop them so later queries don't pay the GC pressure
-            for t in spark.catalog.listTables():
-                if t.name.startswith(("stream_out_", "stateful_out_")):
-                    spark.catalog.dropTempView(t.name)
-        timings[name] = round(best, 4)
+        timings[name] = round(min(_run_once(spark, name) for _ in range(2)), 4)
     total = round(sum(timings.values()), 4)
+
+    # full-registry pass, single shot each, budget-bounded; headline queries
+    # reuse their (warmer, best-of-2) timing instead of running a third time
+    full: dict[str, float] = dict(timings)
+    not_benched: list[str] = []
+    t_full0 = time.perf_counter()
+    # cheap families first so a budget cut hits the expensive tail (the ML
+    # training queries — minutes each — go last, cheapest-first, so a budget
+    # cut skips the most expensive training runs, which correctness already
+    # covers at sf0.01)
+    _ml_cost = {
+        "ml_feature_importance_feed": 0,  # 1 model
+        "ml_rain_classifier_metrics": 1,  # 1 model
+        "ml_train_eval_metrics": 2,  # 5 models
+        "ml_model_comparison_feed": 3,  # 5 models
+    }
+    order = sorted(
+        (n for n in REGISTRY if n not in full),
+        key=lambda n: (
+            family(n) == "ml_train",
+            _ml_cost.get(n, 0),
+            family(n),
+            n,
+        ),
+    )
+    for name in order:
+        if time.perf_counter() - t_full0 > FULL_BUDGET:
+            not_benched.append(name)
+            continue
+        try:
+            full[name] = round(_run_once(spark, name), 4)
+        except Exception:
+            full[name] = -1.0  # errored; visible, not silently dropped
+    families: dict[str, dict] = {}
+    for name, dt in full.items():
+        if dt < 0:
+            continue
+        f = families.setdefault(family(name), {"total": 0.0, "n": 0, "max": 0.0, "max_query": ""})
+        f["total"] = round(f["total"] + dt, 4)
+        f["n"] += 1
+        if dt > f["max"]:
+            f["max"], f["max_query"] = dt, name
+
     print(
         json.dumps(
             {
@@ -101,6 +190,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
+                "families": families,
+                "full": full,
+                "full_total": round(sum(v for v in full.values() if v > 0), 4),
+                "n_full": len(full),
+                "not_benched": not_benched,
             }
         )
     )

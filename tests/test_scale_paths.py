@@ -105,7 +105,10 @@ def test_watermark_drops_late_data(spark, tmp_path):
         [(3, "2024-01-01 10:00:40")],  # 2h older than max ts seen; wm=10min
         "id long, ts string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    on_time.write.parquet(f"{src}/b1")
+    # exactly ONE file per micro-batch: multiple part-files + the
+    # maxFilesPerTrigger=1 source would make batch boundaries (and so
+    # watermark advancement) depend on arbitrary file listing order
+    on_time.coalesce(1).write.parquet(f"{src}/b1")
 
     stream = (
         spark.readStream.schema("id long, ts timestamp")
@@ -126,7 +129,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     )
     try:
         q.processAllAvailable()  # batch 1: watermark advances to 11:50
-        late.write.parquet(f"{src}/b2")
+        late.coalesce(1).write.parquet(f"{src}/b2")
         q.processAllAvailable()  # batch 2: the 10:00:40 event is late
         q.processAllAvailable()  # flush closable windows
     finally:

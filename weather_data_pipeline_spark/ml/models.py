@@ -185,8 +185,11 @@ def train_regressors(
 ) -> list[TrainedModel]:
     """M5+M6: fit the suite, metric each on train and test."""
     cols = cols or feature_columns(train)
+    # cache BOTH sides: every fit does many passes over train, and every
+    # model's evaluation re-reads test 3× (one per metric) — without the
+    # cache each pass replays the full upstream feature DAG
     filled_train = train.fillna(0, subset=cols).cache()
-    filled_test = test.fillna(0, subset=cols)
+    filled_test = test.fillna(0, subset=cols).cache()
     results = []
     for name, reg in regressor_suite(fast).items():
         pipe = Pipeline(stages=feature_pipeline(cols).getStages() + [reg])
@@ -200,6 +203,7 @@ def train_regressors(
             m["note"] = "xgboost unavailable in env: GBT(maxDepth=6) stand-in"
         results.append(TrainedModel(name, model, m))
     filled_train.unpersist()
+    filled_test.unpersist()
     return results
 
 
@@ -231,6 +235,10 @@ def train_rain_classifier(
         numTrees=20 if fast else 100,
         seed=42,
     )
+    # cache both sides across the fit's many passes and the 4 evaluator
+    # passes; unpersisted before returning
+    tr = tr.cache()
+    te = te.cache()
     pipe = Pipeline(stages=feature_pipeline(cols).getStages() + [clf])
     model = strip_training_summary(pipe.fit(tr))
     pred = model.transform(te)
@@ -256,6 +264,8 @@ def train_rain_classifier(
             ).evaluate(pred)
         ),
     }
+    tr.unpersist()
+    te.unpersist()
     return TrainedModel("rain_rf", model, metrics)
 
 
@@ -272,7 +282,7 @@ def stacking_ensemble(
     bases = {n: suite[n] for n in base_names}
     bases["third"] = suite.get("xgboost", suite.get("gbt_deep"))
     tr = train.fillna(0, subset=cols).cache()
-    te = test.fillna(0, subset=cols)
+    te = test.fillna(0, subset=cols).cache()
     fitted = {}
     for n, reg in bases.items():
         pipe = Pipeline(stages=feature_pipeline(cols).getStages() + [reg])
@@ -299,6 +309,7 @@ def stacking_ensemble(
     meta_model = strip_training_summary(meta_pipe.fit(meta_train))
     metrics = _evaluate(meta_model.transform(meta_test), "test")
     tr.unpersist()
+    te.unpersist()
     return TrainedModel("stacking", meta_model, metrics)
 
 

@@ -231,8 +231,13 @@ def minhash_lsh_candidates(
 def simhash_expr(text: Column, bits: int = 16) -> Column:
     """SimHash fingerprint: for each bit j, vote +1/−1 per distinct token
     according to bit j of its portable hash; bit j of the output is 1 iff the
-    vote is positive. Pure array algebra, per-row."""
-    hset = F.transform(distinct_token_set(text), portable_token_hash)
+    vote is positive. Pure array algebra, per-row.
+
+    The hashed-token array is let-bound through a single-element `transform`
+    so tokenize+md5 run once per row: referencing the hash-set expression
+    from each of the `bits` aggregates would re-evaluate it per bit
+    (Catalyst does no CSE inside HOF lambdas)."""
+
     def voter(j):
         def f(acc, h):
             bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
@@ -240,11 +245,15 @@ def simhash_expr(text: Column, bits: int = 16) -> Column:
 
         return f
 
-    sim = F.lit(0).cast("bigint")
-    for j in range(bits):
-        vote = F.aggregate(hset, F.lit(0).cast("bigint"), voter(j))
-        sim = sim + F.when(vote > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return sim
+    def build(hs: Column) -> Column:
+        sim = F.lit(0).cast("bigint")
+        for j in range(bits):
+            vote = F.aggregate(hs, F.lit(0).cast("bigint"), voter(j))
+            sim = sim + F.when(vote > 0, F.lit(2**j)).otherwise(F.lit(0))
+        return sim
+
+    hset = F.transform(distinct_token_set(text), portable_token_hash)
+    return F.element_at(F.transform(F.array(hset), build), 1)
 
 
 def add_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:

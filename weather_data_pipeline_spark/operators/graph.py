@@ -31,9 +31,16 @@ def connected_components(
     Raises RuntimeError if propagation hasn't converged after max_iter
     supersteps (i.e. a component with diameter > max_iter).
     """
-    und = edges.selectExpr(f"{src} AS s", f"{dst} AS d").union(
-        edges.selectExpr(f"{dst} AS s", f"{src} AS d")
-    ).localCheckpoint()
+    # double the edges via explode — ONE scan of the (possibly expensive to
+    # derive) edge input, unlike a self-union which would compute it twice
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d").localCheckpoint()
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
@@ -71,6 +78,7 @@ def pagerank(
     dst: str = "d",
     n_iter: int = 10,
     damping: float = 0.85,
+    undirected: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank on a directed edge set: (node, rank).
 
@@ -85,22 +93,38 @@ def pagerank(
     Ranks are deterministic for a fixed iteration count up to float
     associativity; tests pin a hand-checkable graph, not bit equality.
     """
+    # materialize the edge list ONCE up front: every derived frame (nodes,
+    # degrees, the per-iteration joins) reads this checkpoint instead of
+    # re-deriving the input plan — with an expensive edge derivation (e.g. a
+    # quadratic near-dup join) recomputing it per iteration multiplies the
+    # whole job by n_iter. (Fixed here after the full-registry bench caught
+    # pagerank_neardup at ~380 s: out_deg lacked a checkpoint, so all 10
+    # supersteps replayed the Jaccard edge join.)
+    if undirected:
+        # explode-double rather than self-union: one scan of the edge input
+        ed = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        ).select("e.s", "e.d").localCheckpoint()
+    else:
+        ed = edges.selectExpr(f"{src} AS s", f"{dst} AS d").localCheckpoint()
     nodes = (
-        edges.selectExpr(f"{src} AS node")
-        .union(edges.selectExpr(f"{dst} AS node"))
-        .distinct()
-        .localCheckpoint()
+        ed.select(F.explode(F.array("s", "d")).alias("node")).distinct().localCheckpoint()
     )
     n_nodes = nodes.count()
-    out_deg = (
-        edges.selectExpr(f"{src} AS node").groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    )
+    # carry out-degree ON the edge rows: one small self-agg + join now, and
+    # the iteration loop needs a single join instead of two
+    ed = ed.join(
+        ed.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s"
+    ).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
-    ed = edges.selectExpr(f"{src} AS s", f"{dst} AS d").localCheckpoint()
     for _ in range(n_iter):
         contribs = (
             ed.join(ranks.withColumnRenamed("node", "s"), "s")
-            .join(out_deg.withColumnRenamed("node", "s"), "s")
             .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
         )
         incoming = contribs.groupBy("node").agg(F.sum("c").alias("in_sum"))

@@ -46,18 +46,26 @@ def tokens(text: Column) -> Column:
 
 
 def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token count, distinct-token count, type-token ratio, stopword ratio."""
-    t = tokens(F.col(text_col))
+    """Token count, distinct-token count, type-token ratio, stopword ratio.
+
+    The token array is materialized into a (dropped) column first so the
+    split runs once per row — each stat then reads the bound attribute
+    instead of re-embedding the split expression."""
+    t = F.col("_toks")
     n = F.size(t)
     n_uniq = F.size(F.array_distinct(t))
     n_stop = F.size(F.filter(t, _in_set(STOPWORDS)))
-    return df.withColumns(
-        {
-            "n_tokens": n.cast("long"),
-            "n_unique_tokens": n_uniq.cast("long"),
-            "type_token_ratio": n_uniq.cast("double") / n.cast("double"),
-            "stopword_ratio": n_stop.cast("double") / n.cast("double"),
-        }
+    return (
+        df.withColumn("_toks", tokens(F.col(text_col)))
+        .withColumns(
+            {
+                "n_tokens": n.cast("long"),
+                "n_unique_tokens": n_uniq.cast("long"),
+                "type_token_ratio": n_uniq.cast("double") / n.cast("double"),
+                "stopword_ratio": n_stop.cast("double") / n.cast("double"),
+            }
+        )
+        .drop("_toks")
     )
 
 
@@ -78,22 +86,28 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: score each language by marker hits in the
-    token list; argmax with fixed precedence (en>de>es>fr>zh) on ties."""
-    t = tokens(F.col(text_col))
-    scores = {
-        lang: F.size(F.filter(t, _in_set(markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+    token list; argmax with fixed precedence (en>de>es>fr>zh) on ties.
+
+    Scores are materialized as columns FIRST and the argmax chain reads the
+    bound attributes: building the when-chain directly over the filter
+    expressions duplicates each score's subtree ~2^k times (Catalyst has no
+    CSE inside the chain), and each duplicate re-tokenizes the text."""
+    toks = tokens(F.col(text_col))
+    out = df.withColumn("_toks", toks).withColumns(
+        {
+            f"score_{lang}": F.size(F.filter(F.col("_toks"), _in_set(markers))).cast(
+                "long"
+            )
+            for lang, markers in LANG_MARKERS.items()
+        }
+    ).drop("_toks")
     ordered = ["en", "de", "es", "fr", "zh"]
-    best = scores[ordered[0]]
+    best = F.col(f"score_{ordered[0]}")
     pred = F.lit(ordered[0])
     for lang in ordered[1:]:
-        cond = scores[lang] > best
+        cond = F.col(f"score_{lang}") > best
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
-        best = F.when(cond, scores[lang]).otherwise(best)
-    out = df
-    for lang in ordered:
-        out = out.withColumn(f"score_{lang}", scores[lang].cast("long"))
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
     return out.withColumn("predicted_lang", pred)
 
 
@@ -112,18 +126,26 @@ def shingle_set(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles. MinHash is defined over shingles, not
     unigrams: with a small vocabulary unigram sets all collide (Jaccard ≈ 1
     between any two long docs), which degenerates LSH into all-pairs; n-gram
-    shingles keep near-dup candidates sparse."""
-    t = tokens(text)
+    shingles keep near-dup candidates sparse.
 
-    def gram(i: Column) -> Column:
-        parts = [F.element_at(t, i + j) for j in range(n)]
-        return F.concat_ws(" ", *parts)
+    Implementation note: the token array is LET-BOUND via a single-element
+    `transform` so it is evaluated once per row. Catalyst does not eliminate
+    common subexpressions inside HOF lambdas — naively referencing
+    `tokens(text)` from the per-shingle lambda re-splits the text for every
+    `element_at` (n splits per shingle; ~20× slower on the documents table)."""
 
-    # guard: Spark sequence(1, 0) counts DOWN ([1,0]); short docs → empty set
-    idx = F.when(
-        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    return F.array_distinct(F.transform(idx, gram))
+    def build(t: Column) -> Column:
+        # guard: Spark sequence(1, 0) counts DOWN ([1,0]); short docs → empty
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.expr("array()").cast("array<int>"))
+
+        def gram(i: Column) -> Column:
+            return F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+
+        return F.transform(idx, gram)
+
+    return F.array_distinct(F.flatten(F.transform(F.array(tokens(text)), build)))
 
 
 def portable_token_hash(tok: Column) -> Column:

@@ -1288,7 +1288,13 @@ def ml_train_eval_metrics(spark, sf_dir):
     # configs are the defaults in ml/models.py.
     from ..ml import models as M
 
-    feats = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir)).limit(4000)
+    feats = (
+        FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+        .limit(4000)
+        # limit() collapses to one partition; rebalance so tree fits
+        # parallelize without per-task overhead swamping 4k rows
+        .repartition(8)
+    )
     train, test = SP.temporal_split(feats, "timestamp", 0.2)
     results = M.train_regressors(train, test, fast=True)
     rows = [
@@ -1318,7 +1324,13 @@ def ml_model_comparison_feed(spark, sf_dir):
     # client can pivot/plot this feed directly.
     from ..ml import models as M
 
-    feats = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir)).limit(4000)
+    feats = (
+        FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+        .limit(4000)
+        # limit() collapses to one partition; rebalance so tree fits
+        # parallelize without per-task overhead swamping 4k rows
+        .repartition(8)
+    )
     train, test = SP.temporal_split(feats, "timestamp", 0.2)
     results = M.train_regressors(train, test, fast=True)
     rows = [
@@ -1340,13 +1352,20 @@ def ml_feature_importance_feed(spark, sf_dir):
 
     from ..ml import models as M
 
-    feats = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir)).limit(4000)
+    feats = (
+        FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+        .limit(4000)
+        # limit() collapses to one partition; rebalance so tree fits
+        # parallelize without per-task overhead swamping 4k rows
+        .repartition(8)
+    )
     train, _ = SP.temporal_split(feats, "timestamp", 0.2)
     cols = M.feature_columns(train)
     rf = M.regressor_suite(fast=True)["random_forest"]
     pipe = Pipeline(stages=M.feature_pipeline(cols).getStages() + [rf])
-    filled = train.fillna(0, subset=cols)
+    filled = train.fillna(0, subset=cols).cache()  # fit is many passes
     model = M.strip_training_summary(pipe.fit(filled))
+    filled.unpersist()
     tm = M.TrainedModel("random_forest", model, {})
     top = M.feature_importances(tm, cols)[:10]
     return spark.createDataFrame(
@@ -1360,7 +1379,13 @@ def ml_rain_classifier_metrics(spark, sf_dir):
     # M8: balanced-weight RandomForest rain classifier + ROC-AUC/acc/P/R
     from ..ml import models as M
 
-    feats = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir)).limit(4000)
+    feats = (
+        FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+        .limit(4000)
+        # limit() collapses to one partition; rebalance so tree fits
+        # parallelize without per-task overhead swamping 4k rows
+        .repartition(8)
+    )
     train, test = SP.temporal_split(feats, "timestamp", 0.2)
     m = M.train_rain_classifier(train, test, fast=True)
     return spark.createDataFrame(
@@ -5024,7 +5049,7 @@ def pagerank_neardup_documents(spark, sf_dir):
         .spark(spark, sf_dir)
         .select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
     )
-    pr = pagerank(edges.union(edges.selectExpr("d AS s", "s AS d")), n_iter=10)
+    pr = pagerank(edges, n_iter=10, undirected=True)
     return (
         pr.select(F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), "doc_id")
@@ -5235,4 +5260,244 @@ def fpgrowth_itemsets_events(spark, sf_dir):
             F.array_sort("items").alias("items"), F.col("freq").cast("long").alias("n_users")
         )
         .orderBy(F.size("items"), F.col("items").cast("string"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 batch: sketch calibration, n-gram novelty, Zipf fit, frame
+# sampling, PCA, IVF+PQ ADC search.
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_est_error_documents",
+    f"""
+WITH t AS (SELECT doc_id, {_SHINGLES_SQL} AS toks FROM documents),
+sig AS (SELECT doc_id AS id,
+        {_MH_EXPRS_SQL}
+        FROM t),
+band AS (
+  SELECT id, b.band,
+         CASE b.band
+           {' '.join(f"WHEN {bi} THEN (mh_{2*bi})::VARCHAR || '_' || (mh_{2*bi+1})::VARCHAR" for bi in range(D.N_BANDS))}
+         END AS key
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST({' + '.join(f'CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END' for i in range(len(D.MINHASH_AB)))} AS DOUBLE)
+           / {float(len(D.MINHASH_AB))} AS est_jaccard
+  FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+         / CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+         AS true_jaccard,
+       ROUND(ABS(e.est_jaccard
+         - CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+           / CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)), 6)
+         AS abs_err
+FROM est e JOIN t ta ON e.id_a = ta.doc_id JOIN t tb ON e.id_b = tb.doc_id
+ORDER BY e.id_a, e.id_b
+""",
+)
+def minhash_est_error_documents(spark, sf_dir):
+    # Sketch calibration audit: for every LSH candidate pair, the minhash
+    # Jaccard ESTIMATE vs the exact shingle Jaccard and the absolute error —
+    # the query a pipeline owner runs before trusting banding thresholds at
+    # 100 TB. Candidates are linear (bucketed LSH); the exact re-score only
+    # touches the candidate set, never all pairs. The true-Jaccard join is
+    # two hash joins against the (id → shingle set) frame.
+    from ..operators.text import shingle_set
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_candidates(docs)
+    sh = docs.select(F.col("doc_id"), shingle_set(F.col("text")).alias("toks"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    j = cand.join(a, "id_a").join(b, "id_b")
+    n_common = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    true_j = n_common.cast("double") / (
+        (F.size("ta") + F.size("tb") - n_common).cast("double")
+    )
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            true_j.alias("true_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - true_j), 6).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "ngram_novelty_documents",
+    f"""
+WITH base AS (SELECT doc_id, {_SHINGLES_SQL} AS toks FROM documents),
+sized AS (SELECT doc_id, toks FROM base WHERE len(toks) > 0),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM sized),
+firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM ex GROUP BY tok)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM ex e JOIN firsts f ON e.tok = f.tok
+GROUP BY e.doc_id ORDER BY e.doc_id
+""",
+)
+def ngram_novelty_documents(spark, sf_dir):
+    # Per-document n-gram novelty: the fraction of a doc's distinct 3-gram
+    # shingles whose FIRST corpus occurrence (min doc_id — deterministic) is
+    # this document. Low novelty = mostly recycled text (template/boilerplate
+    # census, the streaming-corpus cousin of decontamination). One explode,
+    # one groupBy on the shingle key (first-occurrence table is |vocab|-sized
+    # and map-side combinable), one shuffle join back on the shingle.
+    from ..operators.text import shingle_set
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", shingle_set(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    ex = sized.select("doc_id", F.explode("toks").alias("tok"))
+    firsts = ex.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        ex.join(firsts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "novelty_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "zipf_slope_documents",
+    f"""
+WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT tok, COUNT(*) AS n FROM w GROUP BY tok),
+r AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk FROM c),
+l AS (SELECT LN(CAST(rnk AS DOUBLE)) AS x, LN(CAST(n AS DOUBLE)) AS y
+      FROM r WHERE rnk <= 1000),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+      FROM l)
+SELECT n_points,
+       ROUND((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6)
+         AS zipf_slope
+FROM s
+""",
+)
+def zipf_slope_documents(spark, sf_dir):
+    # Zipf's-law fit over the corpus frequency table: least-squares slope of
+    # ln(freq) vs ln(rank) for the top-1000 words (closed form over exact
+    # DECIMAL sums — order-independent, so the double is bit-identical in
+    # both engines). Healthy natural-language corpora fit ≈ −1; a flat slope
+    # flags synthetic/templated text. One word-count groupBy (map-side
+    # combinable) + a 1000-row window — nothing scales with corpus size
+    # except the count.
+    docs = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    w = docs.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    c = w.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    r = c.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
+    ).where(F.col("rnk") <= 1000)
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    s = r.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,12)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double").alias("sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select("n_points", F.round(slope, 6).alias("zipf_slope"))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         1 + (doc_id % 30) AS n_frames
+  FROM documents)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
+FROM media WHERE kind = 'video'
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    # Frame-sampling plumbing for video rows: every 10th frame index per
+    # video, fanned out JVM-side with explode(sequence(...)) — no Python in
+    # the row path; the payload column is never read (parquet pruning).
+    media = MM.synth_media_table(spark, sf_dir)
+    return (
+        MM.sample_frames(media, every_n=10)
+        .select("doc_id", "frame_idx")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register("pca_embeddings", None)  # rows-only: MLlib eigendecomposition
+def pca_embeddings(spark, sf_dir):
+    # PCA over the embedding store (MLlib): per-vector projection onto the
+    # top-4 principal components + the model's explained-variance head —
+    # the standard first step before visualization / whitening / coarse
+    # clustering of an embedding corpus. Deterministic given the data
+    # (eigendecomposition of the covariance; no RNG). Scale: covariance
+    # accumulates in one tree-aggregated pass; projection is a broadcast
+    # matrix multiply per row.
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("_v")
+    )
+    model = PCA(k=4, inputCol="_v", outputCol="_pc").fit(emb)
+    ev = [float(v) for v in model.explainedVariance]
+    out = model.transform(emb).select(
+        "vec_id", vector_to_array(F.col("_pc")).alias("pc")
+    )
+    return out.select(
+        "vec_id",
+        *[F.round(F.col("pc")[i], 6).alias(f"pc_{i}") for i in range(4)],
+        *[F.lit(ev[i]).alias(f"explained_var_{i}") for i in range(4)],
+    ).orderBy("vec_id")
+
+
+@register("ivf_pq_adc_topk_embeddings", None)  # rows-only: recall<1 by design
+def ivf_pq_adc_topk_embeddings(spark, sf_dir):
+    # The billion-scale ANN QUERY path: IVF coarse quantizer prunes the
+    # corpus to nprobe cells, then PQ asymmetric distance (ADC) scores
+    # candidates from their 4 codes + per-query lookup tables — no
+    # full-vector reads in the scan. Exact re-rank of the ADC top-k*4
+    # against true vectors gives the final top-k (the standard
+    # "ADC shortlist + exact refine" layout).
+    return S.ivf_pq_adc_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=[1, 2, 3, 4, 5],
+        k=5,
     )
