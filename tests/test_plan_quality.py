@@ -400,3 +400,41 @@ def test_cusum_single_user_exchange(spark, sf_dir):
     df = REGISTRY["cusum_changepoint_events"].spark(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_zipf_topk_not_global_window(spark, sf_dir):
+    # the top-1000 cut must be TakeOrderedAndProject (per-partition heaps),
+    # never a row_number window funneling the whole vocab to one partition
+    df = REGISTRY["zipf_slope_documents"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combined word counts
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    # the benchmark gram set is tiny vs the corpus: it must ride a broadcast
+    # join; the train side's exploded grams never sort-merge
+    df = REGISTRY["decontaminate_3gram_documents"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_est_error_no_cartesian(spark, sf_dir):
+    # candidate pairs come from the banded-LSH bucket groupBy; the true-
+    # Jaccard rejoin is hash-based — nothing may degrade to a cross product
+    df = REGISTRY["minhash_est_error_documents"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_frame_sample_stays_jvm_side_and_prunes_payload(spark, sf_dir):
+    # frame fan-out is explode(sequence(...)) in the JVM; the opaque payload
+    # column must never be read (parquet column pruning)
+    df = REGISTRY["multimodal_frame_sample"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in read_schema  # payload source column pruned away

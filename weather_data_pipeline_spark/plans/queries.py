@@ -5415,9 +5415,13 @@ def zipf_slope_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     w = docs.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
     c = w.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    r = c.withColumn(
+    # top-1000 FIRST via TakeOrderedAndProject (per-partition heaps + driver
+    # merge), THEN rank within the 1000-row result: a row_number window over
+    # the full vocab would funnel every distinct token through one partition
+    top = c.orderBy(F.desc("n"), "tok").limit(1000)
+    r = top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
-    ).where(F.col("rnk") <= 1000)
+    )
     x = F.log(F.col("rnk").cast("double"))
     y = F.log(F.col("n").cast("double"))
     s = r.select(x.alias("x"), y.alias("y")).agg(
@@ -5501,3 +5505,31 @@ def ivf_pq_adc_topk_embeddings(spark, sf_dir):
         query_ids=[1, 2, 3, 4, 5],
         k=5,
     )
+
+
+@register("performance_tracked_pipeline", None)  # rows-only: wall times vary
+def performance_tracked_pipeline(spark, sf_dir):
+    # PerformanceTracker wired around real pipeline stages, mirroring the
+    # reference's instrumented process_pipeline (`data_processor.py:280+`
+    # with `src/monitoring/performance.py:71-87` track contexts): each
+    # tracked block is one Spark ACTION (Spark is lazy — timing plan
+    # construction would measure milliseconds of driver work, so the stages
+    # here are the points where jobs actually run). Each block also runs
+    # under a Spark job group named for the stage, so the event log
+    # attributes executor time to stages too. Emits the summary frame
+    # (operation, calls, total/avg/min/max seconds).
+    from ..monitoring import PerformanceTracker
+    from ..operators import quality as Q
+
+    tracker = PerformanceTracker(spark)
+    ev = _t(spark, sf_dir, "events")
+    with tracker.track("load_and_count"):
+        ev.count()
+    with tracker.track("quality_checks"):
+        Q.quality_report(ev, key_cols=["event_id"], ts_col="ts").first()
+    with tracker.track("group_summary"):
+        ev.groupBy("event_type").agg(
+            F.count(F.lit(1)), F.avg("value")
+        ).collect()
+    out = tracker.as_dataframe(spark)
+    return out.select("operation", "total_calls").orderBy("operation")
