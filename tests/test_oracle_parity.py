@@ -22,6 +22,12 @@ def test_query_matches_duckdb(name, spark, duck, sf_dir):
     got = q.spark(spark, sf_dir)
     want = duck.execute(q.sql).df()
     assert_frames_match(got, want, name)
+    # every registered query must leave the session's SQL cache empty —
+    # a cache()/persist() without a paired unpersist accumulates executor
+    # memory across calls in a long-lived session (VERDICT r01 #4)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        f"{name} left cached plans behind"
+    )
 
 
 def test_entry_smoke(spark):

@@ -258,3 +258,76 @@ def simhash_expr(text: Column, bits: int = 16) -> Column:
 
 def add_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     return df.withColumn("simhash", simhash_expr(F.col(text_col), bits))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: all pairs with Hamming distance ≤ max_hamming
+    between their `bits`-bit simhashes.
+
+    Candidate generation is banded exactly like minhash-LSH: split the
+    simhash into n_bands bit-slices; by pigeonhole any pair within
+    max_hamming < n_bands differing bits agrees on at least one whole band,
+    so an equi-join (here: bucket groupBy + intra-bucket pairs, one shuffle)
+    on (band, slice-value) finds EVERY qualifying pair — linear in corpus,
+    no O(n²), no recall loss. The exact Hamming filter is then one
+    bit_count(xor) per candidate."""
+    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    assert bits % n_bands == 0
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    base = df.select(F.col(id_col).alias("id"), text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    sims = base.select("id", simhash_expr(F.col(text_col), bits).alias("sh"))
+    bands = sims.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright("sh", j * width).bitwiseAND(F.lit(mask)).alias("bv"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", "bk.band", "bk.bv")
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sh"))).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    pair_idx = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("docs") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("docs") - 1),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    hamming = F.bit_count(F.col("da.sh").bitwiseXOR(F.col("db.sh")))
+    return (
+        buckets.select(F.col("docs"), F.explode(pair_idx).alias("p"))
+        .select(
+            F.col("docs")[F.col("p.i")].alias("da"),
+            F.col("docs")[F.col("p.j")].alias("db"),
+        )
+        .select(
+            F.col("da.id").alias("id_a"),
+            F.col("db.id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

@@ -152,3 +152,29 @@ def portable_token_hash(tok: Column) -> Column:
     """60-bit integer hash from md5 — identical in Spark and DuckDB (unlike
     engine-native hash functions). Used by minhash/simhash."""
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash all
+    character k-grams of the normalized text, then keep the minimum hash of
+    every w-length window — the classic rolling-hash fingerprint set used
+    for plagiarism/near-dup detection. Deterministic and engine-portable
+    (md5-derived hashes, plain min — the rightmost-tie refinement is
+    dropped since distinct-set output makes it irrelevant).
+
+    Pure array algebra per row, hash array let-bound so the k-gram hashing
+    runs once (not once per window)."""
+    norm = F.lower(F.trim(text))
+    n = F.length(norm)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    hashes = F.transform(idx, lambda i: portable_token_hash(norm.substr(i, F.lit(k))))
+
+    def build(h: Column) -> Column:
+        widx = F.when(
+            F.size(h) >= w, F.sequence(F.lit(1), F.size(h) - (w - 1))
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        return F.transform(widx, lambda i: F.array_min(F.slice(h, i, w)))
+
+    return F.array_distinct(F.flatten(F.transform(F.array(hashes), build)))

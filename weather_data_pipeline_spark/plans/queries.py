@@ -5362,14 +5362,18 @@ def ngram_novelty_documents(spark, sf_dir):
         "doc_id", shingle_set(F.col("text")).alias("toks")
     ).where(F.size("toks") > 0)
     ex = sized.select("doc_id", F.explode("toks").alias("tok"))
-    firsts = ex.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    # first-occurrence via a window over the shingle key instead of a
+    # groupBy + join-back: ONE scan of the corpus (the self-join form reads
+    # and re-shingles every document twice), one exchange on the shingle,
+    # one on doc_id for the final rollup
+    first_doc = F.min("doc_id").over(Window.partitionBy("tok"))
+    novel = (first_doc == F.col("doc_id")).cast("long")
     return (
-        ex.join(firsts, "tok")
+        ex.select("doc_id", novel.alias("is_novel"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(novel).alias("n_novel"),
+            F.sum("is_novel").alias("n_novel"),
         )
         .select(
             "doc_id",
@@ -5533,3 +5537,80 @@ def performance_tracked_pipeline(spark, sf_dir):
         ).collect()
     out = tracker.as_dataframe(spark)
     return out.select("operation", "total_calls").orderBy("operation")
+
+
+_SH48_VOTES_SQL = ",\n        ".join(
+    f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+    for j in range(48)
+)
+_SH48_COMBINE_SQL = " + ".join(
+    f"CASE WHEN v_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(48)
+)
+
+
+@register(
+    "simhash_near_dup_documents",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+hh AS (SELECT doc_id, {_PHASH.format(t='tok')} AS hv FROM h),
+votes AS (SELECT doc_id,
+        {_SH48_VOTES_SQL}
+        FROM hh GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({_SH48_COMBINE_SQL} AS BIGINT) AS sh FROM votes),
+band AS (SELECT doc_id, sh, b.j, (sh >> (24 * b.j)) & 16777215 AS bv
+         FROM sh, (VALUES (0), (1)) b(j)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.sh AS sa, b.sh AS sb
+         FROM band a JOIN band b
+           ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+ORDER BY id_a, id_b
+""",
+)
+def simhash_near_dup_documents(spark, sf_dir):
+    # SimHash near-dup PAIRS (closes the simhash loop: simhash_documents
+    # emits fingerprints, this finds the hamming<=1 pairs): banded bit-slice
+    # bucketing — pigeonhole-guaranteed recall for max_hamming < n_bands,
+    # candidates linear in corpus, exact bit_count(xor) filter per candidate.
+    # 48-bit hash + 24-bit bands: this template-heavy corpus makes loose
+    # thresholds (hamming<=3 @ 32 bits) quadratic in OUTPUT (2M+ pairs at
+    # sf0.1) — near-identical semantics keeps the pair set meaningful.
+    return D.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=1, bits=48, n_bands=2
+    )
+
+
+@register(
+    "winnowing_fingerprints_documents",
+    f"""
+WITH n AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+h AS (SELECT doc_id,
+             list_transform(range(1, length(t) - 3),
+                            i -> {_PHASH.format(t='substr(t, i, 5)')}) AS hs
+      FROM n WHERE length(t) >= 5),
+m AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - 2),
+                                          i -> list_min(hs[i:i+3]))) AS fps
+      FROM h WHERE len(hs) >= 4)
+SELECT doc_id, unnest(fps) AS fingerprint
+FROM m ORDER BY doc_id, fingerprint
+""",
+)
+def winnowing_fingerprints_documents(spark, sf_dir):
+    # Winnowing (rolling-hash) fingerprints — the SURVEY-mandated
+    # "document fingerprinting (rolling hash)" operator in its classic form
+    # (Schleimer/Wilkerson/Aiken): char-5-gram hashes, window-4 minima,
+    # distinct per doc. Pure per-row array algebra (no shuffle before the
+    # presentation sort); the fingerprint table is what containment/overlap
+    # detection joins on at corpus scale.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(X.winnowing_fingerprints(F.col("text"))).alias("fingerprint"),
+        )
+        .orderBy("doc_id", "fingerprint")
+    )
