@@ -5614,3 +5614,171 @@ def winnowing_fingerprints_documents(spark, sf_dir):
         )
         .orderBy("doc_id", "fingerprint")
     )
+
+
+@register(
+    "training_corpus_manifest",
+    f"""
+WITH RECURSIVE
+fp AS (SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       FROM documents),
+exact AS (SELECT doc_id,
+                 (doc_id <> MIN(doc_id) OVER (PARTITION BY fp)) AS exact_dup_extra
+          FROM fp),
+base AS (SELECT doc_id AS id, lang AS blk, {_SHINGLES_SQL} AS toks
+              FROM documents),
+sized AS (SELECT id, blk, toks, len(toks) AS n_toks FROM base WHERE len(toks) > 0),
+exsh AS (SELECT id, blk, n_toks, unnest(toks) AS tok FROM sized),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+         COUNT(*) AS n_common
+  FROM exsh a JOIN exsh b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2, 3, 4),
+edges AS (
+  SELECT id_a, id_b FROM common
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.05),
+und AS (SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(node, label) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN und e ON r.node = e.s),
+cc AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node),
+rep AS (SELECT component, MIN(doc_id) AS rep_id FROM cc GROUP BY 1),
+near AS (SELECT cc.doc_id, (cc.doc_id <> rep.rep_id) AS near_dup_extra
+         FROM cc JOIN rep USING (component)),
+qt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       FROM documents),
+qs AS (SELECT doc_id,
+        0.4 * LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)) AS quality_score
+       FROM qt),
+wt AS (SELECT doc_id, source, {_W_SQL} AS w FROM documents),
+ng AS (SELECT doc_id, source, unnest(list_distinct({_grams_sql(3)})) AS gram
+       FROM wt WHERE len(w) >= 3),
+cont AS (SELECT t.doc_id, COUNT(DISTINCT t.gram) AS shared
+         FROM (SELECT doc_id, gram FROM ng WHERE source <> 'src0') t
+         JOIN (SELECT DISTINCT gram FROM ng WHERE source = 'src0') e USING (gram)
+         GROUP BY 1),
+m AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         ROUND(q.quality_score, 6) AS quality_score,
+         CASE WHEN {_ID_HASH.replace('doc_id', 'd.doc_id')} % 100 < 80 THEN 'train'
+              WHEN {_ID_HASH.replace('doc_id', 'd.doc_id')} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         (d.source = 'src0') AS is_eval_source,
+         e.exact_dup_extra,
+         COALESCE(n.near_dup_extra, FALSE) AS near_dup_extra,
+         (COALESCE(c.shared, 0) >= 5) AS contaminated
+  FROM documents d
+  JOIN exact e USING (doc_id)
+  JOIN qs q USING (doc_id)
+  LEFT JOIN near n USING (doc_id)
+  LEFT JOIN cont c USING (doc_id))
+SELECT doc_id, n_tokens, quality_score, split, is_eval_source,
+       exact_dup_extra, near_dup_extra, contaminated,
+       (NOT is_eval_source AND NOT exact_dup_extra AND NOT near_dup_extra
+        AND NOT contaminated AND quality_score >= 0.6) AS kept
+FROM m ORDER BY doc_id
+""",
+)
+def training_corpus_manifest(spark, sf_dir):
+    # The FLAGSHIP composition: the complete corpus-build decision for every
+    # document in ONE lazy plan — exact dedup (md5 fingerprint, min-id
+    # survivor), near-dup clustering (shingle-Jaccard edges → BSP connected
+    # components → per-cluster representative), heuristic quality filter,
+    # 3-gram decontamination against the held-out source, deterministic
+    # hash split, and the final keep decision with per-reason flags. This is
+    # the manifest a 100 TB training-data build actually writes: every
+    # stage is an operator verified on its own elsewhere in the registry,
+    # composed here into one auditable table.
+    from ..operators.graph import connected_components
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+
+    fpd = X.add_fingerprint(docs.select("doc_id", "text"))
+    exact = fpd.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy("fp"))
+        ).alias("exact_dup_extra"),
+    )
+
+    pairs = REGISTRY["shingle_jaccard_pairs_documents"].spark(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    rep = cc.groupBy("component").agg(F.min("node").alias("rep_id"))
+    near = (
+        cc.join(rep, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            (F.col("node") != F.col("rep_id")).alias("near_dup_extra"),
+        )
+    )
+
+    quality = X.add_quality_score(docs.select("doc_id", "text")).select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score")
+    )
+
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = (
+        docs.select("doc_id", "source", "text")
+        .withColumn("w", w)
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(_grams_spark(F.col("w"), 3))).alias("gram"),
+        )
+    )
+    eval_grams = grams.where(F.col("source") == "src0").select("gram").distinct()
+    cont = (
+        grams.where(F.col("source") != "src0")
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("shared"))
+    )
+
+    bucket = X.portable_token_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    m = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            split.alias("split"),
+            (F.col("source") == "src0").alias("is_eval_source"),
+        )
+        .join(exact, "doc_id")
+        .join(quality, "doc_id")
+        .join(near, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            "split",
+            "is_eval_source",
+            "exact_dup_extra",
+            F.coalesce("near_dup_extra", F.lit(False)).alias("near_dup_extra"),
+            (F.coalesce("shared", F.lit(0)) >= 5).alias("contaminated"),
+        )
+    )
+    kept = (
+        ~F.col("is_eval_source")
+        & ~F.col("exact_dup_extra")
+        & ~F.col("near_dup_extra")
+        & ~F.col("contaminated")
+        & (F.col("quality_score") >= 0.6)
+    )
+    return m.withColumn("kept", kept).orderBy("doc_id")
