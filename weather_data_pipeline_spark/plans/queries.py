@@ -5616,9 +5616,7 @@ def winnowing_fingerprints_documents(spark, sf_dir):
     )
 
 
-@register(
-    "training_corpus_manifest",
-    f"""
+_MANIFEST_SQL = f"""
 WITH RECURSIVE
 fp AS (SELECT doc_id,
               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
@@ -5685,8 +5683,10 @@ SELECT doc_id, n_tokens, quality_score, split, is_eval_source,
        (NOT is_eval_source AND NOT exact_dup_extra AND NOT near_dup_extra
         AND NOT contaminated AND quality_score >= 0.6) AS kept
 FROM m ORDER BY doc_id
-""",
-)
+"""
+
+
+@register("training_corpus_manifest", _MANIFEST_SQL)
 def training_corpus_manifest(spark, sf_dir):
     # The FLAGSHIP composition: the complete corpus-build decision for every
     # document in ONE lazy plan — exact dedup (md5 fingerprint, min-id
@@ -5782,3 +5782,51 @@ def training_corpus_manifest(spark, sf_dir):
         & (F.col("quality_score") >= 0.6)
     )
     return m.withColumn("kept", kept).orderBy("doc_id")
+
+
+@register(
+    "training_corpus_stats",
+    f"""
+WITH manifest AS ({_MANIFEST_SQL.replace('ORDER BY doc_id', '')})
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(SUM(CASE WHEN exact_dup_extra THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup,
+       CAST(SUM(CASE WHEN near_dup_extra THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_dup,
+       CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN is_eval_source THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_eval_source
+FROM manifest GROUP BY split ORDER BY split
+""",
+)
+def training_corpus_stats(spark, sf_dir):
+    # The corpus-build report: per-split document/token yields and drop
+    # reasons, rolled up from the manifest — what a pipeline owner reads
+    # after every build. 3 output rows; all the work is the manifest plan.
+    m = REGISTRY["training_corpus_manifest"].spark(spark, sf_dir)
+    return (
+        m.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.sum(F.when(F.col("exact_dup_extra"), 1).otherwise(0)).alias(
+                "n_exact_dup"
+            ),
+            F.sum(F.when(F.col("near_dup_extra"), 1).otherwise(0)).alias("n_near_dup"),
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.sum(F.when(F.col("is_eval_source"), 1).otherwise(0)).alias(
+                "n_eval_source"
+            ),
+        )
+        .orderBy("split")
+    )
