@@ -168,13 +168,25 @@ class TrainedModel:
 
 
 def _evaluate(pred: DataFrame, prefix: str) -> dict[str, float]:
-    out = {}
-    for metric in ("mse", "mae", "r2"):
-        ev = RegressionEvaluator(
-            labelCol=LABEL_COL, predictionCol="prediction", metricName=metric
-        )
-        out[f"{prefix}_{metric}"] = float(ev.evaluate(pred))
-    return out
+    """MSE/MAE/R² in ONE aggregation pass (reference metrics,
+    `weather_predictor.py:240-268`). Three RegressionEvaluator calls would
+    each re-scan the predictions — over a 5-model × 2-split loop that is 30
+    scans instead of 10; the closed forms below match the evaluator
+    definitions (R² = 1 − SSE/SST with population SST)."""
+    e = F.col("prediction") - F.col(LABEL_COL)
+    r = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(e * e).alias("sse"),
+        F.sum(F.abs(e)).alias("sae"),
+        F.sum(F.col(LABEL_COL)).alias("sy"),
+        F.sum(F.col(LABEL_COL) * F.col(LABEL_COL)).alias("syy"),
+    ).first()
+    sst = r.syy - r.sy * r.sy / r.n
+    return {
+        f"{prefix}_mse": float(r.sse / r.n),
+        f"{prefix}_mae": float(r.sae / r.n),
+        f"{prefix}_r2": float(1.0 - r.sse / sst) if sst > 0 else float("nan"),
+    }
 
 
 def train_regressors(
