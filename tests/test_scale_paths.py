@@ -210,9 +210,9 @@ def test_fpgrowth_pairs_match_cooccurrence_oracle(spark, sf_dir):
     from weather_data_pipeline_spark.plans.queries import REGISTRY
 
     fp = {
-        tuple(r.items): r.n_users
+        tuple(r.itemset.split("|")): r.n_users
         for r in REGISTRY["fpgrowth_itemsets_events"].spark(spark, sf_dir).collect()
-        if len(r.items) == 2
+        if r.n_items == 2
     }
     co = {
         (r.type_a, r.type_b): r.n_users

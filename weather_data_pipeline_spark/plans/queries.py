@@ -1605,10 +1605,15 @@ def cube_lineitem_flags(spark, sf_dir):
 def approx_stats_events(spark, sf_dir):
     # the 100 TB variants of A4/A12: HyperLogLog++ distinct + t-digest
     # quantiles — sketch-based one-pass, no exact-distinct shuffle
+    # scalar columns only: the harness canonicalizer cannot sort/hash an
+    # array column (same constraint as multimodal_feature_extract)
     ev = _t(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        q.getItem(0).alias("value_p50"),
+        q.getItem(1).alias("value_p95"),
+        q.getItem(2).alias("value_p99"),
     )
 
 
@@ -4829,8 +4834,13 @@ def pq_codes_embeddings(spark, sf_dir):
     # subspaces x 16-centroid seeded codebooks -> 4 codes/vector + the L2
     # reconstruction error. Deterministic given the seed (tested); quality
     # (PQ beats the 1-centroid degenerate codebook) is gated in tests.
-    return S.pq_encode(
-        _t(spark, sf_dir, "embeddings"), m=4, k=16
+    # scalar projection of the codes array for the harness canonicalizer
+    # (library callers use pq_encode directly for the array form)
+    out = S.pq_encode(_t(spark, sf_dir, "embeddings"), m=4, k=16)
+    return out.select(
+        "vec_id",
+        *[F.col("codes").getItem(j).alias(f"code_{j}") for j in range(4)],
+        F.round("recon_err", 6).alias("recon_err"),
     ).orderBy("vec_id")
 
 
@@ -5255,11 +5265,15 @@ def fpgrowth_itemsets_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
     baskets = ev.groupBy("user_id").agg(F.collect_set("event_type").alias("items"))
     model = FPGrowth(itemsCol="items", minSupport=0.2, minConfidence=0.5).fit(baskets)
+    # itemset emitted as a joined string: the harness canonicalizer cannot
+    # sort/hash array columns (library callers use model.freqItemsets)
     return (
         model.freqItemsets.select(
-            F.array_sort("items").alias("items"), F.col("freq").cast("long").alias("n_users")
+            F.concat_ws("|", F.array_sort("items")).alias("itemset"),
+            F.size("items").cast("int").alias("n_items"),
+            F.col("freq").cast("long").alias("n_users"),
         )
-        .orderBy(F.size("items"), F.col("items").cast("string"))
+        .orderBy("n_items", "itemset")
     )
 
 
