@@ -117,3 +117,84 @@ def test_time_of_day_bin_edges_match_pd_cut(hour, expected):
         include_lowest=True,
     )[0]
     assert str(got) == expected  # our F.when chain encodes exactly these edges
+
+
+# --- winnowing / simhash near-dup property tests ---------------------------
+def _py_portable_hash(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_winnow(text: str, k: int = 5, w: int = 4) -> set[int]:
+    t = text.strip().lower()
+    if len(t) < k:
+        return set()
+    hs = [_py_portable_hash(t[i : i + k]) for i in range(len(t) - k + 1)]
+    if len(hs) < w:
+        return set()
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(alphabet="abc d", min_size=0, max_size=40), min_size=1, max_size=6
+    )
+)
+def test_winnowing_matches_python_reference(spark, texts):
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnowing_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t), (i, t)
+
+
+def test_simhash_near_dup_finds_small_perturbations(spark):
+    # documents differing by one word must land within small hamming
+    # distance; the banded candidate generation must FIND every pair the
+    # exact filter would pass (pigeonhole guarantee, verified empirically
+    # by comparing against the brute-force all-pairs filter)
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators.dedup import (
+        simhash_expr,
+        simhash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base, base.replace("lazy", "hazy"), base.replace("dog", "cat"),
+             "completely different words entirely unrelated content here now",
+             base.replace("quick", "slow")]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(df, max_hamming=1, bits=48, n_bands=2).collect()
+    }
+    # brute force: exact simhash per doc, all pairs with hamming <= 1
+    sh = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", simhash_expr(F.col("text"), 48).alias("sh")
+        ).collect()
+    }
+    want = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 1
+    }
+    assert got == want

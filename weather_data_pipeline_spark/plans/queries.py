@@ -5844,3 +5844,114 @@ def training_corpus_stats(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@register(
+    "dup_cluster_size_distribution",
+    f"""
+WITH RECURSIVE base AS (SELECT doc_id AS id, lang AS blk, {_SHINGLES_SQL} AS toks
+              FROM documents),
+sized AS (SELECT id, blk, toks, len(toks) AS n_toks FROM base WHERE len(toks) > 0),
+ex AS (SELECT id, blk, n_toks, unnest(toks) AS tok FROM sized),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+         COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2, 3, 4),
+edges AS (
+  SELECT id_a, id_b FROM common
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.05),
+und AS (SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(node, label) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN und e ON r.node = e.s),
+cc AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM cc GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+""",
+)
+def dup_cluster_size_distribution(spark, sf_dir):
+    # Near-dup cluster-size census: how big are the duplicate families? The
+    # dedup-policy question (cap cluster contribution? keep 1?) is answered
+    # from this 3-column table. Components via the same BSP propagation as
+    # neardup_components; the distribution rollup is two tiny aggs on top.
+    from ..operators.graph import connected_components
+
+    pairs = REGISTRY["shingle_jaccard_pairs_documents"].spark(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "doc_length_distribution",
+    """
+WITH t AS (SELECT doc_id,
+                  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+           FROM documents WHERE length(trim(text)) > 0)
+SELECT CAST((n_tok // 10) * 10 AS BIGINT) AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1 ORDER BY 1
+""",
+)
+def doc_length_distribution(spark, sf_dir):
+    # Token-length histogram (10-token buckets) + per-bucket token mass —
+    # the length-vs-yield curve every corpus filter consults. Map-side
+    # combinable: one scan, |buckets| rows cross the wire.
+    from ..operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    return (
+        d.select(((n_tok / 10).cast("long") * 10).alias("bucket_start"), n_tok.alias("n_tok"))
+        .groupBy("bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+@register(
+    "events_per_user_distribution",
+    """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(FLOOR(LN(CAST(n AS DOUBLE)) / LN(2.0)) AS INT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(n) AS BIGINT) AS min_events,
+       CAST(MAX(n) AS BIGINT) AS max_events
+FROM c GROUP BY 1 ORDER BY 1
+""",
+)
+def events_per_user_distribution(spark, sf_dir):
+    # Activity skew census: users bucketed by log2(event count) — the
+    # heavy-hitter profile that decides salting/skew strategy for per-user
+    # operators. Two map-side-combinable aggs, nothing scales with events.
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    bucket = F.floor(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0))).cast("int")
+    return (
+        c.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("n").alias("min_events"),
+            F.max("n").alias("max_events"),
+        )
+        .orderBy("log2_bucket")
+    )
