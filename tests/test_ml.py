@@ -57,11 +57,18 @@ def test_walk_forward_no_leakage(spark, feats):
         )
 
 
-def test_regressor_suite_metrics_finite(spark, feats):
+@pytest.fixture(scope="module")
+def trained_suite(spark, feats):
+    # one training of the full suite, shared by the metric-finiteness and
+    # xgboost-fallback tests (each full training is ~30 s of suite wall)
+    train, test = SP.temporal_split(feats.limit(1500), "timestamp", 0.2)
+    return M.train_regressors(train, test, fast=True)
+
+
+def test_regressor_suite_metrics_finite(spark, trained_suite):
     import math
 
-    train, test = SP.temporal_split(feats.limit(1500), "timestamp", 0.2)
-    results = M.train_regressors(train, test, fast=True)
+    results = trained_suite
     names = {m.name for m in results}
     assert {"linear", "ridge", "random_forest", "gradient_boosting"} <= names
     assert len(names) >= 5  # xgboost or the documented gbt_deep substitute
@@ -94,7 +101,7 @@ def test_m13_plot_feed_queries(spark, sf_dir):
     assert imps == sorted(imps, reverse=True)
 
 
-def test_xgboost_fallback_decision_on_record(spark, feats):
+def test_xgboost_fallback_decision_on_record(spark, trained_suite):
     """M5 parity decision (VERDICT r01 #7): the reference trains XGBoost;
     this environment has no xgboost wheel, so the suite must contain the
     documented GBT stand-in with its exact recorded params — and if the
@@ -109,9 +116,7 @@ def test_xgboost_fallback_decision_on_record(spark, feats):
         assert type(gbt).__name__ == "GBTRegressor"
         assert gbt.getMaxDepth() == 6 and gbt.getStepSize() == 0.1
         # and the deviation must be visible in the training output itself
-        train, test = SP.temporal_split(feats.limit(600), "timestamp", 0.2)
-        results = M.train_regressors(train, test, fast=True)
-        deep = next(m for m in results if m.name == "gbt_deep")
+        deep = next(m for m in trained_suite if m.name == "gbt_deep")
         assert "xgboost unavailable" in deep.metrics["note"]
 
 
