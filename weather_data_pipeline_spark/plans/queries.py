@@ -5955,3 +5955,71 @@ def events_per_user_distribution(spark, sf_dir):
         )
         .orderBy("log2_bucket")
     )
+
+
+@register(
+    "winnowing_containment_documents",
+    f"""
+WITH n AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+h AS (SELECT doc_id,
+             list_transform(range(1, length(t) - 3),
+                            i -> {_PHASH.format(t='substr(t, i, 5)')}) AS hs
+      FROM n WHERE length(t) >= 5),
+m AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - 2),
+                                          i -> list_min(hs[i:i+3]))) AS fps
+      FROM h WHERE len(hs) >= 4),
+ex0 AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+keep AS (SELECT fp FROM ex0 GROUP BY fp HAVING COUNT(*) <= 50),
+ex AS (SELECT ex0.doc_id, ex0.fp FROM ex0 JOIN keep USING (fp)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM ex GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT s.id_a, s.id_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(s.n_shared AS DOUBLE) / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE)
+         AS containment
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE CAST(s.n_shared AS DOUBLE) / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def winnowing_containment_documents(spark, sf_dir):
+    # Asymmetric near-CONTAINMENT detection: pairs where >=80% of the
+    # smaller document's DISCRIMINATIVE winnowing fingerprints appear in
+    # the other — catches doc-inside-doc (quotes, concatenations) that
+    # symmetric Jaccard under-scores. High-document-frequency fingerprints
+    # are dropped first (MOSS-style boilerplate suppression), which both
+    # sharpens the signal and bounds the inverted-index join fanout.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    fps = docs.select(
+        "doc_id", X.winnowing_fingerprints(F.col("text")).alias("fps")
+    ).where(F.size("fps") > 0)
+    ex0 = fps.select("doc_id", F.explode("fps").alias("fp"))
+    # MOSS-style boilerplate suppression: a fingerprint shared by >50
+    # documents is template noise, not evidence of containment — and every
+    # hot fingerprint costs C(df,2) join pairs, so the cap also bounds the
+    # inverted-index fanout (18.8s -> ~3s at sf0.1 on this templated corpus)
+    keep = ex0.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 50)
+    ex = ex0.join(keep.select("fp"), "fp")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("nb"))
+    cont = F.col("n_shared").cast("double") / F.least("na", "nb").cast("double")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "n_shared", cont.alias("containment"))
+        .where(F.col("containment") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
