@@ -82,7 +82,7 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     (r"^(asof_join|band_join)", "join_custom"),
     (r"^multimodal_", "multimodal"),
     (r"(minhash|jaccard|simhash|dedup|shingle|neardup|pagerank|"
-     r"decontaminate|fingerprint)", "dedup"),
+     r"decontaminate|fingerprint|winnowing|dup_cluster)", "dedup"),
     (r"(chunk_documents|pack_sequences|hash_split|stratified_sample|"
      r"weighted_sample|per_source_cap|training_corpus)", "corpus_assembly"),
     (r"(_embeddings$|^label_centroids|^nearest_centroid|^embedding_norm)",
