@@ -28,7 +28,12 @@ from weather_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
 from weather_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-FULL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
+# wall budget for the WHOLE bench process (headline + full pass), so a
+# host-contention spike during the headline runs cannot push total wall past
+# a driver timeout and lose the output entirely; unvisited queries are
+# reported in `not_benched`, never silently dropped
+FULL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+_T_START = time.perf_counter()
 
 # Headline set: one per operator family — scan/agg/join/window/custom-window/
 # text/dedup/similarity/streaming/feature-pipeline
@@ -143,7 +148,6 @@ def main() -> None:
     # reuse their (warmer, best-of-2) timing instead of running a third time
     full: dict[str, float] = dict(timings)
     not_benched: list[str] = []
-    t_full0 = time.perf_counter()
     # cheap families first so a budget cut hits the expensive tail (the ML
     # training queries — minutes each — go last, cheapest-first, so a budget
     # cut skips the most expensive training runs, which correctness already
@@ -164,7 +168,7 @@ def main() -> None:
         ),
     )
     for name in order:
-        if time.perf_counter() - t_full0 > FULL_BUDGET:
+        if time.perf_counter() - _T_START > FULL_BUDGET:
             not_benched.append(name)
             continue
         try:
