@@ -93,7 +93,9 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     (r"(_embeddings$|^label_centroids|^nearest_centroid|^embedding_norm)",
      "similarity"),
     (r"(token|bpe|language_id|quality_score|word_counts|tfidf|pmi|oov|"
-     r"unigram|bigram|repetition|string_funcs|ngram_novelty|zipf)", "text"),
+     r"unigram|bigram|repetition|string_funcs|ngram_novelty|zipf|"
+     r"char_entropy)", "text"),
+    (r"(_drift_|chisq_type)", "drift_quality"),
     (r"(^lag_|^lead_|^diff_|rolling|ffill|interpolate|ewma|zscore|cusum|"
      r"seasonal|ohlc|trend_slope|drawdown|mad_outliers|gapfill|"
      r"inter_event_gap|session_stats|funnel|cohort|transition|first_last|"

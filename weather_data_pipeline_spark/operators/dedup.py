@@ -331,3 +331,57 @@ def simhash_near_dup_pairs(
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+def passage_chunks(text: Column, chunk_words: int = 8) -> Column:
+    """Non-overlapping `chunk_words`-word passages of the tokenized text
+    (tail passage may be shorter). Passage-level exact dedup is the standard
+    boilerplate detector in training-data pipelines: a passage repeated
+    across many documents (headers, license blocks, navigation chrome) is
+    boilerplate even when the documents as wholes are unique."""
+
+    def build(t: Column) -> Column:
+        n_chunks = F.greatest(
+            F.lit(1), F.ceil(F.size(t) / F.lit(float(chunk_words))).cast("bigint")
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(t, i * chunk_words + 1, F.lit(chunk_words)), " "
+            ),
+        )
+
+    # let-bind the token array (HOF lambdas defeat CSE; see shingle_set)
+    return F.flatten(F.transform(F.array(tokens(text)), build))
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Per-document boilerplate audit from corpus-global passage frequency.
+
+    Plan shape (the 100 TB design): explode passages (linear in corpus
+    bytes), ONE shuffle partitioned by the 16-byte md5 passage key with a
+    window count (no self-join, no second scan), then a groupBy back on the
+    doc id. A passage is "dup" when its text occurs more than once anywhere
+    in the corpus.
+    """
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(passage_chunks(F.col(text_col), chunk_words)).alias("chunk"),
+    ).select(F.col(id_col), F.md5(F.col("chunk")).alias("h"))
+    freq = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    per_chunk = chunks.withColumn("f", freq)
+    n_chunks = F.count(F.lit(1)).alias("n_chunks")
+    n_dup = F.sum((F.col("f") > 1).cast("bigint")).alias("n_dup_chunks")
+    return (
+        per_chunk.groupBy(id_col)
+        .agg(n_chunks, n_dup)
+        .withColumn(
+            "boilerplate_ratio",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks").cast("double"), 6),
+        )
+    )

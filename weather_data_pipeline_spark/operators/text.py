@@ -178,3 +178,47 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
         return F.transform(widx, lambda i: F.array_min(F.slice(h, i, w)))
 
     return F.array_distinct(F.flatten(F.transform(F.array(hashes), build)))
+
+
+# Symbol alphabet for the character-entropy quality signal: ASCII letters +
+# space. Anything else (digits, punctuation, non-Latin) is simply not
+# counted; `n_counted_chars` exposes how much of the doc the estimate saw.
+ENTROPY_SYMBOLS: tuple[str, ...] = tuple("abcdefghijklmnopqrstuvwxyz ")
+
+
+def add_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy (nats) of the {a-z, space} character distribution.
+
+    Low-entropy text (repeated characters, degenerate boilerplate) is a
+    standard cheap quality filter in training-data pipelines. The per-symbol
+    counts use the `length(x) - length(replace(x, c))` trick — 27 scalar
+    expressions over the lowered text, zero explode, zero shuffle, pure
+    whole-stage codegen; DuckDB mirrors it verbatim so the oracle is
+    bit-identical (terms summed in the same fixed order, rounded 6 dp,
+    `+ 0.0` to normalize a possible -0.0).
+    """
+    b = F.col("_low")
+    # let-bind every per-symbol count as a real column so each replace()
+    # runs once per row even though the count feeds total + 3 entropy uses
+    cnt_cols = {
+        f"_c{i}": (F.length(b) - F.length(F.replace(b, F.lit(c)))).cast("double")
+        for i, c in enumerate(ENTROPY_SYMBOLS)
+    }
+    out = df.withColumn("_low", F.lower(F.col(text_col))).withColumns(cnt_cols)
+    counts = [F.col(name) for name in cnt_cols]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    out = out.withColumn("_tot", total)
+    t = F.col("_tot")
+    ent = F.lit(0.0)
+    for c in counts:
+        ent = ent + F.when(c > 0, (c / t) * F.log(c / t)).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("n_counted_chars", t.cast("bigint"))
+        .withColumn(
+            "char_entropy",
+            F.when(t > 0, F.round(-ent, 6) + F.lit(0.0)).otherwise(F.lit(0.0)),
+        )
+        .drop("_low", "_tot", *cnt_cols)
+    )

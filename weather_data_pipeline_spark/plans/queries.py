@@ -6023,3 +6023,166 @@ def winnowing_containment_documents(spark, sf_dir):
         .where(F.col("containment") >= 0.8)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus boilerplate + character-entropy quality, distribution drift
+# ---------------------------------------------------------------------------
+from ..operators import drift as DR  # noqa: E402
+
+_PASSAGE_SQL = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+           FROM documents),
+i AS (SELECT doc_id, words,
+             unnest(range(greatest(1, CAST(ceil(len(words) / 8.0e0) AS BIGINT)))) AS i
+      FROM w),
+c AS (SELECT doc_id,
+             md5(array_to_string(words[(i*8+1):(i*8+8)], ' ')) AS h
+      FROM i),
+f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS f FROM c)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN f > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS boilerplate_ratio
+FROM f
+GROUP BY doc_id
+"""
+
+
+@register("passage_dedup_documents", _PASSAGE_SQL)
+def passage_dedup_documents(spark, sf_dir):
+    # passage-level (8-word non-overlapping chunk) exact dedup: the standard
+    # boilerplate detector — one explode, ONE shuffle on the md5 chunk key
+    # (window count, no self-join), groupBy back on doc_id. Linear in corpus
+    # bytes at 100 TB.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.passage_dedup_stats(docs)
+
+
+def _entropy_sql() -> str:
+    cnts = ",\n             ".join(
+        f"CAST(length(low) - length(replace(low, '{c}', '')) AS DOUBLE) AS _c{i}"
+        for i, c in enumerate(X.ENTROPY_SYMBOLS)
+    )
+    total = "(" + " + ".join(f"_c{i}" for i in range(len(X.ENTROPY_SYMBOLS))) + ")"
+    terms = " + ".join(
+        f"CASE WHEN _c{i} > 0 THEN (_c{i} / _tot) * ln(_c{i} / _tot) ELSE 0.0e0 END"
+        for i in range(len(X.ENTROPY_SYMBOLS))
+    )
+    return f"""
+WITH lo AS (SELECT doc_id, lower(text) AS low FROM documents),
+cs AS (SELECT doc_id,
+             {cnts}
+      FROM lo),
+t AS (SELECT *, {total} AS _tot FROM cs),
+e AS (SELECT doc_id, _tot, 0.0e0 + {terms} AS _ent FROM t)
+SELECT doc_id,
+       CAST(_tot AS BIGINT) AS n_counted_chars,
+       CASE WHEN _tot > 0 THEN ROUND(-(_ent), 6) + 0.0e0 ELSE 0.0e0 END
+         AS char_entropy
+FROM e
+"""
+
+
+@register("char_entropy_documents", _entropy_sql())
+def char_entropy_documents(spark, sf_dir):
+    # Shannon entropy over {a-z, space} via 27 replace-count expressions:
+    # zero shuffle, zero explode, pure whole-stage codegen. A low-entropy
+    # doc is degenerate/repetitive text — the cheapest quality filter there is.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.add_char_entropy(docs).select("doc_id", "n_counted_chars", "char_entropy")
+
+
+_PSI_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) AS e0, MAX(epoch_us(ts)) AS e1 FROM events),
+t AS (SELECT LEAST(CAST(FLOOR(value / 50.0e0) AS BIGINT), 9) AS bin,
+             (2 * epoch_us(ts) <= e0 + e1) AS is_a
+      FROM events CROSS JOIN b),
+g AS (SELECT bin,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM t GROUP BY bin),
+p AS (SELECT bin, n_a, n_b,
+             (n_a + 0.5e0) / (SUM(n_a) OVER () + 5.0e0) AS pa,
+             (n_b + 0.5e0) / (SUM(n_b) OVER () + 5.0e0) AS pb
+      FROM g),
+q AS (SELECT bin, n_a, n_b, ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+             ROUND((pa - pb) * ln(pa / pb), 6) + 0.0e0 AS psi_term
+      FROM p)
+SELECT bin, n_a, n_b, p_a, p_b, psi_term,
+       ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE), 6) AS psi
+FROM q
+ORDER BY bin
+"""
+
+
+@register("psi_value_drift_events", ev_sql(_PSI_SQL))
+def psi_value_drift_events(spark, sf_dir):
+    # Population Stability Index between the two time halves: fixed-width
+    # bins (no quantile pass) -> one 10-group shuffle; the time midpoint is
+    # a broadcast 1-row agg; totals/psi are 10-row windows. Drift gate for
+    # "did this snapshot's distribution move since the last training run".
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    return DR.psi_table(ev)
+
+
+_KS_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) AS e0, MAX(epoch_us(ts)) AS e1 FROM events),
+t AS (SELECT value AS v, (2 * epoch_us(ts) <= e0 + e1) AS is_a
+      FROM events CROSS JOIN b),
+g AS (SELECT v,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+      FROM t GROUP BY v),
+c AS (SELECT
+        SUM(na_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        SUM(nb_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        SUM(na_v) OVER () AS tot_a,
+        SUM(nb_v) OVER () AS tot_b
+      FROM g)
+SELECT ROUND(MAX(ABS(ca / CAST(tot_a AS DOUBLE) - cb / CAST(tot_b AS DOUBLE))), 6)
+         + 0.0e0 AS ks_stat,
+       CAST(MAX(tot_a) AS BIGINT) AS n_a,
+       CAST(MAX(tot_b) AS BIGINT) AS n_b
+FROM c
+"""
+
+
+@register("ks_drift_events", ev_sql(_KS_SQL))
+def ks_drift_events(spark, sf_dir):
+    # Two-sample Kolmogorov-Smirnov statistic between the time halves.
+    # Exact CDFs over DISTINCT values (groupBy first) so the global ordered
+    # window is bounded by value cardinality, not row count; at extreme
+    # cardinality swap in an approx_percentile grid (see operators/drift.py).
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    return DR.ks_table(ev)
+
+
+_CHISQ_SQL = """
+WITH g AS (SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+                  COUNT(*) AS o_cnt
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, dow, o_cnt,
+             (CAST(SUM(o_cnt) OVER (PARTITION BY event_type) AS DOUBLE)
+              * CAST(SUM(o_cnt) OVER (PARTITION BY dow) AS DOUBLE))
+               / CAST(SUM(o_cnt) OVER () AS DOUBLE) AS e
+      FROM g),
+q AS (SELECT event_type, dow, o_cnt, ROUND(e, 6) AS e_cnt,
+             ROUND(((o_cnt - e) * (o_cnt - e)) / e, 6) + 0.0e0 AS chisq_term
+      FROM m)
+SELECT event_type, dow, o_cnt, e_cnt, chisq_term,
+       ROUND(CAST(SUM(CAST(chisq_term AS DECIMAL(18,6))) OVER () AS DOUBLE), 6) AS chisq
+FROM q
+ORDER BY event_type, dow
+"""
+
+
+@register("chisq_type_dow_events", ev_sql(_CHISQ_SQL))
+def chisq_type_dow_events(spark, sf_dir):
+    # chi-square independence check: event_type x weekday contingency with
+    # expected counts from window marginals. One 35-group shuffle; marginal
+    # products go through double casts in BOTH engines so the arithmetic is
+    # bit-identical (and bigint-overflow-safe at cluster counts).
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type")
+    return DR.chisq_table(ev)
