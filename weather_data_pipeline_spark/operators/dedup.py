@@ -79,43 +79,176 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Unigram-Jaccard near-dup pairs within blocks.
+    """Unigram-Jaccard near-dup pairs within blocks — exact result, computed
+    over UNIQUE TOKEN SETS.
 
-    explode(distinct tokens) → equi-join on (block, token) → common counts →
-    |A∩B| / (|A|+|B|−|A∩B|). The division is int/int in doubles — exact and
-    engine-portable. Scale: block_col bounds the join fanout; for an
+    Naive shape (explode all tokens → self-join on (block, token) → count)
+    is quadratic in the per-token posting lists: on a corpus with shared
+    vocabulary every token is near-universal and the join materializes
+    ~Σ df(tok)² rows (26 s at sf0.1). Instead:
+
+    1. collapse documents to unique (block, token-set) groups — one md5
+       shuffle; duplicate-heavy corpora (the ones where near-dup pairs are
+       dense in the first place) shrink by orders of magnitude;
+    2. same-set doc pairs are emitted directly with jaccard = 1.0;
+    3. the inverted-index join runs only between DISTINCT sets, with the
+       standard length-ratio prune (J ≥ t ⇒ min|A|,|B| ≥ t·max|A|,|B|)
+       applied inside the join;
+    4. qualifying set pairs expand back to their doc-id lists.
+
+    The jaccard division is the same int/int double arithmetic as before —
+    exact and engine-portable, so the DuckDB oracle is unchanged. Scale:
+    `block_col` bounds fanout; a set duplicated k times contributes C(k,2)
+    OUTPUT pairs, so the expansion cost is the result size itself. For an
     unblocked corpus swap in minhash_lsh_candidates below."""
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
-        distinct_token_set(F.col(text_col)).alias("toks"),
+        F.array_sort(distinct_token_set(F.col(text_col))).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
-    ex = base.select("id", "blk", "n_toks", F.explode("toks").alias("tok"))
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.id") < F.col("b.id")),
+    sets = (
+        base.withColumn(
+            "fp", F.md5(F.concat_ws("\x01", F.col("blk"), F.array_join("toks", " ")))
         )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_toks").alias("na"),
-            F.col("b.n_toks").alias("nb"),
+        .groupBy("fp")
+        .agg(
+            F.first("blk").alias("blk"),
+            F.first("toks").alias("toks"),
+            F.first("n_toks").alias("n_toks"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        # materialize the unique-set table ONCE: it feeds six consumers
+        # (same-pairs, the inverted index, token ranks, both verification
+        # lookups, both expansion lookups) which would otherwise each replay
+        # the scan+tokenize+groupBy. localCheckpoint (graph.py precedent)
+        # truncates lineage without a persist() the session would leak —
+        # blocks are dropped by the ContextCleaner when the frame is GC'd.
+        .localCheckpoint(eager=True)
+    )
+    # (2) identical sets: every doc pair inside one group, jaccard exactly 1
+    same = (
+        sets.select("n_toks", "ids", F.explode("ids").alias("id_a"))
+        .select("n_toks", "id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_toks").cast("bigint").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # (3) distinct-set candidates via PREFIX-FILTERED inverted index
+    # (AllPairs/PPJoin): J(A,B) >= t implies the (|A| - ceil(t|A|) + 1)-
+    # prefixes of A and B under one global token order intersect. Ordering
+    # tokens rarest-first makes those prefixes the shortest posting lists,
+    # so the candidate join touches a tiny fraction of the index.
+    ex = sets.select("fp", "blk", "n_toks", F.explode("toks").alias("tok"))
+    rank_df = (
+        ex.groupBy("blk", "tok")
+        .agg(F.count(F.lit(1)).alias("df_tok"))
+        .withColumn(
+            "tok_rank",
+            F.row_number().over(
+                Window.partitionBy("blk").orderBy("df_tok", "tok")
+            ),
+        )
+        .select("blk", "tok", "tok_rank")
+    )
+    # prefix length with floor (>= the canonical ceil form — safe)
+    pref_len = (
+        F.col("n_toks")
+        - F.floor(F.lit(threshold) * F.col("n_toks").cast("double")).cast("int")
+        + F.lit(1)
+    )
+    pref = (
+        ex.join(F.broadcast(rank_df), ["blk", "tok"])
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("fp").orderBy("tok_rank")),
+        )
+        .where(F.col("pos") <= pref_len)
+        .select("fp", "blk", "n_toks", "tok")
+        # the prefix index is tiny, so AQE would coalesce it to ~1 partition
+        # — but the candidate join FANS OUT from here (posting-list cross
+        # products) and the exact verification that follows must run wide;
+        # round-robin repartition keeps that whole map stage parallel
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    a, b = pref.alias("a"), F.broadcast(pref.alias("b"))
+    ratio_ok = F.least(F.col("a.n_toks"), F.col("b.n_toks")).cast("double") >= (
+        F.lit(threshold)
+        * F.greatest(F.col("a.n_toks"), F.col("b.n_toks")).cast("double")
+    )
+    # candidates stay dup-heavy here (one row per shared prefix token);
+    # dedup happens AFTER the jaccard filter where the frame is far smaller
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.fp") < F.col("b.fp"))
+        & ratio_ok,
+    ).select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+    # exact verification: |A ∩ B| over the full token arrays; the unique-set
+    # table is tiny relative to the candidate stream -> broadcast both side
+    # lookups so verification is map-side (no candidate shuffle at all)
+    verified = (
+        cand.join(
+            F.broadcast(
+                sets.select(
+                    F.col("fp").alias("fp_a"),
+                    F.col("toks").alias("toks_a"),
+                    F.col("n_toks").alias("na"),
+                )
+            ),
+            "fp_a",
+        )
+        .join(
+            F.broadcast(
+                sets.select(
+                    F.col("fp").alias("fp_b"),
+                    F.col("toks").alias("toks_b"),
+                    F.col("n_toks").alias("nb"),
+                )
+            ),
+            "fp_b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+        )
     )
     jac = F.col("n_common").cast("double") / (
         (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
     )
-    return (
-        common.withColumn("jaccard", jac)
+    qualifying = (
+        verified.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "n_common", "jaccard")
-        .orderBy("id_a", "id_b")
+        .select("fp_a", "fp_b", "n_common", "jaccard")
+        .distinct()
     )
+    # (4) expand set pairs back to doc pairs (disjoint id lists; orient by id)
+    cross = (
+        qualifying.join(
+            F.broadcast(
+                sets.select(F.col("fp").alias("fp_a"), F.col("ids").alias("ids_a"))
+            ),
+            "fp_a",
+        )
+        .join(
+            F.broadcast(
+                sets.select(F.col("fp").alias("fp_b"), F.col("ids").alias("ids_b"))
+            ),
+            "fp_b",
+        )
+        .select("n_common", "jaccard", F.explode("ids_a").alias("ia"), "ids_b")
+        .select("n_common", "jaccard", "ia", F.explode("ids_b").alias("ib"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    return same.unionByName(cross).orderBy("id_a", "id_b")
 
 
 def _perm(a: int, b: int):
