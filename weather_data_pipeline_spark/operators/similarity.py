@@ -183,24 +183,32 @@ def cosine_near_dup_pairs(
 
 
 # --- deterministic sign-LSH ------------------------------------------------
+def _plane_sign_values(dim: int, plane: int) -> list[float]:
+    """±1 hyperplane components r[plane][i] from md5(plane:i) parity —
+    deterministic, no stored model. Computed DRIVER-SIDE: the values are
+    row-independent, so evaluating the md5 inside the per-row lambda (the
+    previous shape) re-hashed dim × n_planes times per row — the md5s
+    dominated the whole LSH job (~4M hashes at sf0.1)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:15], 16) & 1 == 1
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def _hyperplane_signs(vec: Column, dim: int, plane: int) -> Column:
-    """Pseudo-random ±1 hyperplane component r[plane][i], derived from
-    md5(plane:i) parity — deterministic, engine-portable, no stored model."""
-    comps = F.transform(
-        vec,
-        lambda x, i: F.when(
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", F.lit(plane), i.cast("string"))), 1, 15),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .bitwiseAND(F.lit(1))
-            == 1,
-            x.cast("double"),
-        ).otherwise(-x.cast("double")),
+    """Sign bit of <vec, r[plane]> with the ±1 components embedded as an
+    array literal; the fold accumulates in the same element order as the
+    previous per-row-md5 form, so bucket assignments are bit-identical."""
+    signs = F.array(*[F.lit(s) for s in _plane_sign_values(dim, plane)])
+    proj = F.aggregate(
+        F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    proj = F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v)
     return (proj > 0).cast("int")
 
 
