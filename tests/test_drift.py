@@ -135,3 +135,15 @@ def test_passage_dedup_flags_shared_boilerplate(spark):
     assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
     assert out[1]["boilerplate_ratio"] == 0.5
     assert out[2]["n_dup_chunks"] == 1  # matches doc 0's second chunk
+
+
+def test_baseline_value_props_smoothed_and_normalized(spark):
+    from weather_data_pipeline_spark.streaming.jobs import baseline_value_props
+
+    df = _ev(spark, [(T0, 10.0, "a"), (T0, 60.0, "a"), (T0, 10_000.0, "a")])
+    props = baseline_value_props(df)
+    assert len(props) == 10
+    assert all(p > 0 for p in props)  # Laplace smoothing: empty bins nonzero
+    assert sum(props) == pytest.approx(1.0)
+    # bins 0, 1 and the clamped last bin hold one observation each
+    assert props[0] == props[1] == props[9] == pytest.approx(1.5 / 8.0)

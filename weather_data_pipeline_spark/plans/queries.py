@@ -6186,3 +6186,45 @@ def chisq_type_dow_events(spark, sf_dir):
     # bit-identical (and bigint-overflow-safe at cluster counts).
     ev = _t(spark, sf_dir, "events").select("ts", "event_type")
     return DR.chisq_table(ev)
+
+
+def _streaming_psi_sql(n_bins: int = 10) -> str:
+    bcnts = ",\n        ".join(
+        f"SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS b{i}" for i in range(n_bins)
+    )
+    dcnts = ",\n        ".join(
+        f"SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS n_{i}" for i in range(n_bins)
+    )
+
+    def term(i: int) -> str:
+        p = f"((CAST(n_{i} AS DOUBLE) + 0.5e0) / (CAST(n_events AS DOUBLE) + 5.0e0))"
+        bp = f"((CAST(b{i} AS DOUBLE) + 0.5e0) / (CAST(bn AS DOUBLE) + 5.0e0))"
+        return f"(({p} - {bp}) * ln({p} / {bp}))"
+
+    terms = " + ".join(term(i) for i in range(n_bins))
+    return f"""
+WITH g AS (SELECT ts, LEAST(CAST(FLOOR(value / 50.0e0) AS BIGINT), 9) AS bin
+           FROM events),
+b AS (SELECT
+        {bcnts},
+        COUNT(*) AS bn
+      FROM g),
+d AS (SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+        {dcnts},
+        COUNT(*) AS n_events
+      FROM g GROUP BY 1)
+SELECT day_start, n_events,
+       ROUND({terms}, 6) + 0.0e0 AS psi
+FROM d CROSS JOIN b
+"""
+
+
+@register("streaming_psi_drift_events", ev_sql(_streaming_psi_sql()))
+def streaming_psi_drift_events(spark, sf_dir):
+    # Continuous drift monitor: per-day PSI of the streamed value
+    # distribution against a batch baseline snapshot. One watermarked
+    # groupBy(window) of conditional bin counts (bounded state, single
+    # aggregation — streaming's limit); PSI folds map-side against baseline
+    # literals in fixed bin order, so the drained availableNow result is
+    # EXACTLY the batch answer — proven by this oracle.
+    return SJ.streaming_psi_drift(spark, sf_dir)

@@ -335,3 +335,88 @@ def tws_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# --- streaming distribution-drift monitor -----------------------------------
+def _value_bin(value_col: str, bin_width: float, n_bins: int):
+    return F.least(
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("bigint"),
+        F.lit(n_bins - 1),
+    )
+
+
+def baseline_value_props(
+    batch_ev: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    alpha: float = 0.5,
+) -> list[float]:
+    """Laplace-smoothed bin proportions of a batch snapshot — the reference
+    distribution a streaming PSI monitor compares against. One conditional
+    aggregation, n_bins + 1 numbers collected; the smoothing arithmetic is
+    plain IEEE doubles so the same formula in SQL reproduces the values
+    bit-identically (the streaming query's oracle depends on this)."""
+    b = _value_bin(value_col, bin_width, n_bins)
+    row = batch_ev.agg(
+        *[F.sum((b == i).cast("bigint")).alias(f"n_{i}") for i in range(n_bins)],
+        F.count(F.lit(1)).alias("n_total"),
+    ).first()
+    total = float(row["n_total"])
+    return [
+        (float(row[f"n_{i}"]) + alpha) / (total + alpha * n_bins)
+        for i in range(n_bins)
+    ]
+
+
+def psi_drift_stream(
+    events: DataFrame,
+    baseline: list[float],
+    value_col: str = "value",
+    bin_width: float = 50.0,
+    alpha: float = 0.5,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window PSI of the streaming value distribution vs a static
+    baseline: the continuous "did the feed drift since the last training
+    snapshot" monitor.
+
+    Structured Streaming allows ONE aggregation per stream, so the bin
+    histogram is a single groupBy(window) of conditional sums and the PSI
+    folds map-side from those counts against baseline literals — no second
+    aggregation, no stream-stream join, bounded state (one row per open
+    window). Terms are summed in fixed bin order (deterministic), so the
+    drained availableNow result equals the batch/DuckDB answer exactly."""
+    n_bins = len(baseline)
+    b = _value_bin(value_col, bin_width, n_bins)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            *[F.sum((b == i).cast("bigint")).alias(f"n_{i}") for i in range(n_bins)],
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    tot = F.col("n_events").cast("double") + F.lit(alpha * n_bins)
+    terms = None
+    for i, bp in enumerate(baseline):
+        p = (F.col(f"n_{i}") + F.lit(alpha)) / tot
+        t = (p - F.lit(bp)) * F.log(p / F.lit(bp))
+        terms = t if terms is None else terms + t
+    return agg.select(
+        F.col("win.start").alias("day_start"),
+        "n_events",
+        (F.round(terms, 6) + F.lit(0.0)).alias("psi"),
+    )
+
+
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: batch baseline over the full table, then the stream's
+    per-day PSI against it, drained with availableNow."""
+    from ..sources.tables import load_table
+
+    baseline = baseline_value_props(load_table(spark, sf_dir, "events"))
+    return run_stream_to_batch(
+        psi_drift_stream(events_stream(spark, sf_dir), baseline), spark
+    )
