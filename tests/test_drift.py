@@ -147,3 +147,18 @@ def test_baseline_value_props_smoothed_and_normalized(spark):
     assert sum(props) == pytest.approx(1.0)
     # bins 0, 1 and the clamped last bin hold one observation each
     assert props[0] == props[1] == props[9] == pytest.approx(1.5 / 8.0)
+
+
+def test_drift_ops_empty_and_degenerate_inputs(spark):
+    # reference test style: empty frame, single row (data_processor edge matrix)
+    empty = spark.createDataFrame([], "ts timestamp, value double, event_type string")
+    assert DR.psi_table(empty).collect() == []
+    assert DR.chisq_table(empty).collect() == []
+    ks_empty = DR.ks_table(empty).collect()[0]
+    assert ks_empty["ks_stat"] is None  # undefined, never a crash
+
+    one = _ev(spark, [(T0, 10.0, "a")])
+    # single event: half B empty -> KS undefined (NULL), PSI still finite
+    assert DR.ks_table(one).collect()[0]["ks_stat"] is None
+    psi1 = DR.psi_table(one).collect()
+    assert len(psi1) == 1 and psi1[0]["psi"] is not None

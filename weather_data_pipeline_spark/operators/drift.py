@@ -109,10 +109,11 @@ def ks_table(ev: DataFrame, value_col: str = "value") -> DataFrame:
         F.sum("na_v").over(_w_all()).alias("tot_a"),
         F.sum("nb_v").over(_w_all()).alias("tot_b"),
     )
-    gap = F.abs(
-        F.col("ca") / F.col("tot_a").cast("double")
-        - F.col("cb") / F.col("tot_b").cast("double")
-    )
+    # null (not error) divisor when a half is empty: KS is undefined there
+    # and ANSI mode (Spark 4 default) turns x/0 into a hard error
+    safe_a = F.when(F.col("tot_a") > 0, F.col("tot_a").cast("double"))
+    safe_b = F.when(F.col("tot_b") > 0, F.col("tot_b").cast("double"))
+    gap = F.abs(F.col("ca") / safe_a - F.col("cb") / safe_b)
     return c.agg(
         (F.round(F.max(gap), 6) + F.lit(0.0)).alias("ks_stat"),
         F.max("tot_a").alias("n_a"),
