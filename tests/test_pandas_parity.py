@@ -198,3 +198,66 @@ def test_simhash_near_dup_finds_small_perturbations(spark):
         if bin(sh[a] ^ sh[b]).count("1") <= 1
     }
     assert got == want
+
+
+# --- drift statistics vs a straight numpy/pandas reference ------------------
+import datetime as _dt
+
+import numpy as _np
+
+from weather_data_pipeline_spark.operators import drift as DR
+
+_T0 = _dt.datetime(2024, 1, 1)
+
+drift_halves = st.tuples(
+    st.lists(st.floats(0, 500, allow_nan=False).map(lambda v: round(v, 2)),
+             min_size=1, max_size=25),
+    st.lists(st.floats(0, 500, allow_nan=False).map(lambda v: round(v, 2)),
+             min_size=1, max_size=25),
+)
+
+
+def _drift_df(spark, half_a, half_b):
+    rows = [(_T0 + _dt.timedelta(seconds=i), float(v), "x")
+            for i, v in enumerate(half_a)]
+    rows += [(_T0 + _dt.timedelta(hours=10, seconds=i), float(v), "x")
+             for i, v in enumerate(half_b)]
+    return spark.createDataFrame(rows, "ts timestamp, value double, event_type string")
+
+
+def _ref_ks(a, b):
+    a, b = _np.sort(_np.asarray(a)), _np.sort(_np.asarray(b))
+    pooled = _np.unique(_np.concatenate([a, b]))
+    ca = _np.searchsorted(a, pooled, side="right") / len(a)
+    cb = _np.searchsorted(b, pooled, side="right") / len(b)
+    return float(_np.max(_np.abs(ca - cb)))
+
+
+def _ref_psi(a, b, width=50.0, n_bins=10, alpha=0.5):
+    ha = _np.minimum(_np.floor(_np.asarray(a) / width), n_bins - 1).astype(int)
+    hb = _np.minimum(_np.floor(_np.asarray(b) / width), n_bins - 1).astype(int)
+    out = 0.0
+    for i in sorted(set(ha) | set(hb)):
+        pa = ((ha == i).sum() + alpha) / (len(a) + alpha * n_bins)
+        pb = ((hb == i).sum() + alpha) / (len(b) + alpha * n_bins)
+        out += round((pa - pb) * math.log(pa / pb), 6)
+    return out
+
+
+@given(drift_halves)
+@SET
+def test_ks_matches_numpy_reference(spark, halves):
+    a, b = halves
+    got = DR.ks_table(_drift_df(spark, a, b)).collect()[0]
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert math.isclose(got["ks_stat"], _ref_ks(a, b), abs_tol=1e-6)
+
+
+@given(drift_halves)
+@SET
+def test_psi_matches_numpy_reference(spark, halves):
+    a, b = halves
+    rows = DR.psi_table(_drift_df(spark, a, b)).collect()
+    assert math.isclose(rows[0]["psi"], round(_ref_psi(a, b), 6), abs_tol=2e-6)
+    assert sum(r["n_a"] for r in rows) == len(a)
+    assert sum(r["n_b"] for r in rows) == len(b)
