@@ -162,22 +162,38 @@ def winnowing_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     (md5-derived hashes, plain min — the rightmost-tie refinement is
     dropped since distinct-set output makes it irrelevant).
 
-    Pure array algebra per row, hash array let-bound so the k-gram hashing
-    runs once (not once per window)."""
-    norm = F.lower(F.trim(text))
-    n = F.length(norm)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.expr("array()").cast("array<int>")
-    )
-    hashes = F.transform(idx, lambda i: portable_token_hash(norm.substr(i, F.lit(k))))
+    Pure array algebra per row, with BOTH expensive intermediates let-bound
+    (the module's no-CSE-in-HOF-lambdas trap): the normalized string via a
+    single-element transform — referencing `lower(trim(text))` directly from
+    the per-position hash lambda re-lowered the whole string once per
+    character position (~1.5M times at sf0.1; 10 s → 1.5 s) — and the hash
+    array likewise, so k-gram hashing runs once, not once per window."""
+    empty_i = F.expr("array()").cast("array<int>")
 
-    def build(h: Column) -> Column:
+    def windows(h: Column) -> Column:
         widx = F.when(
             F.size(h) >= w, F.sequence(F.lit(1), F.size(h) - (w - 1))
-        ).otherwise(F.expr("array()").cast("array<int>"))
+        ).otherwise(empty_i)
         return F.transform(widx, lambda i: F.array_min(F.slice(h, i, w)))
 
-    return F.array_distinct(F.flatten(F.transform(F.array(hashes), build)))
+    def from_chars(cs: Column) -> Column:
+        # k-grams sliced from a char ARRAY: string substr(i, k) re-scans the
+        # UTF8 string from position 0 each call (O(n) per gram, O(n²) per
+        # doc); array slice indexes directly (another 2.5× on top of the
+        # norm binding)
+        n = F.size(cs)
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(empty_i)
+        hs = F.transform(
+            idx,
+            lambda i: portable_token_hash(F.array_join(F.slice(cs, i, k), "")),
+        )
+        return F.flatten(F.transform(F.array(hs), windows))
+
+    return F.array_distinct(
+        F.flatten(
+            F.transform(F.array(F.split(F.lower(F.trim(text)), "")), from_chars)
+        )
+    )
 
 
 # Symbol alphabet for the character-entropy quality signal: ASCII letters +
