@@ -438,3 +438,44 @@ def test_frame_sample_stays_jvm_side_and_prunes_payload(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "text" not in read_schema  # payload source column pruned away
+
+
+def _tree(plan: str) -> str:
+    # formatted explain = operator tree, blank line, then per-op details
+    # (each "Scan parquet" therefore appears twice in the full string)
+    return plan.split("\n\n")[0]
+
+
+def test_char_entropy_zero_shuffle_single_scan(spark, sf_dir):
+    plan = plan_of(REGISTRY["char_entropy_documents"].spark(spark, sf_dir))
+    assert "Exchange" not in plan  # 27 replace-counts: pure map-side codegen
+    assert _tree(plan).count("Scan parquet") == 1
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_passage_dedup_one_chunk_shuffle_no_join(spark, sf_dir):
+    plan = plan_of(REGISTRY["passage_dedup_documents"].spark(spark, sf_dir))
+    # global chunk frequency via a window over ONE md5-keyed exchange plus
+    # the groupBy back on doc_id — and NO self-join anywhere
+    assert _tree(plan).count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert _tree(plan).count("Exchange") == 2
+    assert "hashpartitioning" in plan  # both are hash exchanges, no global sort
+
+
+def test_psi_broadcasts_midpoint_and_prunes(spark, sf_dir):
+    plan = plan_of(REGISTRY["psi_value_drift_events"].spark(spark, sf_dir))
+    assert "BroadcastExchange" in plan  # 1-row min/max bounds, never shuffled
+    assert "CartesianProduct" not in plan
+    # the bounds scan reads only ts; the binning scan only ts+value
+    for rs in plan.split("ReadSchema: ")[1:]:
+        first = rs.splitlines()[0]
+        assert "props" not in first and "event_type" not in first
+
+
+def test_chisq_single_group_shuffle(spark, sf_dir):
+    plan = plan_of(REGISTRY["chisq_type_dow_events"].spark(spark, sf_dir))
+    assert _tree(plan).count("Scan parquet") == 1
+    # one hash shuffle for the contingency groupBy; window marginals reuse it
+    assert "Join" not in plan
