@@ -162,3 +162,24 @@ def test_drift_ops_empty_and_degenerate_inputs(spark):
     assert DR.ks_table(one).collect()[0]["ks_stat"] is None
     psi1 = DR.psi_table(one).collect()
     assert len(psi1) == 1 and psi1[0]["psi"] is not None
+
+
+def test_semantic_dedup_keep_list_clusters_identical_vectors(spark):
+    import random
+
+    from weather_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_keep_list,
+    )
+
+    rng = random.Random(7)
+    v1 = [rng.gauss(0, 1) for _ in range(64)]
+    v2 = [rng.gauss(0, 1) for _ in range(64)]
+    emb = spark.createDataFrame(
+        [(0, v1), (1, v1), (2, v2), (3, [x * 0.5 for x in v1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["from_dup_cluster"]
+           for r in semantic_dedup_keep_list(emb).collect()}
+    # 0/1/3 are cosine-1 duplicates (scaling preserves cosine): the min id
+    # survives as cluster rep; v2 stays an untouched singleton
+    assert out == {0: True, 2: False}

@@ -6235,3 +6235,80 @@ def streaming_psi_drift_events(spark, sf_dir):
     # literals in fixed bin order, so the drained availableNow result is
     # EXACTLY the batch answer — proven by this oracle.
     return SJ.streaming_psi_drift(spark, sf_dir)
+
+
+def _lsh_table_bucket_sql(
+    col: str, table: int, planes_per_table: int, dim: int = 64
+) -> str:
+    """SQL twin of one similarity.multi_table_bucket_cols entry: an EXPLICIT
+    left-associated +/- chain per plane, mirroring the Spark fold's
+    accumulation order exactly (a sign flip near zero would otherwise depend
+    on summation order)."""
+    parts = []
+    for j in range(planes_per_table):
+        chain = "0.0e0"
+        signs = S._plane_sign_values(dim, table * planes_per_table + j)
+        for i, sgn in enumerate(signs):
+            op = "+" if sgn > 0 else "-"
+            chain = f"({chain} {op} CAST({col}[{i + 1}] AS DOUBLE))"
+        parts.append(f"(CASE WHEN {chain} > 0 THEN {2 ** j} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+_N_LSH_TABLES = 4
+_SEM_BUCKETS = ",\n       ".join(
+    f"{_lsh_table_bucket_sql('embedding', t, 4)} AS b{t}" for t in range(_N_LSH_TABLES)
+)
+_SEM_EX_UNION = "\n       UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM bk" for t in range(_N_LSH_TABLES)
+)
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE
+bk AS (SELECT vec_id,
+       {_SEM_BUCKETS}
+       FROM embeddings),
+ex AS ({_SEM_EX_UNION}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM ex a JOIN ex b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+pairs AS (SELECT c.id_a, c.id_b, ea.embedding AS va, eb.embedding AS vb
+          FROM cand c
+          JOIN embeddings ea ON c.id_a = ea.vec_id
+          JOIN embeddings eb ON c.id_b = eb.vec_id),
+dots AS (
+  SELECT id_a, id_b,
+         {_DOT_SQL.format(a='va', b='vb')} AS dot,
+         {_DOT_SQL.format(a='va', b='va')} AS na,
+         {_DOT_SQL.format(a='vb', b='vb')} AS nb
+  FROM pairs, range(1, 65) i(i) GROUP BY 1, 2),
+edges AS (SELECT id_a, id_b FROM dots
+          WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4),
+und AS (SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(node, label) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN und e ON r.node = e.s),
+cc AS (SELECT node AS vec_id, MIN(label) AS component FROM reach GROUP BY node),
+rep AS (SELECT component, MIN(vec_id) AS rep_id FROM cc GROUP BY component)
+SELECT e.vec_id, (cc.component IS NOT NULL) AS from_dup_cluster
+FROM embeddings e
+LEFT JOIN cc ON e.vec_id = cc.vec_id
+LEFT JOIN rep ON cc.component = rep.component
+WHERE cc.component IS NULL OR e.vec_id = rep.rep_id
+ORDER BY e.vec_id
+"""
+
+
+@register("semantic_dedup_keep_list_embeddings", _SEMANTIC_DEDUP_SQL)
+def semantic_dedup_keep_list_embeddings(spark, sf_dir):
+    # SemDeDup-style semantic dedup decision: MULTI-TABLE sign-LSH
+    # candidates (4 tables x 4 planes -- one deeper table finds ~0% of true
+    # cosine-0.4 pairs; 4 independent shallow tables recover ~56% with ~24%
+    # of all-pairs candidate mass) -> exact decimal cosine >= 0.4 edges ->
+    # BSP connected components -> min-id representative per cluster + all
+    # singletons. Deterministic end-to-end (md5 hyperplanes, decimal dots,
+    # min-label CC), hence the full recursive-CTE oracle — the embedding
+    # counterpart of dedup_keep_list_documents.
+    return S.semantic_dedup_keep_list(_t(spark, sf_dir, "embeddings"))
