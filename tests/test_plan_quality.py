@@ -479,3 +479,25 @@ def test_chisq_single_group_shuffle(spark, sf_dir):
     assert _tree(plan).count("Scan parquet") == 1
     # one hash shuffle for the contingency groupBy; window marginals reuse it
     assert "Join" not in plan
+
+
+def test_no_per_row_python_udf_or_cartesian_anywhere(spark, sf_dir):
+    """Engine-wide sweep: every lazily-constructible registered query's plan
+    contains zero BatchEvalPython (per-row Python UDF) and zero
+    CartesianProduct operators. Arrow-batched mapInPandas is the sanctioned
+    Python path and is exempt. (Full census incl. action-constructing
+    queries: tools/plan_census.py -> PLANS.md.)"""
+    import re
+
+    from tools.plan_census import CONSTRUCT_EXECUTES
+
+    bad = []
+    for name, q in sorted(REGISTRY.items()):
+        if name.startswith(CONSTRUCT_EXECUTES):
+            continue  # these run jobs at construction; censused offline
+        plan = plan_of(q.spark(spark, sf_dir)).split("\n\n")[0]
+        if "BatchEvalPython" in plan:
+            bad.append((name, "per-row python udf"))
+        if "CartesianProduct" in plan:
+            bad.append((name, "cartesian product"))
+    assert not bad, bad
