@@ -1752,9 +1752,19 @@ def streaming_sliding_agg(spark, sf_dir):
     return SJ.streaming_sliding_event_counts(spark, sf_dir)
 
 
-@register("streaming_stateful_user_counts", None)  # rows-only: custom state
+@register(
+    "streaming_stateful_user_counts",
+    ev_sql("""
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""),
+)
 def streaming_stateful_user_counts(spark, sf_dir):
-    # applyInPandasWithState: per-user state carried across micro-batches
+    # applyInPandasWithState: per-user state carried across micro-batches.
+    # The drained final state (total count + running max per user) is
+    # deterministic regardless of batch boundaries — count is additive, max
+    # is order-free — so the custom stateful operator gets a full batch
+    # oracle, not just a rows-only check.
     return SJ.stateful_user_running_counts(spark, sf_dir)
 
 
