@@ -1114,9 +1114,71 @@ def cosine_near_dup_embeddings(spark, sf_dir):
     return S.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@register("ann_lsh_topk_embeddings", None)  # rows-only: recall<1 by design
+def _lsh_table_bucket_sql(
+    col: str, table: int, planes_per_table: int, dim: int = 64
+) -> str:
+    """SQL twin of one similarity.multi_table_bucket_cols entry: an EXPLICIT
+    left-associated +/- chain per plane, mirroring the Spark fold's
+    accumulation order exactly (a sign flip near zero would otherwise depend
+    on summation order)."""
+    parts = []
+    for j in range(planes_per_table):
+        chain = "0.0e0"
+        signs = S._plane_sign_values(dim, table * planes_per_table + j)
+        for i, sgn in enumerate(signs):
+            op = "+" if sgn > 0 else "-"
+            chain = f"({chain} {op} CAST({col}[{i + 1}] AS DOUBLE))"
+        parts.append(f"(CASE WHEN {chain} > 0 THEN {2 ** j} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def _fold_dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Inline left-associated double dot product — the SQL twin of
+    similarity._dot_double's fold, term order and casts identical, so the
+    RANKING doubles (not just the emitted decimals) match bit-for-bit."""
+    chain = "0.0e0"
+    for i in range(1, dim + 1):
+        chain = f"({chain} + (CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)))"
+    return chain
+
+
+def _ann_lsh_sql(k: int = 5) -> str:
+    # single-table 6-plane bucket == similarity.add_lsh_bucket defaults
+    bucket = "__ANN_BUCKET__"
+    return f"""
+WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+nr AS (SELECT vec_id, {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+       FROM embeddings, range(1, 65) i(i) GROUP BY vec_id),
+pairs AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 q.embedding AS qv, n.embedding AS nv
+          FROM bk q JOIN bk n ON q.bucket = n.bucket AND q.vec_id != n.vec_id),
+fast AS (SELECT p.query_id, p.neighbor_id, p.qv, p.nv,
+                {_fold_dot_sql('p.qv', 'p.nv')} / (sqrt(nq.n2) * sqrt(nn.n2))
+                  AS fast_sim,
+                nq.n2 AS qn2, nn.n2 AS nn2
+         FROM pairs p
+         JOIN nr nq ON p.query_id = nq.vec_id
+         JOIN nr nn ON p.neighbor_id = nn.vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY fast_sim DESC, neighbor_id) AS rk
+           FROM fast),
+top AS (SELECT * FROM ranked WHERE rk <= {k}),
+dots AS (SELECT query_id, neighbor_id, rk, qn2, nn2,
+                {_DOT_SQL.format(a='qv', b='nv')} AS dot
+         FROM top, range(1, 65) i(i) GROUP BY query_id, neighbor_id, rk, qn2, nn2)
+SELECT query_id, neighbor_id, dot / (sqrt(qn2) * sqrt(nn2)) AS cosine_sim,
+       CAST(rk AS INT) AS rank
+FROM dots ORDER BY query_id, rank
+""".replace(bucket, _lsh_table_bucket_sql("embedding", 0, 6))
+
+
+@register("ann_lsh_topk_embeddings", _ann_lsh_sql())
 def ann_lsh_topk_embeddings(spark, sf_dir):
-    # sign-LSH bucketed ANN: equi-join on bucket id instead of O(n²) pairs
+    # sign-LSH bucketed ANN: equi-join on bucket id instead of O(n²) pairs.
+    # Recall < 1 vs exact top-k BY DESIGN, but the computation itself is
+    # fully deterministic (md5 hyperplanes, identical fold order for the
+    # ranking doubles, decimal-exact emitted cosines) — so the whole ANN
+    # result, buckets and ranking included, is hash-checked against DuckDB.
     return S.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=5)
 
 
@@ -6245,24 +6307,6 @@ def streaming_psi_drift_events(spark, sf_dir):
     # literals in fixed bin order, so the drained availableNow result is
     # EXACTLY the batch answer — proven by this oracle.
     return SJ.streaming_psi_drift(spark, sf_dir)
-
-
-def _lsh_table_bucket_sql(
-    col: str, table: int, planes_per_table: int, dim: int = 64
-) -> str:
-    """SQL twin of one similarity.multi_table_bucket_cols entry: an EXPLICIT
-    left-associated +/- chain per plane, mirroring the Spark fold's
-    accumulation order exactly (a sign flip near zero would otherwise depend
-    on summation order)."""
-    parts = []
-    for j in range(planes_per_table):
-        chain = "0.0e0"
-        signs = S._plane_sign_values(dim, table * planes_per_table + j)
-        for i, sgn in enumerate(signs):
-            op = "+" if sgn > 0 else "-"
-            chain = f"({chain} {op} CAST({col}[{i + 1}] AS DOUBLE))"
-        parts.append(f"(CASE WHEN {chain} > 0 THEN {2 ** j} ELSE 0 END)")
-    return " + ".join(parts)
 
 
 _N_LSH_TABLES = 4
