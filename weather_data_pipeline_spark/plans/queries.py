@@ -1708,10 +1708,57 @@ def row_null_threshold_events(spark, sf_dir):
     return row_null_threshold_drop(ev, 0.7).agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-@register(
-    "quality_report_weather",
-    None,  # rows-only: one-row audit over the derived weather view
-)
+_WEATHER_COLS = [
+    "city", "w_ts", "temperature", "humidity", "pressure", "wind_speed",
+    "cloudiness", "rain_1h", "temp_max", "temp_min", "weather_main",
+    "weather_description",
+]
+
+
+def _quality_report_sql() -> str:
+    from ..operators.quality import WEATHER_VALID_RANGES
+
+    nulls = ",\n  ".join(
+        "CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS nulls_{n}".format(c=c, n=("timestamp" if c == "w_ts" else c))
+        for c in _WEATHER_COLS
+    )
+    oor = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN {c} < {lo}e0 OR {c} > {hi}e0 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS out_of_range_{c}"
+        for c, (lo, hi) in WEATHER_VALID_RANGES.items()
+    )
+    return f"""
+WITH w AS (SELECT
+  'city_' || CAST(user_id % 20 AS VARCHAR) AS city,
+  ts AS w_ts,
+  value / 10.0e0 AS temperature,
+  CAST((user_id * 7) % 100 AS INTEGER) AS humidity,
+  CAST(1000 + (user_id % 50) AS INTEGER) AS pressure,
+  value / 50.0e0 AS wind_speed,
+  CAST((user_id * 13) % 100 AS INTEGER) AS cloudiness,
+  CASE WHEN event_type = 'error' AND value > 100.0e0
+       THEN value / 100.0e0 ELSE 0.0e0 END AS rain_1h,
+  value / 10.0e0 + 1.0e0 AS temp_max,
+  value / 10.0e0 - 1.0e0 AS temp_min,
+  event_type AS weather_main,
+  event_type || ' conditions' AS weather_description
+FROM events),
+base AS (SELECT
+  COUNT(*) AS n_rows,
+  {nulls},
+  {oor},
+  MIN(w_ts) AS min_ts,
+  MAX(w_ts) AS max_ts
+FROM w),
+d AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS duplicate_key_rows
+      FROM (SELECT COUNT(*) AS n FROM w GROUP BY city, w_ts
+            HAVING COUNT(*) > 1))
+SELECT * FROM base CROSS JOIN d
+"""
+
+
+@register("quality_report_weather", ev_sql(_quality_report_sql()))
 def quality_report_weather(spark, sf_dir):
     # reference run_quality_checks (data_processor.py:330-400) as ONE pass
     from ..operators.quality import WEATHER_VALID_RANGES, quality_report
