@@ -50,10 +50,13 @@ def add_lag_features(df: DataFrame) -> DataFrame:
 
 def add_rolling_features(df: DataFrame) -> DataFrame:
     """W3/W4 rolling mean + std with pandas min_periods semantics
-    (reference `data_processor.py:101-116`)."""
+    (reference `data_processor.py:101-116`). exact=True: decimal-accumulated
+    closed forms, so the feature values are independent of accumulation
+    order — identical on 1 core or 1000 executors, and hash-checkable
+    against the pipeline's DuckDB oracle."""
     w = weather_window()
-    out = W.add_rolling_mean(df, w, LAG_COLS, ROLLING_WINDOW)
-    return W.add_rolling_std(out, w, LAG_COLS, ROLLING_WINDOW, min_periods=2)
+    out = W.add_rolling_mean(df, w, LAG_COLS, ROLLING_WINDOW, exact=True)
+    return W.add_rolling_std(out, w, LAG_COLS, ROLLING_WINDOW, min_periods=2, exact=True)
 
 
 def add_pressure_change(df: DataFrame) -> DataFrame:

@@ -1232,11 +1232,34 @@ def standardize_value_events(spark, sf_dir):
     )
 
 
-@register("feature_pipeline_weather", None)  # rows-only: ~70-column pipeline
+def _feature_pipeline_oracle_sql() -> str:
+    from .feature_pipeline_sql import feature_pipeline_sql
+
+    return ev_sql(feature_pipeline_sql())
+
+
+@register("feature_pipeline_weather", _feature_pipeline_oracle_sql())
 def feature_pipeline_weather(spark, sf_dir):
-    # the reference's full process_pipeline (data_processor.py:275-314) as a
-    # single lazy plan over the events-derived weather view
-    return FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+    # The reference's full process_pipeline (data_processor.py:275-314) as a
+    # single lazy plan over the events-derived weather view — now with a
+    # complete 69-column DuckDB twin (plans/feature_pipeline_sql.py), stage
+    # fragments lifted from the per-stage oracles. The registered projection
+    # normalizes only what cross-engine hashing demands: int columns emitted
+    # as long, and the libm-backed sin/cos + pow(wind_chill) columns rounded
+    # to 6 dp on BOTH sides; every other column (lags, decimal rolling
+    # stats, index chains, repairs, targets) compares bit-exact unrounded.
+    from .feature_pipeline_sql import LONG_COLS, ROUND6_COLS
+
+    df = FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+    sel = []
+    for f in df.schema.fields:
+        if f.name in ROUND6_COLS:
+            sel.append((F.round(f.name, 6) + F.lit(0.0)).alias(f.name))
+        elif f.dataType.simpleString() == "int":
+            sel.append(F.col(f.name).cast("long").alias(f.name))
+        else:
+            sel.append(F.col(f.name))
+    return df.select(*sel)
 
 
 # ---------------------------------------------------------------------------
