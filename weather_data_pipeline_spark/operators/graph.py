@@ -90,8 +90,11 @@ def pagerank(
     round, keeping the vector a distribution. Fixed n_iter (no tolerance
     loop): the driver never sees per-node data, only schedules rounds.
 
-    Ranks are deterministic for a fixed iteration count up to float
-    associativity; tests pin a hand-checkable graph, not bit equality.
+    Ranks are fully deterministic AND engine-portable: the per-node
+    contribution sum and the normalization total accumulate in
+    DECIMAL(28,18) (order-free), and ranks are quantized to 12 dp after
+    each normalization — so a fixed iteration count yields bit-identical
+    ranks on any cluster size and in the unrolled DuckDB oracle.
     """
     # materialize the edge list ONCE up front: every derived frame (nodes,
     # degrees, the per-iteration joins) reads this checkpoint instead of
@@ -127,7 +130,9 @@ def pagerank(
             ed.join(ranks.withColumnRenamed("node", "s"), "s")
             .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
         )
-        incoming = contribs.groupBy("node").agg(F.sum("c").alias("in_sum"))
+        incoming = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(28,18)")).cast("double").alias("in_sum")
+        )
         ranks = (
             nodes.join(incoming, "node", "left")
             .select(
@@ -139,6 +144,11 @@ def pagerank(
             )
             .localCheckpoint()
         )
-        total = ranks.agg(F.sum("rank")).first()[0]
-        ranks = ranks.withColumn("rank", F.col("rank") / F.lit(total)).localCheckpoint()
+        total = (
+            ranks.agg(F.sum(F.col("rank").cast("decimal(28,18)")).cast("double"))
+            .first()[0]
+        )
+        ranks = ranks.withColumn(
+            "rank", F.round(F.col("rank") / F.lit(total), 12)
+        ).localCheckpoint()
     return ranks

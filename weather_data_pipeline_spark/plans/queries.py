@@ -5194,7 +5194,59 @@ def cms_heavy_hitters_events(spark, sf_dir):
     ).orderBy(F.desc("exact_n"), "user_id")
 
 
-@register("pagerank_neardup_documents", None)  # rows-only: iterative float alg
+def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled 10-iteration PageRank twin over the shingle-Jaccard >= 0.05
+    edge graph. Oracle-able because graph.pagerank is engine-portable by
+    construction: contribution sums and the normalization total accumulate
+    in DECIMAL(28,18) (order-free) and ranks are quantized to 12 dp per
+    iteration, so a fixed iteration count is bit-reproducible and the
+    "iterative float algorithm" objection disappears — the loop simply
+    unrolls into per-iteration CTEs."""
+    head = f"""
+WITH base AS MATERIALIZED (SELECT doc_id AS id, lang AS blk, {_SHINGLES_SQL} AS toks
+              FROM documents),
+sized AS MATERIALIZED (SELECT id, blk, toks, len(toks) AS n_toks FROM base
+          WHERE len(toks) > 0),
+exx AS MATERIALIZED (SELECT id, blk, n_toks, unnest(toks) AS tok FROM sized),
+common AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+         COUNT(*) AS n_common
+  FROM exx a JOIN exx b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2, 3, 4),
+edges AS MATERIALIZED (SELECT id_a, id_b FROM common
+          WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE)
+                >= 0.05),
+und AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM und),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+dg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM und GROUP BY s),
+ed AS MATERIALIZED (SELECT u.s, u.d, dg.deg FROM und u JOIN dg USING (s)),
+r0 AS MATERIALIZED (SELECT node, 1.0e0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    its = []
+    for k in range(n_iter):
+        its.append(f""",
+i{k} AS MATERIALIZED (SELECT e.d AS node,
+              CAST(SUM(CAST(r.rank / e.deg AS DECIMAL(28,18))) AS DOUBLE)
+                AS in_sum
+         FROM ed e JOIN r{k} r ON e.s = r.node GROUP BY e.d),
+w{k} AS MATERIALIZED (SELECT n.node,
+              (1.0e0 - {damping}e0) / (SELECT n FROM nn)
+              + {damping}e0 * COALESCE(i{k}.in_sum, 0.0e0) AS rank
+         FROM nodes n LEFT JOIN i{k} USING (node)),
+t{k} AS MATERIALIZED (SELECT CAST(SUM(CAST(rank AS DECIMAL(28,18))) AS DOUBLE) AS tot
+         FROM w{k}),
+r{k + 1} AS MATERIALIZED (SELECT node, ROUND(rank / (SELECT tot FROM t{k}), 12) AS rank
+             FROM w{k})""")
+    tail = f"""
+SELECT node AS doc_id, ROUND(rank, 8) AS rank
+FROM r{n_iter}
+ORDER BY rank DESC, doc_id
+LIMIT 20"""
+    return head + "".join(its) + tail
+
+
+@register("pagerank_neardup_documents", _pagerank_sql())
 def pagerank_neardup_documents(spark, sf_dir):
     # PageRank centrality over the shingle-Jaccard near-dup graph (doubled
     # to undirected): ranks the "hub" documents inside duplicate clusters —
