@@ -292,7 +292,13 @@ def ivf_index(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     with_vec = emb.withColumn("_vec", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="_vec", predictionCol="centroid_id")
+    # maxIter=10: codebook/centroid quality plateaus well before the default
+    # 20 on this data (recall/distortion gates unchanged) at half the cost;
+    # at 100 TB you additionally train on a sample, not the full corpus
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=10,
+        featuresCol="_vec", predictionCol="centroid_id",
+    )
     model = km.fit(with_vec)
     assigned = model.transform(with_vec).drop("_vec")
     _ = vector_to_array  # imported for callers building centroid frames
@@ -401,6 +407,7 @@ def pq_encode(
         KMeans(
             k=k,
             seed=seed + j,
+            maxIter=10,
             featuresCol=f"_sub{j}",
             predictionCol=f"code_{j}",
             initMode="k-means||",
@@ -500,6 +507,7 @@ def ivf_pq_adc_topk(
         KMeans(
             k=n_codes,
             seed=seed + 1 + j,
+            maxIter=10,
             featuresCol=f"_sub{j}",
             predictionCol=f"code_{j}",
         ).fit(base)
