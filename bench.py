@@ -89,7 +89,8 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     (r"(minhash|jaccard|simhash|dedup|shingle|neardup|pagerank|"
      r"decontaminate|fingerprint|winnowing|dup_cluster)", "dedup"),
     (r"(chunk_documents|pack_sequences|hash_split|stratified_sample|"
-     r"weighted_sample|per_source_cap|training_corpus)", "corpus_assembly"),
+     r"weighted_sample|per_source_cap|training_corpus|mixture_allocation)",
+     "corpus_assembly"),
     (r"(_embeddings$|^label_centroids|^nearest_centroid|^embedding_norm)",
      "similarity"),
     (r"(token|bpe|language_id|quality_score|word_counts|tfidf|pmi|oov|"

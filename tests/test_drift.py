@@ -183,3 +183,16 @@ def test_semantic_dedup_keep_list_clusters_identical_vectors(spark):
     # 0/1/3 are cosine-1 duplicates (scaling preserves cosine): the min id
     # survives as cluster rep; v2 stays an untouched singleton
     assert out == {0: True, 2: False}
+
+
+def test_mixture_allocation_sums_to_budget(spark, sf_dir):
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["mixture_allocation_documents"].spark(spark, sf_dir).collect()
+    assert sum(r["alloc_tokens"] for r in rows) == 1_000_000
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-6
+    # temperature alpha=0.5 flattens: the smallest source gets a larger
+    # budget share than its token share
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    tok_total = sum(r["n_tokens"] for r in rows)
+    assert smallest["alloc_tokens"] / 1_000_000 > smallest["n_tokens"] / tok_total

@@ -6488,3 +6488,77 @@ def semantic_dedup_keep_list_embeddings(spark, sf_dir):
     # min-label CC), hence the full recursive-CTE oracle — the embedding
     # counterpart of dedup_keep_list_documents.
     return S.semantic_dedup_keep_list(_t(spark, sf_dir, "embeddings"))
+
+
+_MIXTURE_SQL = """
+WITH t AS (SELECT source,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                       AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+p AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.5e0) AS pw FROM t),
+w AS (SELECT *, ROUND(pw / SUM(pw) OVER (), 9) AS weight FROM p),
+a AS (SELECT *,
+             CAST(FLOOR(1000000.0e0 * weight) AS BIGINT) AS alloc_floor,
+             1000000.0e0 * weight - FLOOR(1000000.0e0 * weight) AS rem
+      FROM w),
+r AS (SELECT *,
+             row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             1000000 - SUM(alloc_floor) OVER () AS leftover
+      FROM a)
+SELECT source, n_docs, n_tokens, weight,
+       CAST(alloc_floor + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_tokens,
+       ROUND(LEAST(1.0e0,
+         CAST(alloc_floor + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+              AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS sampling_rate
+FROM r
+ORDER BY source
+"""
+
+
+@register("mixture_allocation_documents", _MIXTURE_SQL)
+def mixture_allocation_documents(spark, sf_dir):
+    # Training-mixture design (DoReMi-lite): temperature-scaled source
+    # weights w_s ∝ tokens_s^0.5 (flattens domination by huge sources), a
+    # 1M-token budget split by largest-remainder rounding (allocations sum
+    # exactly to budget), and the per-source sampling rate a corpus build
+    # would apply. One groupBy(source) + windows over the handful of source
+    # rows — trivially scalable. Weights are rounded to 9 dp BEFORE the
+    # floor so the allocation arithmetic operates on identical doubles in
+    # both engines (pow is the only libm op involved).
+    B = 1_000_000
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(X.tokens(F.col("text"))).cast("bigint")).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(0.5))
+    w = t.withColumn("_pw", pw).withColumn(
+        "weight", F.round(F.col("_pw") / F.sum("_pw").over(w_all), 9)
+    )
+    alloc_floor = F.floor(F.lit(float(B)) * F.col("weight")).cast("bigint")
+    rem = F.lit(float(B)) * F.col("weight") - F.floor(
+        F.lit(float(B)) * F.col("weight")
+    )
+    a = w.withColumn("alloc_floor", alloc_floor).withColumn("rem", rem)
+    r = a.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    ).withColumn("leftover", F.lit(B) - F.sum("alloc_floor").over(w_all))
+    alloc = F.col("alloc_floor") + F.when(
+        F.col("rr") <= F.col("leftover"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return r.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        alloc.cast("bigint").alias("alloc_tokens"),
+        F.round(
+            F.least(
+                F.lit(1.0), alloc.cast("double") / F.col("n_tokens").cast("double")
+            ),
+            6,
+        ).alias("sampling_rate"),
+    ).orderBy("source")
