@@ -196,3 +196,25 @@ def test_mixture_allocation_sums_to_budget(spark, sf_dir):
     smallest = min(rows, key=lambda r: r["n_tokens"])
     tok_total = sum(r["n_tokens"] for r in rows)
     assert smallest["alloc_tokens"] / 1_000_000 > smallest["n_tokens"] / tok_total
+
+
+def test_bpe_merges_learn_frequent_pair_first(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    # corpus where 'ab' is by far the most frequent adjacent pair
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd"), (1, "abab ab cd")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.withColumn("lang", SF.lit("en")).withColumn(
+        "source", SF.lit("s")
+    ).withColumn("n_chars", SF.length("text")).write.parquet(path)
+    out = REGISTRY["bpe_merge_rules_documents"].spark(spark, str(tmp_path)).collect()
+    # tiny corpus exhausts its pairs before 6 rounds — steps stay contiguous
+    assert [r["step"] for r in out] == list(range(len(out))) and len(out) >= 2
+    assert (out[0]["sym_left"], out[0]["sym_right"], out[0]["merged"]) == ("a", "b", "ab")
+    # second merge joins the new 'ab' symbol with an adjacent symbol
+    assert "ab" in (out[1]["sym_left"], out[1]["sym_right"])

@@ -6562,3 +6562,115 @@ def mixture_allocation_documents(spark, sf_dir):
             6,
         ).alias("sampling_rate"),
     ).orderBy("source")
+
+
+def _bpe_sql(n_merges: int = 6) -> str:
+    """Unrolled BPE-merge-induction twin. Iterations run over the compact
+    word-frequency table (the way real BPE trainers work: the corpus is
+    touched once for word counts; merge learning is vocab-sized), so the
+    oracle unrolls them as MATERIALIZED CTEs (DuckDB would otherwise inline
+    the multiply-referenced chain exponentially — same trap as pagerank)."""
+    head = """
+WITH wrds AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word),
+r0 AS MATERIALIZED (
+  SELECT word, cnt, array_to_string(regexp_extract_all(word, '.'), ' ') AS rep
+  FROM wrds)"""
+    def merge_expr(k: int, passes: int = 4) -> str:
+        # one pass of non-overlapping left-to-right replacement consumes the
+        # boundary spaces, so alternating occurrences ('a b a b') need a
+        # second look; 4 passes converge for <=16 adjacent repeats (far
+        # beyond any real word) and are applied IDENTICALLY in Spark
+        e = "rep"
+        for _ in range(passes):
+            e = (f"trim(replace(' ' || {e} || ' ', "
+                 f"' ' || (SELECT pair FROM b{k}) || ' ', "
+                 f"' ' || replace((SELECT pair FROM b{k}), ' ', '') || ' '))")
+        return e
+
+    its = []
+    for k in range(n_merges):
+        its.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(string_split(rep, ' '))),
+                    i -> string_split(rep, ' ')[i] || ' '
+                         || string_split(rep, ' ')[i + 1])) AS pair
+    FROM r{k} WHERE len(string_split(rep, ' ')) >= 2)
+  GROUP BY pair),
+b{k} AS MATERIALIZED (SELECT pair, n FROM p{k} ORDER BY n DESC, pair LIMIT 1),
+r{k + 1} AS MATERIALIZED (
+  SELECT word, cnt, {merge_expr(k)} AS rep
+  FROM r{k})""")
+    finals = "\n  UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, split_part(pair, ' ', 1) AS sym_left,"
+        f" split_part(pair, ' ', 2) AS sym_right,"
+        f" replace(pair, ' ', '') AS merged, n AS pair_count FROM b{k}"
+        for k in range(n_merges)
+    )
+    return head + "".join(its) + f"\nSELECT * FROM (\n  {finals})\nORDER BY step"
+
+
+@register("bpe_merge_rules_documents", _bpe_sql())
+def bpe_merge_rules_documents(spark, sf_dir, n_merges: int = 6):
+    # Distributed BPE merge induction: ONE corpus pass builds the word-
+    # frequency table (the only corpus-sized step — SentencePiece/HF BPE
+    # trainers work the same way), then each merge round counts weighted
+    # adjacent symbol pairs over the compact vocab, picks the top pair
+    # (ties lexicographic), and rewrites representations via non-overlapping
+    # left-to-right replacement. Deterministic end-to-end; the driver sees
+    # only one (pair, count) row per round.
+    docs = _t(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rep = words.withColumn(
+        "rep", F.array_join(F.split(F.col("word"), ""), " ")
+    ).localCheckpoint()
+    rules = []
+    for k in range(n_merges):
+        syms = F.col("_syms")
+        n = F.size(syms)
+        pair_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.expr("array()").cast("array<int>")
+        )
+        pairs = F.transform(
+            pair_idx,
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+            ),
+        )
+        pc = (
+            rep.withColumn("_syms", F.split(F.col("rep"), " "))
+            .select("cnt", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pc.orderBy(F.desc("n"), "pair").limit(1).collect()
+        if not top:  # vocab fully merged — no adjacent pairs left
+            break
+        best = top[0]
+        left, right = best["pair"].split(" ")
+        rules.append((k, left, right, left + right, int(best["n"])))
+        merged_col = F.col("rep")
+        for _ in range(4):  # same 4-pass convergence as the SQL twin
+            merged_col = F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), merged_col, F.lit(" ")),
+                    F.lit(f" {best['pair']} "),
+                    F.lit(f" {left + right} "),
+                )
+            )
+        rep = rep.withColumn("rep", merged_col).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "step long, sym_left string, sym_right string, merged string, pair_count long"
+    ).orderBy("step")
