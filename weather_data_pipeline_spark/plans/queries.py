@@ -6615,15 +6615,12 @@ r{k + 1} AS MATERIALIZED (
     return head + "".join(its) + f"\nSELECT * FROM (\n  {finals})\nORDER BY step"
 
 
-@register("bpe_merge_rules_documents", _bpe_sql())
-def bpe_merge_rules_documents(spark, sf_dir, n_merges: int = 6):
-    # Distributed BPE merge induction: ONE corpus pass builds the word-
-    # frequency table (the only corpus-sized step — SentencePiece/HF BPE
-    # trainers work the same way), then each merge round counts weighted
-    # adjacent symbol pairs over the compact vocab, picks the top pair
-    # (ties lexicographic), and rewrites representations via non-overlapping
-    # left-to-right replacement. Deterministic end-to-end; the driver sees
-    # only one (pair, count) row per round.
+def _bpe_learn(spark, sf_dir, n_merges: int = 6):
+    """Shared BPE induction: returns (rules, final word-representation df).
+    ONE corpus pass builds the word-frequency table (the only corpus-sized
+    step — SentencePiece/HF BPE trainers work the same way); merge rounds
+    run over the compact vocab. Deterministic end-to-end; the driver sees
+    only one (pair, count) row per round."""
     docs = _t(spark, sf_dir, "documents").select("text")
     words = (
         docs.select(
@@ -6671,6 +6668,39 @@ def bpe_merge_rules_documents(spark, sf_dir, n_merges: int = 6):
                 )
             )
         rep = rep.withColumn("rep", merged_col).localCheckpoint()
+    return rules, rep
+
+
+@register("bpe_merge_rules_documents", _bpe_sql())
+def bpe_merge_rules_documents(spark, sf_dir):
+    # Distributed BPE merge induction — see _bpe_learn. Each rule row is
+    # (step, pair, merged symbol, weighted pair count).
+    rules, _ = _bpe_learn(spark, sf_dir)
     return spark.createDataFrame(
         rules, "step long, sym_left string, sym_right string, merged string, pair_count long"
     ).orderBy("step")
+
+
+_BPE_VOCAB_SQL = (
+    _bpe_sql().rsplit("SELECT * FROM (", 1)[0]
+    + """SELECT sym, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM (SELECT cnt, unnest(string_split(rep, ' ')) AS sym FROM r6)
+GROUP BY sym ORDER BY n_occurrences DESC, sym LIMIT 30"""
+)
+
+
+@register("bpe_vocab_documents", _BPE_VOCAB_SQL)
+def bpe_vocab_documents(spark, sf_dir):
+    # The subword vocabulary AFTER the learned merges: symbol frequencies of
+    # the final word representations, weighted by word count — the table a
+    # tokenizer build would persist next to the merge rules. Shares the
+    # induction with bpe_merge_rules_documents; the oracle reuses the same
+    # unrolled CTE chain with a different final aggregation.
+    _, rep = _bpe_learn(spark, sf_dir)
+    return (
+        rep.select("cnt", F.explode(F.split(F.col("rep"), " ")).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "sym")
+        .limit(30)
+    )
