@@ -62,3 +62,55 @@ def test_spark_job_group_and_dataframe(spark):
     row = df.where("operation = 'count_stage'").first()
     assert row.total_calls == 1
     assert row.total_time >= row.min_time > 0
+
+
+# --- M13 plots (reference weather_predictor.py:550-633) ----------------------
+def _feed_row(**kw):
+    from types import SimpleNamespace
+
+    return SimpleNamespace(**kw)
+
+
+def test_model_comparison_svg_renders_all_panels():
+    import xml.etree.ElementTree as ET
+
+    from weather_data_pipeline_spark.ml.plots import model_comparison_svg
+
+    rows = [
+        _feed_row(model=m, split=s, metric=k, value=v)
+        for m, v in (("linear", 0.95), ("rf", 0.94))
+        for s in ("train", "test")
+        for k in ("mse", "mae", "r2")
+    ]
+    svg = model_comparison_svg(rows)
+    root = ET.fromstring(svg)  # valid XML
+    assert root.tag.endswith("svg")
+    bars = svg.count('class="bar"')
+    assert bars == 4 * 2  # 4 panels x 2 models
+    assert "Test R²" in svg and "Train R²" in svg
+
+
+def test_feature_importance_svg_preserves_rank_order():
+    import xml.etree.ElementTree as ET
+
+    from weather_data_pipeline_spark.ml.plots import feature_importance_svg
+
+    rows = [
+        _feed_row(model="random_forest", rank=r, feature=f"f{r}", importance=1.0 / r)
+        for r in (3, 1, 2)
+    ]
+    svg = feature_importance_svg(rows)
+    ET.fromstring(svg)
+    assert svg.count('class="bar"') == 3
+    assert svg.index("f1") < svg.index("f2") < svg.index("f3")
+    assert "random_forest" in svg
+
+
+def test_save_model_plots_writes_both_figures(spark, sf_dir, tmp_path):
+    import os
+
+    from weather_data_pipeline_spark.ml.plots import save_model_plots
+
+    paths = save_model_plots(spark, sf_dir, str(tmp_path / "plots"))
+    for p in paths.values():
+        assert os.path.exists(p) and open(p).read().startswith("<svg")
