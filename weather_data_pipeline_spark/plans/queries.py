@@ -1524,7 +1524,50 @@ def multimodal_metadata_summary(spark, sf_dir):
     )
 
 
-@register("multimodal_feature_extract", None)  # rows-only: Python (Arrow) path
+# The stub extractor is md5-seeded (operators/multimodal.py:_fake_embedding):
+# the 16-byte digest is tiled to 16 little-endian uint32 words (so words
+# repeat with period 4), each mapped to (w % 10000)/10000.0. That makes the
+# checksum fully SQL-expressible — replicate the digest-word extraction from
+# DuckDB's md5() hex string and fold the 16 values in array order.
+def _md5_hexdigit_sql(col: str, j: int) -> str:
+    # 1-indexed hex char j of md5 hex string -> integer value 0..15
+    return f"(strpos('0123456789abcdef', substr({col}, {j}, 1)) - 1)"
+
+
+def _md5_word_le_sql(col: str, w: int) -> str:
+    # little-endian uint32 from digest bytes 4w..4w+3
+    parts = []
+    for i, mult in enumerate((1, 256, 65536, 16777216)):
+        k = 4 * w + i  # 0-based byte index
+        byte = f"(16*{_md5_hexdigit_sql(col, 2 * k + 1)} + {_md5_hexdigit_sql(col, 2 * k + 2)})"
+        parts.append(f"{mult}::BIGINT * {byte}")
+    return "(" + " + ".join(parts) + ")"
+
+
+_MM_CHECKSUM_SQL = " + ".join(f"v{w % 4}" for w in range(16))  # array fold order
+
+
+@register(
+    "multimodal_feature_extract",
+    f"""
+WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(strlen(text) AS BIGINT) AS byte_len,
+         md5(text) AS hx
+  FROM documents),
+v AS (
+  SELECT doc_id, kind, byte_len,
+         CAST({_md5_word_le_sql('hx', 0)} % 10000 AS DOUBLE) / 10000.0 AS v0,
+         CAST({_md5_word_le_sql('hx', 1)} % 10000 AS DOUBLE) / 10000.0 AS v1,
+         CAST({_md5_word_le_sql('hx', 2)} % 10000 AS DOUBLE) / 10000.0 AS v2,
+         CAST({_md5_word_le_sql('hx', 3)} % 10000 AS DOUBLE) / 10000.0 AS v3
+  FROM h)
+SELECT doc_id, kind, byte_len,
+       ROUND({_MM_CHECKSUM_SQL}, 6) AS feature_checksum
+FROM v
+""",
+)
 def multimodal_feature_extract(spark, sf_dir):
     # binary -> mapInPandas (Arrow batches) -> fixed-dim feature vectors;
     # the decode itself is a deterministic stub (no media libs in container).
@@ -5453,14 +5496,41 @@ def benford_digit_quality_events(spark, sf_dir):
     ).orderBy("digit")
 
 
-@register("fpgrowth_itemsets_events", None)  # rows-only: MLlib FP-Growth
+@register(
+    "fpgrowth_itemsets_events",
+    """
+WITH RECURSIVE
+b AS (SELECT user_id, list(DISTINCT event_type) AS items
+      FROM events GROUP BY user_id),
+n AS (SELECT count(*) AS n_baskets FROM b),
+t AS (SELECT DISTINCT event_type AS et FROM events),
+-- ascending-order powerset of the (tiny) distinct-item universe; FP-Growth's
+-- search space is exactly this lattice, pruned — counts must agree
+subsets(itemset, last) AS (
+  SELECT [et], et FROM t
+  UNION ALL
+  SELECT list_append(s.itemset, t.et), t.et
+  FROM subsets s JOIN t ON t.et > s.last
+),
+sup AS (
+  SELECT s.itemset, count(*) AS n_users
+  FROM subsets s JOIN b ON list_has_all(b.items, s.itemset)
+  GROUP BY s.itemset
+)
+SELECT array_to_string(sup.itemset, '|') AS itemset,
+       CAST(len(sup.itemset) AS INT) AS n_items,
+       CAST(sup.n_users AS BIGINT) AS n_users
+FROM sup, n
+WHERE sup.n_users >= ceil(0.2 * n.n_baskets)
+""",
+)
 def fpgrowth_itemsets_events(spark, sf_dir):
     # Frequent itemsets over per-user event-type baskets (MLlib FP-Growth):
     # the general-arity market-basket operator whose pair slice is exactly
-    # event_type_cooccurrence — tests cross-validate the two, giving the
-    # MLlib path an exact-count oracle by proxy. Baskets form with one
-    # user_id agg (collect_set); FP-Growth then mines the tiny distinct-
-    # basket space. Counts are exact, so output is deterministic.
+    # event_type_cooccurrence. Baskets form with one user_id agg
+    # (collect_set); FP-Growth then mines the tiny distinct-basket space.
+    # Counts are exact, so the powerset-support SQL above is a full oracle
+    # (minCount = ceil(minSupport * n_baskets), as in MLlib's FPGrowth).
     from pyspark.ml.fpm import FPGrowth
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
@@ -6703,4 +6773,280 @@ def bpe_vocab_documents(spark, sf_dir):
         .agg(F.sum("cnt").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "sym")
         .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops batch 5: smoothed-LM quality scoring, exact duplicated-
+# span detection (Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better" — the MapReduce-friendly n-gram formulation, not
+# the single-node suffix array), and triangle/clustering structure of the
+# near-dup graph.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_nll_documents",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_W_SQL} AS w FROM documents
+  WHERE length(trim(text)) > 0),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2),
+pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(n_pair) AS n_ctx FROM pc GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT word) AS vsize
+      FROM (SELECT unnest(w) AS word FROM toks)),
+lp AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(LN(CAST(n_pair + 1 AS DOUBLE) / CAST(n_ctx + vsize AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS logp
+  FROM bg JOIN pc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(-SUM(logp) AS DOUBLE) / COUNT(*) AS avg_nll
+FROM lp GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def bigram_nll_documents(spark, sf_dir):
+    # CCNet-style LM quality score: per-document mean negative log-likelihood
+    # under an add-one-smoothed corpus bigram model (perplexity = exp(avg_nll)
+    # client-side). Fluent, in-distribution text scores low; gibberish and
+    # boilerplate-free outliers score high — the standard filter column a
+    # pretraining pipeline sorts on. Per-bigram logs are rounded to 6dp and
+    # summed as exact decimals so the per-doc mean is order-independent and
+    # engine-portable (libm vs JVM log last-ulp). Scale: bigram counts and
+    # context totals are corpus-bounded aggregates (map-side combine); the
+    # scoring join shuffles the token stream once on (w1, w2).
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
+    bg = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    ctx = pc.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    v = toks.select(F.explode("w").alias("word")).agg(
+        F.countDistinct("word").alias("vsize")
+    )
+    logp = F.round(
+        F.log(
+            (F.col("n_pair") + 1).cast("double")
+            / (F.col("n_ctx") + F.col("vsize")).cast("double")
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        bg.join(pc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn("logp", logp)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            ((F.sum("logp").cast("double") * -1) / F.count(F.lit(1))).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dup_span_stats_documents",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_W_SQL} AS w FROM documents
+  WHERE length(trim(text)) > 0),
+g AS (
+  SELECT doc_id, i AS pos, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM t, (SELECT unnest(generate_series(1, len(w) - 2)) AS i)
+  WHERE len(w) >= 3),
+dup AS (
+  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+  WHERE nd >= 2),
+hits AS (SELECT doc_id, pos, pos + 2 AS endp FROM g JOIN dup USING (gram)),
+ord_h AS (
+  SELECT doc_id, pos, endp,
+         MAX(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits),
+isl AS (
+  SELECT doc_id, pos, endp,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM ord_h),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(endp) AS e
+  FROM isl GROUP BY doc_id, island),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s + 1) AS dup_tokens
+  FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(w), 6) AS dup_frac
+FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id
+""",
+)
+def dup_span_stats_documents(spark, sf_dir):
+    # Exact duplicated-substring spans (Lee et al. 2022): token 3-grams that
+    # occur in >=2 distinct documents mark duplicated positions; overlapping
+    # marked spans merge (gaps-and-islands window) and each doc reports its
+    # duplicated-token fraction — the column EXACTSUBSTR-style dedup trims
+    # on. Scale: the n-gram -> doc-count groupBy is the only corpus-size
+    # shuffle (linear in token count, the MapReduce alternative to a suffix
+    # array); span merging is a per-doc window after a doc_id exchange.
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    t = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
+    g = (
+        t.where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "i -> struct(i AS pos, concat_ws(' ', w[i-1], w[i], w[i+1]) AS gram))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.gram")
+    )
+    dup = (
+        g.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select(
+        "doc_id", "pos", (F.col("pos") + 2).alias("endp")
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("endp").over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end), 1
+    ).otherwise(0)
+    isl = hits.withColumn("island", F.sum(new_island).over(wp))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("endp").alias("e")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    return (
+        t.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TRI_PAIRS_SQL = """
+WITH base AS (SELECT doc_id AS id, lang AS blk, {toks} AS toks FROM documents),
+sized AS (SELECT id, blk, toks, len(toks) AS n_toks FROM base),
+ex AS (SELECT id, blk, n_toks, unnest(toks) AS tok FROM sized),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
+         COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.8)
+"""
+
+
+@register(
+    "triangle_stats_documents",
+    _TRI_PAIRS_SQL.replace("{toks}", _TOKS)
+    + """,
+deg AS (
+  SELECT id, COUNT(*) AS degree
+  FROM (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)
+  GROUP BY id),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+tcnt AS (
+  SELECT id, COUNT(*) AS n_tri
+  FROM (SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+        UNION ALL SELECT c AS id FROM tri)
+  GROUP BY id)
+SELECT d.id AS doc_id, CAST(degree AS BIGINT) AS degree,
+       CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN degree >= 2
+                  THEN 2.0 * COALESCE(n_tri, 0) / (degree * (degree - 1.0))
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN tcnt ON d.id = tcnt.id
+ORDER BY doc_id
+""",
+)
+def triangle_stats_documents(spark, sf_dir):
+    # Triangle count + local clustering coefficient per node of the 0.8-
+    # Jaccard near-dup graph: distinguishes tight duplicate cliques
+    # (coefficient ~1 — templated boilerplate families) from hub-and-spoke
+    # near-dup chains that connected components alone cannot tell apart.
+    # Ordered-edge triple join (a<b<c) counts each triangle once; degree and
+    # participation come from linear re-aggregations of the edge/triangle
+    # lists. Scale: joins key on vertex ids — the standard distributed
+    # triangle enumeration (no broadcast of the full edge set needed).
+    docs = _t(spark, sf_dir, "documents")
+    edges = D.jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    both = edges.select(F.col("id_a").alias("id")).unionAll(
+        edges.select(F.col("id_b").alias("id"))
+    )
+    deg = both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcnt = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tcnt, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1.0)),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("doc_id")
     )
