@@ -1,0 +1,102 @@
+"""Behavioral tests for dup_span_stats (exact duplicated-substring spans)
+and triangle_stats (near-dup graph structure) on hand-built inputs where the
+expected answer is computable by eye."""
+
+from __future__ import annotations
+
+from weather_data_pipeline_spark.operators.graph import triangle_stats
+from weather_data_pipeline_spark.operators.text import dup_span_stats
+
+
+def _spans(spark, docs, k=3, min_docs=2):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens, r.dup_frac)
+        for r in dup_span_stats(df, k=k, min_docs=min_docs).collect()
+    }
+
+
+def test_no_shared_grams_means_zero_spans(spark):
+    got = _spans(
+        spark,
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+    )
+    assert got == {1: (4, 0, 0, 0.0), 2: (4, 0, 0, 0.0)}
+
+
+def test_shared_trigram_marks_both_docs(spark):
+    # "a b c" appears in both docs; doc 1 has it at positions 1..3 of 5
+    got = _spans(
+        spark,
+        [(1, "a b c x y"), (2, "z a b c")],
+    )
+    # doc1: span covers tokens 1-3 (3 of 5); doc2: tokens 2-4 (3 of 4)
+    assert got[1] == (5, 1, 3, 0.6)
+    assert got[2] == (4, 1, 3, 0.75)
+
+
+def test_overlapping_spans_merge(spark):
+    # docs share the 4-token run "a b c d" -> two overlapping trigrams
+    # ("a b c" at 1, "b c d" at 2) must merge into ONE span of 4 tokens
+    got = _spans(
+        spark,
+        [(1, "a b c d x"), (2, "y a b c d")],
+    )
+    assert got[1] == (5, 1, 4, 0.8)
+    assert got[2] == (5, 1, 4, 0.8)
+
+
+def test_disjoint_spans_stay_separate(spark):
+    # shared runs at the start and end, with a unique middle gap wider
+    # than the gram length -> two separate islands
+    got = _spans(
+        spark,
+        [
+            (1, "a b c u1 u2 u3 u4 d e f"),
+            (2, "a b c v1 v2 v3 v4 d e f"),
+        ],
+    )
+    assert got[1] == (10, 2, 6, 0.6)
+    assert got[2] == (10, 2, 6, 0.6)
+
+
+def test_short_docs_report_zero(spark):
+    got = _spans(spark, [(1, "a b"), (2, "a b")])
+    assert got == {1: (2, 0, 0, 0.0), 2: (2, 0, 0, 0.0)}
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+        for r in triangle_stats(df).collect()
+    }
+
+
+def test_triangle_on_clique3(spark):
+    got = _tri(spark, [(1, 2), (1, 3), (2, 3)])
+    assert got == {n: (2, 1, 1.0) for n in (1, 2, 3)}
+
+
+def test_clique4_counts(spark):
+    # K4: every node has degree 3 and sits in C(3,2)=3 triangles; coeff 1
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _tri(spark, edges)
+    assert got == {n: (3, 3, 1.0) for n in range(4)}
+
+
+def test_path_has_no_triangles(spark):
+    got = _tri(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got[1] == (1, 0, 0.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_triangle_plus_pendant(spark):
+    # triangle 1-2-3 with pendant 4 hanging off 1: node 1 degree 3, one
+    # triangle among its 3 possible neighbor pairs -> coeff 1/3
+    got = _tri(spark, [(1, 2), (1, 3), (2, 3), (1, 4)])
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (2, 1, 1.0)
+    assert got[4] == (1, 0, 0.0)

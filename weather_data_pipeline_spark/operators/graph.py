@@ -152,3 +152,45 @@ def pagerank(
             "rank", F.round(F.col("rank") / F.lit(total), 12)
         ).localCheckpoint()
     return ranks
+
+
+def triangle_stats(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected simple graph given as ordered edges (src < dst, deduplicated).
+
+    Triangles enumerate once each via the ordered triple join
+    (a<b, b<c, a<c) — the standard distributed strategy; degree and triangle
+    participation are linear re-aggregations, so the whole plan is three
+    equi-joins keyed on vertex ids (no edge-set broadcast required).
+    Output: node, degree, n_triangles, clustering_coeff (rounded 6dp).
+    """
+    e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    both = e.select(F.col("id_a").alias("node")).unionAll(
+        e.select(F.col("id_b").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcnt = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("n_tri", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1.0)),
+            ).otherwise(0.0),
+            6,
+        ).alias("clustering_coeff"),
+    )

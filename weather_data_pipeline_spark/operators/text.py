@@ -238,3 +238,76 @@ def add_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_low", "_tot", *cnt_cols)
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, arXiv:2107.06499):
+    token k-grams occurring in >= `min_docs` distinct documents mark
+    duplicated positions; overlapping marked spans merge (gaps-and-islands)
+    and each document reports its duplicated-token count and fraction.
+
+    Output: id_col, n_tokens, n_dup_spans, dup_tokens, dup_frac.
+
+    100 TB shape: the k-gram -> distinct-doc-count groupBy is the single
+    corpus-size shuffle (linear in total tokens — the MapReduce-friendly
+    alternative to the paper's single-node suffix array); span merging is a
+    per-document window after one id_col exchange. No Python in the path.
+    """
+    from pyspark.sql import Window
+
+    t = df.where(F.length(F.trim(text_col)) > 0).select(
+        id_col, F.split(F.trim(F.lower(text_col)), r"\s+").alias("w")
+    )
+    gram_struct = (
+        f"transform(sequence(1, size(w) - {k - 1}), "
+        f"i -> struct(i AS pos, concat_ws(' ', "
+        + ", ".join(f"w[i+{j - 1}]" for j in range(k))
+        + ") AS gram))"
+    )
+    g = (
+        t.where(F.size("w") >= k)
+        .select(id_col, F.explode(F.expr(gram_struct)).alias("s"))
+        .select(id_col, "s.pos", "s.gram")
+    )
+    dup = (
+        g.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select(
+        id_col, "pos", (F.col("pos") + (k - 1)).alias("endp")
+    )
+    wp = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("endp").over(wp.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    isl = hits.withColumn("island", F.sum(new_island).over(wp))
+    spans = isl.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"), F.max("endp").alias("e")
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    return (
+        t.select(id_col, F.size("w").cast("long").alias("n_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

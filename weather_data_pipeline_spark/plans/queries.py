@@ -6903,65 +6903,8 @@ def dup_span_stats_documents(spark, sf_dir):
     # occur in >=2 distinct documents mark duplicated positions; overlapping
     # marked spans merge (gaps-and-islands window) and each doc reports its
     # duplicated-token fraction — the column EXACTSUBSTR-style dedup trims
-    # on. Scale: the n-gram -> doc-count groupBy is the only corpus-size
-    # shuffle (linear in token count, the MapReduce alternative to a suffix
-    # array); span merging is a per-doc window after a doc_id exchange.
-    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
-    t = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
-    g = (
-        t.where(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2), "
-                    "i -> struct(i AS pos, concat_ws(' ', w[i-1], w[i], w[i+1]) AS gram))"
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", "s.pos", "s.gram")
-    )
-    dup = (
-        g.select("gram", "doc_id")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
-    )
-    hits = g.join(dup, "gram").select(
-        "doc_id", "pos", (F.col("pos") + 2).alias("endp")
-    )
-    wp = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max("endp").over(
-        wp.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    new_island = F.when(
-        prev_end.isNull() | (F.col("pos") > prev_end), 1
-    ).otherwise(0)
-    isl = hits.withColumn("island", F.sum(new_island).over(wp))
-    spans = isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("s"), F.max("endp").alias("e")
-    )
-    agg = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
-    )
-    return (
-        t.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-            F.round(
-                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
-                6,
-            ).alias("dup_frac"),
-        )
-        .orderBy("doc_id")
-    )
+    # on. See operators/text.py:dup_span_stats for the 100 TB argument.
+    return X.dup_span_stats(_t(spark, sf_dir, "documents"), k=3).orderBy("doc_id")
 
 
 _TRI_PAIRS_SQL = """
@@ -7015,38 +6958,12 @@ def triangle_stats_documents(spark, sf_dir):
     # participation come from linear re-aggregations of the edge/triangle
     # lists. Scale: joins key on vertex ids — the standard distributed
     # triangle enumeration (no broadcast of the full edge set needed).
+    from ..operators.graph import triangle_stats
+
     docs = _t(spark, sf_dir, "documents")
     edges = D.jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
-    both = edges.select(F.col("id_a").alias("id")).unionAll(
-        edges.select(F.col("id_b").alias("id"))
-    )
-    deg = both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
-    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    tcnt = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
     return (
-        deg.join(tcnt, "id", "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.col("degree").cast("long").alias("degree"),
-            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
-            F.round(
-                F.when(
-                    F.col("degree") >= 2,
-                    2.0
-                    * F.coalesce("n_tri", F.lit(0))
-                    / (F.col("degree") * (F.col("degree") - 1.0)),
-                ).otherwise(0.0),
-                6,
-            ).alias("clustering_coeff"),
-        )
+        triangle_stats(edges)
+        .withColumnRenamed("node", "doc_id")
         .orderBy("doc_id")
     )
