@@ -161,8 +161,12 @@ def triangle_stats(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     Triangles enumerate once each via the ordered triple join
     (a<b, b<c, a<c) — the standard distributed strategy; degree and triangle
     participation are linear re-aggregations, so the whole plan is three
-    equi-joins keyed on vertex ids (no edge-set broadcast required).
-    Output: node, degree, n_triangles, clustering_coeff (rounded 6dp).
+    equi-joins keyed on vertex ids (no edge-set broadcast required). Join
+    cost is sum(deg(u)*deg(v)) over edges; at extreme degree skew the
+    classic mitigation is to re-orient edges from lower- to higher-degree
+    endpoints (id order is a special case) so wedge generation lands on the
+    low-degree side. Output: node, degree, n_triangles, clustering_coeff
+    (rounded 6dp).
     """
     e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
     both = e.select(F.col("id_a").alias("node")).unionAll(
