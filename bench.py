@@ -87,7 +87,8 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     (r"^(asof_join|band_join)", "join_custom"),
     (r"^multimodal_", "multimodal"),
     (r"(minhash|jaccard|simhash|dedup|shingle|neardup|pagerank|"
-     r"decontaminate|fingerprint|winnowing|dup_cluster)", "dedup"),
+     r"decontaminate|fingerprint|winnowing|dup_cluster|dup_span|triangle)",
+     "dedup"),
     (r"(chunk_documents|pack_sequences|hash_split|stratified_sample|"
      r"weighted_sample|per_source_cap|training_corpus|mixture_allocation)",
      "corpus_assembly"),

@@ -168,7 +168,13 @@ def triangle_stats(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     low-degree side. Output: node, degree, n_triangles, clustering_coeff
     (rounded 6dp).
     """
-    e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    # the edge frame feeds FOUR subplans (degree + the three join legs);
+    # without materialization Catalyst re-executes the (possibly expensive)
+    # edge derivation per consumer — localCheckpoint runs it once and is
+    # session-safe (no persist() to leak)
+    e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")).localCheckpoint(
+        eager=True
+    )
     both = e.select(F.col("id_a").alias("node")).unionAll(
         e.select(F.col("id_b").alias("node"))
     )

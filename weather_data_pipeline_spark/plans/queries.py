@@ -6907,25 +6907,12 @@ def dup_span_stats_documents(spark, sf_dir):
     return X.dup_span_stats(_t(spark, sf_dir, "documents"), k=3).orderBy("doc_id")
 
 
-_TRI_PAIRS_SQL = """
-WITH base AS (SELECT doc_id AS id, lang AS blk, {toks} AS toks FROM documents),
-sized AS (SELECT id, blk, toks, len(toks) AS n_toks FROM base),
-ex AS (SELECT id, blk, n_toks, unnest(toks) AS tok FROM sized),
-common AS (
-  SELECT a.id AS id_a, b.id AS id_b, a.n_toks AS na, b.n_toks AS nb,
-         COUNT(*) AS n_common
-  FROM ex a JOIN ex b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
-  GROUP BY 1, 2, 3, 4),
-pairs AS (
-  SELECT id_a, id_b FROM common
-  WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= 0.8)
-"""
-
-
 @register(
     "triangle_stats_documents",
-    _TRI_PAIRS_SQL.replace("{toks}", _TOKS)
-    + """,
+    "WITH pairs AS (SELECT id_a, id_b FROM ("
+    + REGISTRY["shingle_jaccard_pairs_documents"].sql
+    + """))
+,
 deg AS (
   SELECT id, COUNT(*) AS degree
   FROM (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)
@@ -6950,18 +6937,22 @@ ORDER BY doc_id
 """,
 )
 def triangle_stats_documents(spark, sf_dir):
-    # Triangle count + local clustering coefficient per node of the 0.8-
-    # Jaccard near-dup graph: distinguishes tight duplicate cliques
-    # (coefficient ~1 — templated boilerplate families) from hub-and-spoke
-    # near-dup chains that connected components alone cannot tell apart.
-    # Ordered-edge triple join (a<b<c) counts each triangle once; degree and
+    # Triangle count + local clustering coefficient per node of the SAME
+    # shingle-Jaccard near-dup graph that neardup_components_documents
+    # clusters: distinguishes tight duplicate cliques (coefficient ~1 —
+    # templated boilerplate families) from hub-and-spoke near-dup chains
+    # that connected components alone cannot tell apart. Ordered-edge
+    # triple join (a<b<c) counts each triangle once; degree and
     # participation come from linear re-aggregations of the edge/triangle
     # lists. Scale: joins key on vertex ids — the standard distributed
     # triangle enumeration (no broadcast of the full edge set needed).
     from ..operators.graph import triangle_stats
 
-    docs = _t(spark, sf_dir, "documents")
-    edges = D.jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    edges = (
+        REGISTRY["shingle_jaccard_pairs_documents"]
+        .spark(spark, sf_dir)
+        .select("id_a", "id_b")
+    )
     return (
         triangle_stats(edges)
         .withColumnRenamed("node", "doc_id")
