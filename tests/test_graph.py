@@ -56,3 +56,43 @@ def test_pagerank_star_graph(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks[0] > ranks[1] > ranks[2]
     assert abs(ranks[2] - ranks[3]) < 1e-12 and abs(ranks[3] - ranks[4]) < 1e-12
+
+
+def test_kcore_path_fully_peels(spark):
+    from weather_data_pipeline_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    assert k_core(edges, k=2).count() == 0
+
+
+def test_kcore_cycle_survives(spark):
+    from weather_data_pipeline_spark.operators.graph import k_core
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(min(i, (i + 1) % n), max(i, (i + 1) % n)) for i in range(n)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.core_degree for r in k_core(edges, k=2).collect()}
+    assert got == {i: 2 for i in range(n)}
+
+
+def test_kcore_clique_plus_tail(spark):
+    from weather_data_pipeline_spark.operators.graph import k_core
+
+    # triangle 0-1-2 with a tail 2-3-4: tail peels, triangle stays
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {r.node: r.core_degree for r in k_core(edges, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_nonconvergence_guard(spark):
+    from weather_data_pipeline_spark.operators.graph import k_core
+
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError):
+        k_core(edges, k=2, max_rounds=3)

@@ -204,3 +204,47 @@ def triangle_stats(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
             6,
         ).alias("clustering_coeff"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """k-core of an undirected simple graph (ordered, deduplicated edges):
+    iteratively peel nodes of degree < k until fixpoint; return surviving
+    nodes with their within-core degree.
+
+    The BSP shape matches connected_components: each round is one degree
+    aggregation + one semi-join-style edge filter, both keyed on vertex ids,
+    with `localCheckpoint` truncating per-round lineage. Rounds needed =
+    peel depth (a path peels ~len/2 rounds); raises RuntimeError if no
+    fixpoint within `max_rounds` so callers never get a half-peeled answer.
+    """
+    e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")).localCheckpoint(
+        eager=True
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return e.sparkSession.createDataFrame([], "node long, core_degree long")
+        deg = (
+            e.select(F.col("id_a").alias("node"))
+            .unionAll(e.select(F.col("id_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        keep = deg.where(F.col("core_degree") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "id_a"), "id_a")
+            .join(keep.withColumnRenamed("node", "id_b"), "id_b")
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            return deg.select("node", F.col("core_degree").cast("long"))
+        e, n_edges = e2, n2
+    raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")

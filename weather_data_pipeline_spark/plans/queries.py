@@ -6910,7 +6910,7 @@ def dup_span_stats_documents(spark, sf_dir):
 @register(
     "triangle_stats_documents",
     "WITH pairs AS (SELECT id_a, id_b FROM ("
-    + REGISTRY["shingle_jaccard_pairs_documents"].sql
+    + REGISTRY["minhash_lsh_candidates_documents"].sql
     + """))
 ,
 deg AS (
@@ -6937,11 +6937,12 @@ ORDER BY doc_id
 """,
 )
 def triangle_stats_documents(spark, sf_dir):
-    # Triangle count + local clustering coefficient per node of the SAME
-    # shingle-Jaccard near-dup graph that neardup_components_documents
-    # clusters: distinguishes tight duplicate cliques (coefficient ~1 —
-    # templated boilerplate families) from hub-and-spoke near-dup chains
-    # that connected components alone cannot tell apart. Ordered-edge
+    # Triangle count + local clustering coefficient per node of the
+    # MinHash-LSH candidate graph — the linear-at-scale near-dup edge set
+    # (banded equi-join candidates, never all-pairs): distinguishes tight
+    # duplicate cliques (coefficient ~1 — templated boilerplate families)
+    # from hub-and-spoke near-dup chains that connected components alone
+    # cannot tell apart. Ordered-edge
     # triple join (a<b<c) counts each triangle once; degree and
     # participation come from linear re-aggregations of the edge/triangle
     # lists. Scale: joins key on vertex ids — the standard distributed
@@ -6949,12 +6950,170 @@ def triangle_stats_documents(spark, sf_dir):
     from ..operators.graph import triangle_stats
 
     edges = (
-        REGISTRY["shingle_jaccard_pairs_documents"]
+        REGISTRY["minhash_lsh_candidates_documents"]
         .spark(spark, sf_dir)
         .select("id_a", "id_b")
     )
     return (
         triangle_stats(edges)
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_QR_STOPS = "'the', 'a', 'and', 'of', 'to', 'in', 'is'"
+
+
+@register(
+    "quality_rules_documents",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_W_SQL} AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents WHERE length(trim(text)) > 0),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mean_word_len,
+         CAST(len(text) - len(replace(text, '#', ''))
+              + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE)
+           / len(w) AS symbol_ratio,
+         CAST(len(list_filter(lines, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+              AS DOUBLE) / len(lines) AS bullet_frac,
+         len(list_intersect(list_distinct(w), [{_QR_STOPS}])) AS n_stops
+  FROM t)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       CAST(n_words BETWEEN 20 AND 80 AS INT) AS r_word_count,
+       CAST(mean_word_len BETWEEN 3 AND 10 AS INT) AS r_mean_word_len,
+       CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol_ratio,
+       CAST(bullet_frac <= 0.9 AS INT) AS r_bullet_lines,
+       CAST(n_stops >= 2 AS INT) AS r_stopwords,
+       CAST((n_words BETWEEN 20 AND 80) AND (mean_word_len BETWEEN 3 AND 10)
+            AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND n_stops >= 2
+            AS INT) AS keep
+FROM m ORDER BY doc_id
+""",
+)
+def quality_rules_documents(spark, sf_dir):
+    # Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1 —
+    # thresholds adapted to this corpus's scale): word-count bounds, mean
+    # word length, symbol-to-word ratio (#/ellipsis), bullet-line fraction,
+    # distinct-stopword floor, and the conjunctive keep flag. Every signal
+    # is a scalar array/string expression — zero shuffle, zero explode, one
+    # codegen'd scan; at 100 TB this is the cheapest pre-filter stage and
+    # composes with training_corpus_manifest's per-reason audit columns.
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    t = d.select(
+        "doc_id",
+        "text",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("w"),
+        F.split("text", "\n").alias("lines"),
+    )
+    n_words = F.size("w")
+    mean_wl = (
+        F.aggregate(
+            F.transform("w", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / n_words
+    )
+    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length("text") - F.length(F.replace("text", F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ell).cast("double") / n_words
+    bullet_frac = (
+        F.size(
+            F.filter(
+                "lines",
+                lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+            )
+        ).cast("double")
+        / F.size("lines")
+    )
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct("w"),
+            F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to", "in", "is")]),
+        )
+    )
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        n_stops.alias("n_stops"),
+    )
+    r_wc = m.n_words.between(20, 80)
+    r_mwl = m.mean_word_len.between(3, 10)
+    r_sym = m.symbol_ratio <= 0.1
+    r_bul = m.bullet_frac <= 0.9
+    r_stp = m.n_stops >= 2
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        r_wc.cast("int").alias("r_word_count"),
+        r_mwl.cast("int").alias("r_mean_word_len"),
+        r_sym.cast("int").alias("r_symbol_ratio"),
+        r_bul.cast("int").alias("r_bullet_lines"),
+        r_stp.cast("int").alias("r_stopwords"),
+        (r_wc & r_mwl & r_sym & r_bul & r_stp).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _kcore_sql(k: int = 2, rounds: int = 16) -> str:
+    # Unrolled peel rounds — same trick as the pagerank oracle: a fixed
+    # round count R >= the graph's peel depth makes the iterative algorithm
+    # engine-portable (rounds past the fixpoint are no-ops). The Spark side
+    # converges early and RAISES if it would need more than R rounds, so
+    # the two can never silently diverge.
+    # AS MATERIALIZED: each round references the previous round's edge set
+    # three times; DuckDB would otherwise inline the CTEs and the plan (and
+    # its parquet scans) grows 3^rounds
+    parts = [
+        "WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ("
+        + REGISTRY["minhash_lsh_candidates_documents"].sql
+        + ")),\ne0 AS MATERIALIZED (SELECT id_a, id_b FROM pairs)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (SELECT id, COUNT(*) AS deg
+         FROM (SELECT id_a AS id FROM e{r - 1}
+               UNION ALL SELECT id_b AS id FROM e{r - 1}) GROUP BY id),
+n{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (SELECT e.id_a, e.id_b FROM e{r - 1} e
+         JOIN n{r} a ON e.id_a = a.id JOIN n{r} b ON e.id_b = b.id)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS doc_id, CAST(deg AS BIGINT) AS core_degree
+FROM (SELECT id, COUNT(*) AS deg
+      FROM (SELECT id_a AS id FROM e{rounds}
+            UNION ALL SELECT id_b AS id FROM e{rounds}) GROUP BY id)
+ORDER BY doc_id"""
+    )
+    return "".join(parts)
+
+
+@register("kcore_documents", _kcore_sql())
+def kcore_documents(spark, sf_dir):
+    # 2-core of the MinHash-LSH candidate near-dup graph: nodes that
+    # survive iterative degree-<2 peeling — the "dense duplication
+    # structure" census that separates genuine boilerplate families (cores)
+    # from incidental pairwise matches (peeled chains/leaves). Same BSP
+    # peel as operators/graph.k_core; oracle unrolls 16 rounds.
+    from ..operators.graph import k_core
+
+    edges = (
+        REGISTRY["minhash_lsh_candidates_documents"]
+        .spark(spark, sf_dir)
+        .select("id_a", "id_b")
+    )
+    return (
+        k_core(edges, k=2, max_rounds=16)
         .withColumnRenamed("node", "doc_id")
         .orderBy("doc_id")
     )
