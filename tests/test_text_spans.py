@@ -100,3 +100,30 @@ def test_triangle_plus_pendant(spark):
     assert got[1] == (3, 1, round(1 / 3, 6))
     assert got[2] == (2, 1, 1.0)
     assert got[4] == (1, 0, 0.0)
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    # JL lemma sanity: with k=8 the per-pair squared-distance ratio is noisy
+    # (std ~ sqrt(2/k) ~ 0.5) but unbiased — the MEDIAN ratio over many
+    # pairs must sit near 1
+    import numpy as np
+
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    proj = (
+        REGISTRY["jl_projection_embeddings"].spark(spark, sf_dir).toPandas()
+    )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.array(emb.embedding.tolist(), dtype=np.float64)
+    P = proj.sort_values("vec_id")[[f"proj_{j}" for j in range(8)]].to_numpy()
+    rng = np.random.RandomState(0)
+    idx = rng.choice(len(X), size=(200, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    d_orig = ((X[idx[:, 0]] - X[idx[:, 1]]) ** 2).sum(axis=1)
+    d_proj = ((P[idx[:, 0]] - P[idx[:, 1]]) ** 2).sum(axis=1)
+    ratio = d_proj / d_orig
+    assert 0.6 < np.median(ratio) < 1.6

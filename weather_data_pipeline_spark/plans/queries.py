@@ -7117,3 +7117,100 @@ def kcore_documents(spark, sf_dir):
         .withColumnRenamed("node", "doc_id")
         .orderBy("doc_id")
     )
+
+
+_BPE_ENCODE_SQL = (
+    _bpe_sql().rsplit("SELECT * FROM (", 1)[0]
+    + """SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(r.rep, ' '))) AS BIGINT) AS n_subwords,
+       ROUND(CAST(SUM(len(string_split(r.rep, ' '))) AS DOUBLE) / COUNT(*), 6)
+         AS subwords_per_word
+FROM (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0) d
+JOIN r6 r ON d.word = r.word
+WHERE d.word <> ''
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+)
+
+
+@register("bpe_encode_documents", _BPE_ENCODE_SQL)
+def bpe_encode_documents(spark, sf_dir):
+    # Tokenizer APPLICATION: encode every document with the learned BPE
+    # merges and report the real subword token budget (the number an LLM
+    # data pipeline actually bills by, vs the whitespace/regex estimates in
+    # token_stats). The corpus is touched once for the word stream; the
+    # word -> subword-count table is vocab-sized and BROADCAST, so encoding
+    # is a map-side join — the same shape HF tokenizers use (pre-tokenize,
+    # look up merges per distinct word, never re-learn per token).
+    _, rep = _bpe_learn(spark, sf_dir)
+    vocab = rep.select("word", F.size(F.split("rep", " ")).alias("n_sub"))
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        d.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Johnson-Lindenstrauss sign projection: the data-INDEPENDENT dimensionality
+# reduction (vs PCA's data-dependent one). Signs are md5-derived on the
+# driver and embedded as literals — row-independent values must never be
+# recomputed per row (see verify skill notes); the projection is a fixed
+# +/- chain evaluated in identical left-to-right order in both engines, so
+# doubles are bit-identical with no decimal machinery.
+_JL_K, _JL_D = 8, 64
+
+
+def _jl_sign(j: int, i: int) -> int:
+    import hashlib as _hl
+
+    h = int(_hl.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+_JL_SCALE = "2.8284271247461903"  # sqrt(k) = sqrt(8)
+
+
+def _jl_chain(j: int, idx_base: int) -> str:
+    # idx_base: 0 for Spark arrays, 1 for DuckDB lists
+    terms = "".join(
+        f" {'+' if _jl_sign(j, i) > 0 else '-'} CAST(embedding[{i + idx_base}] AS DOUBLE)"
+        for i in range(_JL_D)
+    )
+    return f"(0.0{terms}) / {_JL_SCALE}"
+
+
+@register(
+    "jl_projection_embeddings",
+    "SELECT vec_id, "
+    + ", ".join(f"{_jl_chain(j, 1)} AS proj_{j}" for j in range(_JL_K))
+    + " FROM embeddings ORDER BY vec_id",
+)
+def jl_projection_embeddings(spark, sf_dir):
+    # 64-dim float embeddings down to 8 JL coordinates: a zero-shuffle,
+    # zero-training, whole-stage-codegen scan (each output is a literal
+    # +/- fold of the input floats). At 100 TB this is the cheap first-pass
+    # compaction before LSH/IVF indexing — distance distortion is bounded
+    # by the JL lemma and measured in tests.
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        *[F.expr(_jl_chain(j, 0)).alias(f"proj_{j}") for j in range(_JL_K)],
+    ).orderBy("vec_id")
