@@ -127,3 +127,23 @@ def test_jl_projection_preserves_distances(spark, sf_dir):
     d_proj = ((P[idx[:, 0]] - P[idx[:, 1]]) ** 2).sum(axis=1)
     ratio = d_proj / d_orig
     assert 0.6 < np.median(ratio) < 1.6
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    # Bloom filters never miss: every exactly-contaminated gram must be
+    # bloom-positive, so per doc n_bloom >= n_exact and the exact counts
+    # must agree with the exact decontamination query
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    got = REGISTRY["bloom_decontaminate_documents"].spark(spark, sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.n_bloom_grams >= r.n_exact_grams
+        assert r.n_false_positives == r.n_bloom_grams - r.n_exact_grams
+    exact = {
+        r.doc_id: r.n_contaminated_grams
+        for r in REGISTRY["decontaminate_3gram_documents"].spark(spark, sf_dir).collect()
+    }
+    for r in got:
+        if r.doc_id in exact and r.n_exact_grams > 0:
+            assert exact[r.doc_id] == r.n_exact_grams

@@ -7214,3 +7214,114 @@ def jl_projection_embeddings(spark, sf_dir):
         "vec_id",
         *[F.expr(_jl_chain(j, 0)).alias(f"proj_{j}") for j in range(_JL_K)],
     ).orderBy("vec_id")
+
+
+_BLOOM_M = 16384  # bits; ~4.7 bits/element at sf0.01 eval-gram counts
+_BLOOM_J = 3  # hash functions
+
+
+def _bloom_bucket_sql(i: int, col: str = "gram") -> str:
+    return f"((('0x' || substr(md5('b{i}:' || {col}), 1, 15))::BIGINT) % {_BLOOM_M})"
+
+
+def _bloom_bucket_spark(i: int, col):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"b{i}:"), col)), 1, 15), 16, 10
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+
+
+@register(
+    "bloom_decontaminate_documents",
+    f"""
+WITH toks AS (SELECT doc_id, source, {_W_SQL} AS w FROM documents),
+ng AS (SELECT doc_id, source, unnest(list_distinct({_grams_sql(3)})) AS gram
+       FROM toks WHERE len(w) >= 3),
+evalg AS (SELECT DISTINCT gram FROM ng WHERE source = 'src0'),
+bits AS (SELECT DISTINCT b FROM (
+  {' UNION ALL '.join(f'SELECT {_bloom_bucket_sql(i)} AS b FROM evalg' for i in range(_BLOOM_J))})),
+traing AS (SELECT DISTINCT gram FROM ng WHERE source <> 'src0'),
+probe AS (
+  SELECT gram,
+         CASE WHEN {' AND '.join(f'{_bloom_bucket_sql(i)} IN (SELECT b FROM bits)' for i in range(_BLOOM_J))}
+              THEN 1 ELSE 0 END AS bloom_hit,
+         CASE WHEN gram IN (SELECT gram FROM evalg) THEN 1 ELSE 0 END AS exact_hit
+  FROM traing)
+SELECT t.doc_id,
+       CAST(SUM(p.bloom_hit) AS BIGINT) AS n_bloom_grams,
+       CAST(SUM(p.exact_hit) AS BIGINT) AS n_exact_grams,
+       CAST(SUM(p.bloom_hit) - SUM(p.exact_hit) AS BIGINT) AS n_false_positives
+FROM (SELECT DISTINCT doc_id, gram FROM ng WHERE source <> 'src0') t
+JOIN probe p USING (gram)
+GROUP BY t.doc_id
+HAVING SUM(p.bloom_hit) > 0
+ORDER BY n_bloom_grams DESC, doc_id LIMIT 50
+""",
+)
+def bloom_decontaminate_documents(spark, sf_dir):
+    # Sketch-path decontamination: instead of broadcasting the full eval
+    # 3-gram set (decontaminate_3gram_documents — exact but the broadcast
+    # grows with the benchmark), broadcast a Bloom BITSET of it. The filter
+    # is built from md5-derived buckets (engine-portable — the exact same
+    # bitset, probes, and false positives reproduce in DuckDB, so even the
+    # FP behavior is oracled; Spark's native bloom_filter_agg/might_contain
+    # pair is not SQL-exposed and not portable). Bloom guarantees no false
+    # negatives: n_bloom >= n_exact per doc, asserted in tests; the FP
+    # surplus is the price of the O(m)-bit broadcast. At 100 TB: probe side
+    # is distinct train grams (map-side explode + one distinct), each probed
+    # by a broadcast join on bucket ids — the train corpus never shuffles
+    # on gram content.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    ng = (
+        d.withColumn("w", w)
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(_grams_spark(F.col("w"), 3))).alias("gram"),
+        )
+    )
+    evalg = ng.where(F.col("source") == "src0").select("gram").distinct()
+    bits = (
+        evalg.select(
+            F.explode(
+                F.array(*[_bloom_bucket_spark(i, F.col("gram")) for i in range(_BLOOM_J)])
+            ).alias("b")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    traing = ng.where(F.col("source") != "src0").select("gram").distinct()
+    probed = (
+        traing.select(
+            "gram",
+            F.posexplode(
+                F.array(*[_bloom_bucket_spark(i, F.col("gram")) for i in range(_BLOOM_J)])
+            ).alias("i", "b"),
+        )
+        .join(F.broadcast(bits), "b", "left")
+        .groupBy("gram")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == _BLOOM_J).cast("int").alias("bloom_hit"))
+    )
+    exact = evalg.withColumn("exact_hit", F.lit(1))
+    gram_flags = probed.join(F.broadcast(exact), "gram", "left").select(
+        "gram",
+        "bloom_hit",
+        F.coalesce("exact_hit", F.lit(0)).alias("exact_hit"),
+    )
+    train_pairs = ng.where(F.col("source") != "src0").select("doc_id", "gram").distinct()
+    return (
+        train_pairs.join(gram_flags, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bloom_hit").cast("long").alias("n_bloom_grams"),
+            F.sum("exact_hit").cast("long").alias("n_exact_grams"),
+            (F.sum("bloom_hit") - F.sum("exact_hit")).cast("long").alias("n_false_positives"),
+        )
+        .where(F.col("n_bloom_grams") > 0)
+        .orderBy(F.desc("n_bloom_grams"), "doc_id")
+        .limit(50)
+    )
