@@ -711,3 +711,100 @@ def semantic_dedup_keep_list(
         .select(id_col, F.col("component").isNotNull().alias("from_dup_cluster"))
         .orderBy(id_col)
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for every
+    vector, the single most-similar vector with a DIFFERENT label — the
+    example a batch builder pairs against the anchor.
+
+    Same two-phase shape as cosine_near_dup_pairs: the broadcast-matrix
+    numpy matmul ranks with doubles and keeps every candidate within 1e-6
+    of the per-row masked max (so float/BLAS ordering can never drop the
+    true winner), then the few survivors are re-scored JVM-side with the
+    order-independent decimal dot and the argmax is taken on the EXACT
+    score (ties by neighbor id) — engine-portable, oracle-exact. At real
+    scale the matmul block-streams the corpus against the broadcast matrix;
+    beyond the broadcast ceiling the IVF/LSH candidate paths feed the same
+    exact re-score."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    rows = (
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(label_col).alias("lab")
+        )
+        .orderBy("id")
+        .collect()
+    )
+    ids = np.array([r.id for r in rows], dtype=np.int64)
+    labs = np.array([r.lab for r in rows], dtype=np.int64)
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, labs, mat, norms))
+
+    def gen_cand(batches):
+        b_ids, b_labs, b_mat, b_norms = bc.value
+        index_of = {int(i): p for p, i in enumerate(b_ids)}
+        for pdf in batches:
+            pos = np.array([index_of[int(i)] for i in pdf["id"]], dtype=np.int64)
+            if len(pos) == 0:
+                continue
+            sims = (b_mat[pos] @ b_mat.T) / np.outer(b_norms[pos], b_norms)
+            diff = b_labs[None, :] != b_labs[pos][:, None]
+            sims = np.where(diff, sims, -np.inf)
+            rowmax = sims.max(axis=1)
+            mask = sims >= (rowmax[:, None] - 1e-6)
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame({"id": b_ids[pos][ai], "neg_id": b_ids[bi]})
+
+    cand = (
+        emb.select(F.col(id_col).alias("id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen_cand, schema="id long, neg_id long")
+    )
+    a = _with_norm(
+        emb.select(
+            F.col(id_col).alias("id"), F.col(label_col).alias("label"), F.col(vec_col).alias("va")
+        ),
+        "va",
+        "na",
+    )
+    b = _with_norm(
+        emb.select(
+            F.col(id_col).alias("neg_id"),
+            F.col(label_col).alias("negative_label"),
+            F.col(vec_col).alias("vb"),
+        ),
+        "vb",
+        "nb",
+    )
+    scored = (
+        cand.join(a, "id")
+        .join(b, "neg_id")
+        .withColumn(
+            "cosine_sim",
+            _dot_decimal(F.col("va"), F.col("vb"))
+            / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine_sim"), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            "label",
+            F.col("neg_id").alias("hard_negative_id"),
+            "negative_label",
+            "cosine_sim",
+        )
+    )

@@ -7325,3 +7325,34 @@ def bloom_decontaminate_documents(spark, sf_dir):
         .orderBy(F.desc("n_bloom_grams"), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "hard_negatives_embeddings",
+    f"""
+WITH pairs AS (SELECT a.vec_id AS vid, a.label AS lab,
+                      b.vec_id AS nid, b.label AS nlab,
+                      a.embedding AS va, b.embedding AS vb
+               FROM embeddings a, embeddings b
+               WHERE a.label != b.label),
+dots AS (
+  SELECT vid, lab, nid, nlab,
+         {_DOT_SQL.format(a='va', b='vb')} AS dot,
+         {_DOT_SQL.format(a='va', b='va')} AS na,
+         {_DOT_SQL.format(a='vb', b='vb')} AS nb
+  FROM pairs, range(1, 65) i(i) GROUP BY 1, 2, 3, 4),
+scored AS (SELECT vid, lab, nid, nlab,
+                  dot / (sqrt(na) * sqrt(nb)) AS cosine_sim FROM dots),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY vid
+                                        ORDER BY cosine_sim DESC, nid) AS rn
+           FROM scored)
+SELECT vid AS vec_id, lab AS label, nid AS hard_negative_id,
+       nlab AS negative_label, cosine_sim
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+""",
+)
+def hard_negatives_embeddings(spark, sf_dir):
+    # Hard-negative mining (contrastive-training batch construction): each
+    # vector's most-similar DIFFERENT-label neighbor, exact-decimal argmax
+    # — see operators/similarity.hard_negatives for the two-phase design.
+    return S.hard_negatives(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
