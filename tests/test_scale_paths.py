@@ -221,3 +221,25 @@ def test_fpgrowth_pairs_match_cooccurrence_oracle(spark, sf_dir):
     assert fp, "no pair itemsets above support threshold"
     for pair, n in fp.items():
         assert co.get(tuple(sorted(pair))) == n, (pair, n)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    # At 100 TB the fact table is laid out partitionBy(day); a join against
+    # a filtered dimension must prune fact partitions AT RUNTIME via DPP
+    # (PartitionFilters: dynamicpruningexpression), not scan all days.
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "ev_by_day")
+    ev.write.partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("day").distinct().orderBy("day").limit(3)
+        .withColumn("flag", F.lit(1))
+    )
+    dim.write.parquet(str(tmp_path / "dim"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).where(F.col("flag") == 1)
+    joined = fact.join(dim, "day").groupBy("day").count()
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == 3
