@@ -7356,3 +7356,57 @@ def hard_negatives_embeddings(spark, sf_dir):
     # vector's most-similar DIFFERENT-label neighbor, exact-decimal argmax
     # — see operators/similarity.hard_negatives for the two-phase design.
     return S.hard_negatives(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+@register(
+    "split_leakage_documents",
+    f"""
+WITH cand AS (SELECT id_a, id_b FROM ({{LSH}})),
+s AS (SELECT doc_id,
+             CASE WHEN {_ID_HASH} % 10 < 8 THEN 'train'
+                  WHEN {_ID_HASH} % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+SELECT c.id_a, c.id_b, sa.split AS split_a, sb.split AS split_b
+FROM cand c
+JOIN s sa ON c.id_a = sa.doc_id
+JOIN s sb ON c.id_b = sb.doc_id
+WHERE sa.split <> sb.split
+ORDER BY id_a, id_b
+""".replace("{LSH}", "PLACEHOLDER"),
+)
+def split_leakage_documents(spark, sf_dir):
+    # Split-leakage audit: near-duplicate candidate pairs (MinHash-LSH,
+    # the linear edge set) that CROSS train/val/test boundaries of the
+    # deterministic hash split — the contamination a random split silently
+    # admits and an eval-integrity review must surface. Split assignment is
+    # a pure map (md5 bucket, no shuffle); candidates join to it on doc_id.
+    cand = (
+        REGISTRY["minhash_lsh_candidates_documents"]
+        .spark(spark, sf_dir)
+        .select("id_a", "id_b")
+    )
+    b = X.portable_token_hash(F.col("doc_id").cast("string")) % 10
+    s = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+    )
+    sa = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# patch the LSH candidate subquery into the oracle (registered above with a
+# placeholder so the f-string stays readable)
+REGISTRY["split_leakage_documents"] = QueryDef(
+    spark=REGISTRY["split_leakage_documents"].spark,
+    sql=REGISTRY["split_leakage_documents"].sql.replace(
+        "PLACEHOLDER", REGISTRY["minhash_lsh_candidates_documents"].sql
+    ),
+)
