@@ -7410,3 +7410,79 @@ REGISTRY["split_leakage_documents"] = QueryDef(
         "PLACEHOLDER", REGISTRY["minhash_lsh_candidates_documents"].sql
     ),
 )
+
+
+@register(
+    "multimodal_resize_images",
+    """
+SELECT doc_id, 'image' AS kind,
+       CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+       md5(text) AS payload_md5
+FROM documents WHERE doc_id % 3 = 0
+ORDER BY doc_id
+""",
+)
+def multimodal_resize_images(spark, sf_dir):
+    # Resize plumbing surfaced as a driver-checked query: filter to the
+    # image modality, rewrite the metadata struct through the mapInPandas
+    # batch path (operators/multimodal.resize_images), and project an
+    # md5 of the payload so the untouched bytes are hash-verified without
+    # emitting raw binary. The pixel transform itself is the documented
+    # decode stub (no media libs in this container); the distributed
+    # shape — modality filter pushed to the scan, Arrow batches, struct
+    # rewrite — is the real thing.
+    media = MM.synth_media_table(spark, sf_dir)
+    out = MM.resize_images(media, width=224, height=224)
+    return out.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "winsorize_value_events",
+    ev_sql("""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value < c.lo THEN c.lo
+            WHEN e.value > c.hi THEN c.hi
+            ELSE e.value END AS value_winsorized,
+       CAST(e.value < c.lo OR e.value > c.hi AS INT) AS clipped
+FROM events e JOIN cuts c USING (event_type)
+ORDER BY event_id
+"""),
+)
+def winsorize_value_events(spark, sf_dir):
+    # Winsorization: clip each value to its group's exact [p05, p95] —
+    # the outlier-robust normalization between raw clipping and the
+    # rank-destroying min-max scale. One grouped percentile pass (Spark
+    # percentile() and DuckDB quantile_cont interpolate identically, no
+    # rounding shim needed) broadcast back onto the fact — the fact table
+    # itself never shuffles.
+    ev = _t(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    wins = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        wins.alias("value_winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .cast("int")
+        .alias("clipped"),
+    ).orderBy("event_id")
