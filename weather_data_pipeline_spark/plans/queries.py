@@ -7486,3 +7486,61 @@ def winsorize_value_events(spark, sf_dir):
         .cast("int")
         .alias("clipped"),
     ).orderBy("event_id")
+
+
+@register(
+    "curriculum_documents",
+    "WITH qr AS (SELECT doc_id, keep FROM ("
+    + "PLACEHOLDER_QR"
+    + """)),
+nll AS (SELECT doc_id, avg_nll FROM (PLACEHOLDER_NLL)),
+ds AS (SELECT doc_id, dup_frac FROM (PLACEHOLDER_DS)),
+j AS (
+  SELECT qr.doc_id, nll.avg_nll, ds.dup_frac
+  FROM qr JOIN nll USING (doc_id) JOIN ds USING (doc_id)
+  WHERE qr.keep = 1),
+r AS (
+  SELECT doc_id, avg_nll, dup_frac,
+         row_number() OVER (ORDER BY dup_frac, avg_nll, doc_id) AS rank,
+         ntile(3) OVER (ORDER BY dup_frac, avg_nll, doc_id) AS phase
+  FROM j)
+SELECT doc_id, dup_frac, avg_nll,
+       CAST(rank AS BIGINT) AS rank, CAST(phase AS INT) AS phase
+FROM r ORDER BY rank
+""",
+)
+def curriculum_documents(spark, sf_dir):
+    # Training-curriculum composition: quality-gated docs (Gopher rules)
+    # ordered cleanest-and-most-fluent-first (ascending duplicated-span
+    # fraction, then ascending bigram NLL) and ntile'd into three epoch
+    # phases — the deterministic data ordering a curriculum-learning run
+    # consumes. Composes three oracled signals; every join keys on doc_id.
+    # The global ordering ranks only the filtered doc-level signal frame
+    # (corpus-cardinality rows of 3 doubles), not corpus bytes.
+    qr = REGISTRY["quality_rules_documents"].spark(spark, sf_dir).select("doc_id", "keep")
+    nll = REGISTRY["bigram_nll_documents"].spark(spark, sf_dir).select("doc_id", "avg_nll")
+    ds = REGISTRY["dup_span_stats_documents"].spark(spark, sf_dir).select(
+        "doc_id", "dup_frac"
+    )
+    j = (
+        qr.where(F.col("keep") == 1)
+        .join(nll, "doc_id")
+        .join(ds, "doc_id")
+        .select("doc_id", "avg_nll", "dup_frac")
+    )
+    w = Window.orderBy("dup_frac", "avg_nll", "doc_id")
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("phase", F.ntile(3).over(w).cast("int"))
+        .select("doc_id", "dup_frac", "avg_nll", "rank", "phase")
+        .orderBy("rank")
+    )
+
+
+REGISTRY["curriculum_documents"] = QueryDef(
+    spark=REGISTRY["curriculum_documents"].spark,
+    sql=REGISTRY["curriculum_documents"]
+    .sql.replace("PLACEHOLDER_QR", REGISTRY["quality_rules_documents"].sql)
+    .replace("PLACEHOLDER_NLL", REGISTRY["bigram_nll_documents"].sql)
+    .replace("PLACEHOLDER_DS", REGISTRY["dup_span_stats_documents"].sql),
+)
