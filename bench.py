@@ -79,7 +79,7 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     (r"^streaming_", "streaming"),
     (r"^ml_", "ml_train"),
     (r"^(feature_pipeline|weather_indices|time_features|temp_change|"
-     r"label_encode|standardize|minmax_normalize|quality_report|"
+     r"label_encode|standardize|minmax_normalize|winsorize|quality_report|"
      r"temporal_split|walk_forward)", "features_ml_prep"),
     (r"^(q\d+_|sql_api_q1|revenue_by_nation|customers_without_orders|"
      r"customer_order_activity|top_customers_by_revenue|pareto_customers|"
@@ -87,16 +87,18 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     (r"^(asof_join|band_join)", "join_custom"),
     (r"^multimodal_", "multimodal"),
     (r"(minhash|jaccard|simhash|dedup|shingle|neardup|pagerank|"
-     r"decontaminate|fingerprint|winnowing|dup_cluster|dup_span|triangle)",
+     r"decontaminate|fingerprint|winnowing|dup_cluster|dup_span|triangle|"
+     r"kcore|split_leakage)",
      "dedup"),
     (r"(chunk_documents|pack_sequences|hash_split|stratified_sample|"
-     r"weighted_sample|per_source_cap|training_corpus|mixture_allocation)",
+     r"weighted_sample|per_source_cap|training_corpus|mixture_allocation|"
+     r"curriculum)",
      "corpus_assembly"),
     (r"(_embeddings$|^label_centroids|^nearest_centroid|^embedding_norm)",
      "similarity"),
     (r"(token|bpe|language_id|quality_score|word_counts|tfidf|pmi|oov|"
      r"unigram|bigram|repetition|string_funcs|ngram_novelty|zipf|"
-     r"char_entropy)", "text"),
+     r"char_entropy|quality_rules)", "text"),
     (r"(_drift_|chisq_type)", "drift_quality"),
     (r"(^lag_|^lead_|^diff_|rolling|ffill|interpolate|ewma|zscore|cusum|"
      r"seasonal|ohlc|trend_slope|drawdown|mad_outliers|gapfill|"
