@@ -96,3 +96,15 @@ def test_kcore_nonconvergence_guard(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long")
     with _pytest.raises(RuntimeError):
         k_core(edges, k=2, max_rounds=3)
+
+
+def test_kcore_peel_depth_equal_to_budget(spark):
+    from weather_data_pipeline_spark.operators.graph import k_core
+
+    # a 33-node path peels 2 edges/round -> 16 peel rounds to empty; the
+    # +1 confirmation round means max_rounds=16 must SUCCEED (empty core),
+    # matching the 16-round unrolled oracle, not raise
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "id_a long, id_b long"
+    )
+    assert k_core(edges, k=2, max_rounds=16).count() == 0

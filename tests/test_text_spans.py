@@ -147,3 +147,35 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
     for r in got:
         if r.doc_id in exact and r.n_exact_grams > 0:
             assert exact[r.doc_id] == r.n_exact_grams
+
+
+def test_hard_negatives_single_label_emits_nothing(spark):
+    # no different-label neighbor exists -> the operator must return zero
+    # rows (matching the oracle's label != label join), never fall back to
+    # self/same-label candidates via the -inf row-max
+    from weather_data_pipeline_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], 7) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert hard_negatives(emb).count() == 0
+
+
+def test_hard_negatives_picks_cross_label_argmax(spark):
+    from weather_data_pipeline_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.14], 0),   # same label as 0 — never its negative
+            (2, [0.9, 0.43], 1),    # closest cross-label to 0
+            (3, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.vec_id: r.hard_negative_id for r in hard_negatives(emb).collect()}
+    assert got[0] == 2 and got[1] == 2
+    # vec 2's best cross-label cosine is vec 1 (0.953 vs 0.902 for vec 0);
+    # vec 3 ([0,1]) is nearest to 1 (cos 0.14) among labels != 1
+    assert got[2] == 1 and got[3] == 1

@@ -39,9 +39,12 @@ fails = 0
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF).toPandas()
     if name not in oracles:
-        # the real driver still canonicalizes rows-only outputs — an
-        # unhashable (array/map) column errs there, so exercise the same path
+        # the real driver still canonicalizes rows-only outputs with a
+        # pandas sort_values over all columns, which raises on array/map
+        # columns (the r01 multimodal_feature_extract failure) — valhash's
+        # repr() path would NOT raise, so replicate the driver's sort too
         try:
+            sdf.sort_values(by=sorted(sdf.columns))
             valhash(sdf)
             print(f"  {name}: rows-only rows={len(sdf)}")
         except Exception as exc:

@@ -227,7 +227,11 @@ def k_core(
         eager=True
     )
     n_edges = e.count()
-    for _ in range(max_rounds):
+    # max_rounds peel rounds + 1 confirmation round: a graph whose peel
+    # depth is exactly max_rounds still needs one no-change round to PROVE
+    # the fixpoint (the unrolled SQL oracle's extra rounds are no-ops, so
+    # the two budgets stay aligned)
+    for _ in range(max_rounds + 1):
         if n_edges == 0:
             return e.sparkSession.createDataFrame([], "node long, core_degree long")
         deg = (

@@ -762,7 +762,12 @@ def hard_negatives(
             diff = b_labs[None, :] != b_labs[pos][:, None]
             sims = np.where(diff, sims, -np.inf)
             rowmax = sims.max(axis=1)
-            mask = sims >= (rowmax[:, None] - 1e-6)
+            # the label mask must ALSO gate the candidate set: a row with no
+            # different-label neighbor has rowmax = -inf and `-inf >= -inf`
+            # would otherwise admit self/same-label columns — such rows must
+            # emit nothing (the SQL oracle's a.label != b.label join finds
+            # no pair for them either)
+            mask = diff & (sims >= (rowmax[:, None] - 1e-6))
             ai, bi = np.nonzero(mask)
             yield pd.DataFrame({"id": b_ids[pos][ai], "neg_id": b_ids[bi]})
 
@@ -770,7 +775,12 @@ def hard_negatives(
         emb.select(F.col(id_col).alias("id"))
         .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(gen_cand, schema="id long, neg_id long")
+        # materialize candidates once so the corpus-matrix broadcast can be
+        # freed immediately — repeated calls in one session must not
+        # accumulate multi-MB broadcast blocks on the executors
+        .localCheckpoint(eager=True)
     )
+    bc.destroy()
     a = _with_norm(
         emb.select(
             F.col(id_col).alias("id"), F.col(label_col).alias("label"), F.col(vec_col).alias("va")

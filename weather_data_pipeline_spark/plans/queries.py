@@ -3178,12 +3178,26 @@ def neardup_components_documents(spark, sf_dir):
 
 _ID_HASH = _PHASH.format(t="CAST(doc_id AS VARCHAR)")
 
+# THE train/val/test assignment — single source of truth for every query
+# that references the split (hash_split_documents reports it,
+# split_leakage_documents audits it); duplicating the ratio/hash in two
+# places would let the audit silently diverge from the reported split
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN {_ID_HASH} % 10 < 8 THEN 'train' "
+    f"WHEN {_ID_HASH} % 10 = 8 THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_col():
+    b = X.portable_token_hash(F.col("doc_id").cast("string")) % 10
+    return F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+
 
 @register(
     "hash_split_documents",
     f"""
-WITH h AS (SELECT doc_id, n_chars, {_ID_HASH} % 10 AS b FROM documents)
-SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+WITH h AS (SELECT doc_id, n_chars, {_SPLIT_CASE_SQL} AS split FROM documents)
+SELECT split,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM h GROUP BY 1 ORDER BY 1
@@ -3195,12 +3209,8 @@ def hash_split_documents(spark, sf_dir):
     # executor can recompute a doc's split locally (pure map + tiny agg).
     # Engine-portable md5 bucket (not Spark's xxhash) so the oracle agrees.
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    b = X.portable_token_hash(F.col("doc_id").cast("string")) % 10
-    split = (
-        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split")
-    )
     return (
-        d.groupBy(split)
+        d.groupBy(_split_col().alias("split"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
@@ -6961,7 +6971,8 @@ def triangle_stats_documents(spark, sf_dir):
     )
 
 
-_QR_STOPS = "'the', 'a', 'and', 'of', 'to', 'in', 'is'"
+_QR_STOP_WORDS = ("the", "a", "and", "of", "to", "in", "is")
+_QR_STOPS = ", ".join(f"'{w}'" for w in _QR_STOP_WORDS)
 
 
 @register(
@@ -7034,7 +7045,7 @@ def quality_rules_documents(spark, sf_dir):
     n_stops = F.size(
         F.array_intersect(
             F.array_distinct("w"),
-            F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to", "in", "is")]),
+            F.array(*[F.lit(s) for s in _QR_STOP_WORDS]),
         )
     )
     m = t.select(
@@ -7360,20 +7371,17 @@ def hard_negatives_embeddings(spark, sf_dir):
 
 @register(
     "split_leakage_documents",
-    f"""
-WITH cand AS (SELECT id_a, id_b FROM ({{LSH}})),
-s AS (SELECT doc_id,
-             CASE WHEN {_ID_HASH} % 10 < 8 THEN 'train'
-                  WHEN {_ID_HASH} % 10 = 8 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM documents)
+    "WITH cand AS (SELECT id_a, id_b FROM ("
+    + REGISTRY["minhash_lsh_candidates_documents"].sql
+    + f""")),
+s AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents)
 SELECT c.id_a, c.id_b, sa.split AS split_a, sb.split AS split_b
 FROM cand c
 JOIN s sa ON c.id_a = sa.doc_id
 JOIN s sb ON c.id_b = sb.doc_id
 WHERE sa.split <> sb.split
 ORDER BY id_a, id_b
-""".replace("{LSH}", "PLACEHOLDER"),
+""",
 )
 def split_leakage_documents(spark, sf_dir):
     # Split-leakage audit: near-duplicate candidate pairs (MinHash-LSH,
@@ -7386,10 +7394,8 @@ def split_leakage_documents(spark, sf_dir):
         .spark(spark, sf_dir)
         .select("id_a", "id_b")
     )
-    b = X.portable_token_hash(F.col("doc_id").cast("string")) % 10
     s = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(b < 8, "train").when(b == 8, "val").otherwise("test").alias("split"),
+        "doc_id", _split_col().alias("split")
     )
     sa = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
     sb = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
@@ -7402,14 +7408,7 @@ def split_leakage_documents(spark, sf_dir):
     )
 
 
-# patch the LSH candidate subquery into the oracle (registered above with a
-# placeholder so the f-string stays readable)
-REGISTRY["split_leakage_documents"] = QueryDef(
-    spark=REGISTRY["split_leakage_documents"].spark,
-    sql=REGISTRY["split_leakage_documents"].sql.replace(
-        "PLACEHOLDER", REGISTRY["minhash_lsh_candidates_documents"].sql
-    ),
-)
+
 
 
 @register(
@@ -7491,10 +7490,12 @@ def winsorize_value_events(spark, sf_dir):
 @register(
     "curriculum_documents",
     "WITH qr AS (SELECT doc_id, keep FROM ("
-    + "PLACEHOLDER_QR"
+    + REGISTRY["quality_rules_documents"].sql
+    + ")),\nnll AS (SELECT doc_id, avg_nll FROM ("
+    + REGISTRY["bigram_nll_documents"].sql
+    + ")),\nds AS (SELECT doc_id, dup_frac FROM ("
+    + REGISTRY["dup_span_stats_documents"].sql
     + """)),
-nll AS (SELECT doc_id, avg_nll FROM (PLACEHOLDER_NLL)),
-ds AS (SELECT doc_id, dup_frac FROM (PLACEHOLDER_DS)),
 j AS (
   SELECT qr.doc_id, nll.avg_nll, ds.dup_frac
   FROM qr JOIN nll USING (doc_id) JOIN ds USING (doc_id)
@@ -7537,10 +7538,4 @@ def curriculum_documents(spark, sf_dir):
     )
 
 
-REGISTRY["curriculum_documents"] = QueryDef(
-    spark=REGISTRY["curriculum_documents"].spark,
-    sql=REGISTRY["curriculum_documents"]
-    .sql.replace("PLACEHOLDER_QR", REGISTRY["quality_rules_documents"].sql)
-    .replace("PLACEHOLDER_NLL", REGISTRY["bigram_nll_documents"].sql)
-    .replace("PLACEHOLDER_DS", REGISTRY["dup_span_stats_documents"].sql),
-)
+
