@@ -501,3 +501,50 @@ def test_no_per_row_python_udf_or_cartesian_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append((name, "cartesian product"))
     assert not bad, bad
+
+
+def test_winsorize_broadcasts_cuts_fact_never_shuffles(spark, sf_dir):
+    # the per-type [p05, p95] cut table is dimension-sized: it must reach
+    # the fact via BroadcastHashJoin; the fact's only other movement is the
+    # final presentation sort
+    df = REGISTRY["winsorize_value_events"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontaminate_broadcasts_bitset(spark, sf_dir):
+    # probes must join the Bloom bucket set via broadcast — the train-side
+    # gram stream never shuffles on gram content for the membership test
+    df = REGISTRY["bloom_decontaminate_documents"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_span_single_doc_exchange_for_islands(spark, sf_dir):
+    # the gaps-and-islands span merge runs both window functions over ONE
+    # doc_id hash exchange; no cartesian anywhere
+    df = REGISTRY["dup_span_stats_documents"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # exactly one doc_id hash exchange feeds BOTH island windows (they are
+    # stacked directly on it — formatted mode lists the exchange arguments)
+    assert plan.count("hashpartitioning(doc_id") == 1
+
+
+def test_bpe_encode_vocab_join_is_broadcast(spark, sf_dir):
+    # encoding joins the corpus word stream to the vocab-sized
+    # word->subword table: must be a broadcast, never a corpus shuffle
+    df = REGISTRY["bpe_encode_documents"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_jl_projection_zero_exchanges_before_sort(spark, sf_dir):
+    # data-independent projection: one codegen'd scan; the only exchange
+    # permitted is the presentation orderBy's range partitioning
+    df = REGISTRY["jl_projection_embeddings"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
