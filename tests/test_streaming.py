@@ -155,3 +155,62 @@ def test_tws_type_counts_match_batch_truth(spark, sf_dir):
     for (uid, et), (n, total) in got.items():
         assert n == want_counts[(uid, et)], (uid, et)
         assert total == want_totals[uid], uid
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: a second query on the SAME checkpoint
+    must pick up only files that arrived after the first drain — no row is
+    lost and none is delivered twice (asserted on distinct event_ids)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.sources.tables import load_table
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n_total = ev.count()
+    stage = str(tmp_path / "stage")
+    ev.repartition(8).write.parquet(stage)
+    files = sorted(
+        f for f in __import__("os").listdir(stage) if f.endswith(".parquet")
+    )
+    assert len(files) == 8
+    __import__("os").makedirs(src)
+
+    schema = spark.read.parquet(stage).schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: half the files arrive, stream drains them and terminates
+    for f in files[:4]:
+        shutil.copy(f"{stage}/{f}", f"{src}/{f}")
+    drain()
+    n_phase1 = spark.read.parquet(out).count()
+    assert 0 < n_phase1 < n_total
+
+    # phase 2: rest arrive; a NEW query on the same checkpoint resumes
+    for f in files[4:]:
+        shutil.copy(f"{stage}/{f}", f"{src}/{f}")
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == n_total  # nothing lost, nothing duplicated
+    assert got.select("event_id").distinct().count() == n_total
+    # and the totals agree with batch truth exactly
+    truth = ev.agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s")).first().s
+    assert got.agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s")).first().s == truth
