@@ -7539,3 +7539,100 @@ def curriculum_documents(spark, sf_dir):
 
 
 
+
+
+@register(
+    "prompt_completion_documents",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_W_SQL} AS w FROM documents WHERE length(trim(text)) > 0),
+s AS (
+  SELECT doc_id, w, CAST(floor(len(w) * 0.6) AS BIGINT) AS cut
+  FROM t WHERE len(w) >= 5)
+SELECT doc_id,
+       '### User:' || chr(10) || array_to_string(w[1:cut], ' ')
+         || chr(10) || '### Assistant:' || chr(10) AS prompt,
+       array_to_string(w[cut + 1:len(w)], ' ') AS completion,
+       cut AS n_prompt_tokens,
+       CAST(len(w) - cut AS BIGINT) AS n_completion_tokens
+FROM s ORDER BY doc_id
+""",
+)
+def prompt_completion_documents(spark, sf_dir):
+    # Self-supervised prompt/completion pair construction: split each doc at
+    # 60% of its tokens, render the prompt side through a chat template —
+    # the SFT-style pair a causal-LM data pipeline emits. Pure array
+    # slicing + string concat: zero shuffle, one codegen'd scan. (DuckDB
+    # list slices are 1-based inclusive; Spark's slice(start, length) is
+    # mirrored accordingly.)
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    t = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
+    s = t.where(F.size("w") >= 5).withColumn(
+        "cut", F.floor(F.size("w") * 0.6).cast("long")
+    )
+    prompt = F.concat(
+        F.lit("### User:\n"),
+        F.concat_ws(" ", F.slice("w", 1, F.col("cut").cast("int"))),
+        F.lit("\n### Assistant:\n"),
+    )
+    completion = F.concat_ws(
+        " ", F.expr("slice(w, cut + 1, size(w) - cut)")
+    )
+    return s.select(
+        "doc_id",
+        prompt.alias("prompt"),
+        completion.alias("completion"),
+        F.col("cut").alias("n_prompt_tokens"),
+        (F.size("w") - F.col("cut")).cast("long").alias("n_completion_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "length_bucket_stats_documents",
+    f"""
+WITH t AS (
+  SELECT doc_id, len({_W_SQL}) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(power(2, ceil(log2(greatest(n_tokens, 1)))) AS BIGINT) AS bucket
+  FROM t)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(SUM(bucket - n_tokens) AS BIGINT) AS padding_tokens,
+       ROUND(CAST(SUM(bucket - n_tokens) AS DOUBLE)
+             / CAST(SUM(bucket) AS DOUBLE), 6) AS padding_waste
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def length_bucket_stats_documents(spark, sf_dir):
+    # Length-bucketed batching census: docs grouped into power-of-two token
+    # buckets with the padding waste each bucket pays if batches pad to the
+    # bucket size — the number that justifies (or kills) a bucketing
+    # strategy before a training run. One scalar pass + a bucket-cardinality
+    # groupBy; integer arithmetic throughout, so no float shims needed
+    # beyond the final waste ratio.
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    t = d.select(
+        "doc_id", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens")
+    )
+    b = t.withColumn(
+        "bucket",
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest("n_tokens", F.lit(1)))))
+        .cast("long"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("real_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tokens")).cast("long").alias("padding_tokens"),
+            F.round(
+                F.sum(F.col("bucket") - F.col("n_tokens")).cast("double")
+                / F.sum("bucket").cast("double"),
+                6,
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )
