@@ -146,3 +146,22 @@ def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
     assert spark.read.parquet(zpath).count() == ev.count()
     assert z_n <= r_n, (z_n, r_n)
     assert z_n < n_z_files, (z_n, n_z_files)
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """A table whose later files add a column must read as the union schema
+    with nulls for old files (mergeSchema) — the parquet-lake evolution
+    contract an ingest pipeline relies on when a source adds fields."""
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "evolving")
+    ev.limit(100).write.parquet(out)
+    ev.limit(50).withColumn("quality_flag", F.lit(1)).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "quality_flag" in merged.columns
+    assert merged.count() == 150
+    n_null = merged.where(F.col("quality_flag").isNull()).count()
+    assert n_null == 100  # old files surface the new column as null

@@ -7636,3 +7636,62 @@ def length_bucket_stats_documents(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+]
+
+
+@register(
+    "table_profile_orders",
+    "SELECT * FROM ("
+    + "\nUNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {f'CAST(MIN({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'} AS min_value,
+       {f'CAST(MAX({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'} AS max_value
+FROM orders"""
+        for c, num in _PROFILE_COLS
+    )
+    + ") ORDER BY column_name",
+)
+def table_profile_orders(spark, sf_dir):
+    # The ANALYZE-TABLE statistics pass: per-column null count, exact NDV,
+    # and numeric min/max — what a cost-based optimizer (and a data-quality
+    # dashboard) feeds on. Spark computes ALL columns in ONE aggregation
+    # over one scan (count/countDistinct/min/max per column in a single
+    # agg), then unpivots the 1-row result driver-side — the oracle's
+    # per-column UNION ALL is the semantic spec, not the plan. At 100 TB
+    # swap exact NDV for approx_count_distinct (documented sketch path).
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, num in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}__ndv"),
+        ]
+        if num:
+            aggs += [
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+            ]
+    row = o.agg(*aggs)
+    stack_parts = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, "
+        + (f"{c}__min, {c}__max" if num else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+        for c, num in _PROFILE_COLS
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {stack_parts}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+        .orderBy("column_name")
+    )
