@@ -7695,3 +7695,215 @@ def table_profile_orders(spark, sf_dir):
         )
         .orderBy("column_name")
     )
+
+
+@register(
+    "heldout_lm_score_documents",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_SPLIT_CASE_SQL} AS split, {_W_SQL} AS w
+  FROM documents WHERE length(trim(text)) > 0),
+trn AS (SELECT w FROM toks WHERE split = 'train'),
+tw AS (SELECT unnest(w) AS word FROM trn),
+uni AS (SELECT word, COUNT(*) AS n_word FROM tw GROUP BY word),
+tot AS (SELECT SUM(n_word) AS n_total, COUNT(*) AS vsize FROM uni),
+tbg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM trn, (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2),
+pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM tbg GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(n_pair) AS n_ctx FROM pc GROUP BY w1),
+hbg AS (
+  SELECT doc_id, split, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2 AND split <> 'train'),
+lp AS (
+  SELECT h.doc_id, h.split,
+         CASE WHEN pc.n_pair IS NOT NULL THEN 0 ELSE 1 END AS backoff,
+         CAST(ROUND(LN(
+           CASE WHEN pc.n_pair IS NOT NULL
+                THEN CAST(pc.n_pair AS DOUBLE) / ctx.n_ctx
+                ELSE 0.4 * CAST(COALESCE(uni.n_word, 0) + 1 AS DOUBLE)
+                         / CAST(tot.n_total + tot.vsize AS DOUBLE)
+           END), 6) AS DECIMAL(18,6)) AS logp
+  FROM hbg h
+  LEFT JOIN pc ON h.w1 = pc.w1 AND h.w2 = pc.w2
+  LEFT JOIN ctx ON h.w1 = ctx.w1
+  LEFT JOIN uni ON h.w2 = uni.word
+  CROSS JOIN tot)
+SELECT doc_id, ANY_VALUE(split) AS split,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(backoff) AS BIGINT) AS n_backoffs,
+       CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_logprob
+FROM lp GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def heldout_lm_score_documents(spark, sf_dir):
+    # The honest perplexity-eval shape: a stupid-backoff bigram LM is
+    # COUNTED ON THE TRAIN SPLIT ONLY and scores the held-out (val/test)
+    # docs — unseen bigrams back off to 0.4 x smoothed train unigram. The
+    # n_backoffs column is itself a leakage signal (0 backoffs on a
+    # held-out doc = its bigrams all appear in train — near-dup suspect).
+    # LM tables are corpus-bounded aggregates; scoring joins the held-out
+    # bigram stream once on (w1, w2) and once on w2. Rounded-decimal log
+    # accumulation for engine portability, as unigram_logprob/bigram_nll.
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = d.select(
+        "doc_id",
+        _split_col().alias("split"),
+        F.split(F.trim(F.lower("text")), r"\s+").alias("w"),
+    )
+    trn = toks.where(F.col("split") == "train")
+    uni = (
+        trn.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    tot = uni.agg(
+        F.sum("n_word").alias("n_total"), F.count(F.lit(1)).alias("vsize")
+    )
+    bg_expr = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"
+    )
+    tbg = (
+        trn.where(F.size("w") >= 2)
+        .select(F.explode(bg_expr).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    pc = tbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    ctx = pc.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    hbg = (
+        toks.where((F.size("w") >= 2) & (F.col("split") != "train"))
+        .select("doc_id", "split", F.explode(bg_expr).alias("b"))
+        .select("doc_id", "split", "b.w1", "b.w2")
+    )
+    logp = F.round(
+        F.log(
+            F.when(
+                F.col("n_pair").isNotNull(),
+                F.col("n_pair").cast("double") / F.col("n_ctx"),
+            ).otherwise(
+                0.4
+                * (F.coalesce("n_word", F.lit(0)) + 1).cast("double")
+                / (F.col("n_total") + F.col("vsize")).cast("double")
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        hbg.join(pc, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni.withColumnRenamed("word", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("backoff", F.when(F.col("n_pair").isNotNull(), 0).otherwise(1))
+        .withColumn("logp", logp)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.any_value("split").alias("split"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("backoff").cast("long").alias("n_backoffs"),
+            (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_outliers",
+    """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+c AS (
+  SELECT label, g.i AS pos,
+         CAST(SUM(CAST(v[g.i] AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS centroid
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY 1, 2),
+d AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM(CAST((v[pos] - centroid) * (v[pos] - centroid)
+                       AS DECIMAL(30,15))) AS DOUBLE) AS d2
+  FROM e JOIN c ON e.label = c.label
+  GROUP BY 1, 2),
+st AS (
+  SELECT label,
+         CAST(SUM(CAST(d2 AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mu,
+         sqrt(greatest(
+           CAST(SUM(CAST(d2 * d2 AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+           - pow(CAST(SUM(CAST(d2 AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*), 2),
+           0)) AS sigma
+  FROM d GROUP BY label)
+SELECT d.vec_id, d.label, ROUND(d.d2, 9) AS d2,
+       ROUND(CASE WHEN st.sigma > 0 THEN (d.d2 - st.mu) / st.sigma
+                  ELSE 0.0 END, 6) AS z,
+       CAST(CASE WHEN st.sigma > 0 AND abs((d.d2 - st.mu) / st.sigma) > 2
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM d JOIN st ON d.label = st.label
+ORDER BY d.vec_id
+""",
+)
+def embedding_outliers(spark, sf_dir):
+    # Corrupt-embedding screen: squared distance to the vector's OWN label
+    # centroid, z-scored within the label, |z| > 2 flagged — the cheap
+    # data-cleaning pass before centroid/ANN training trusts the store.
+    # Centroids and per-label moments are exact decimal sums (deterministic
+    # across partitionings and engines); the vector table shuffles once on
+    # (vec_id, label) for the distance fold and the tiny per-label stats
+    # broadcast back.
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    ex = e.select("vec_id", "label", F.posexplode("v").alias("pos0", "val"))
+    cent = ex.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        (
+            F.sum(F.col("val").cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid")
+    )
+    d = (
+        ex.select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
+        .join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                ((F.col("val") - F.col("centroid")) * (F.col("val") - F.col("centroid")))
+                .cast("decimal(30,15)")
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    st = d.groupBy("label").agg(
+        (F.sum(F.col("d2").cast("decimal(30,15)")).cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.sum((F.col("d2") * F.col("d2")).cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+                - F.pow(
+                    F.sum(F.col("d2").cast("decimal(30,15)")).cast("double")
+                    / F.count(F.lit(1)),
+                    F.lit(2.0),
+                ),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    z_raw = (F.col("d2") - F.col("mu")) / F.col("sigma")
+    return (
+        d.join(F.broadcast(st), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round("d2", 9).alias("d2"),
+            F.round(F.when(F.col("sigma") > 0, z_raw).otherwise(0.0), 6).alias("z"),
+            F.when((F.col("sigma") > 0) & (F.abs(z_raw) > 2), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
