@@ -1,0 +1,105 @@
+"""Property tests: triangle_stats / k_core / dup_span_stats against
+brute-force Python references on random inputs — the oracle queries pin the
+fixture corpus; these pin the OPERATORS over the input space."""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from weather_data_pipeline_spark.operators.graph import k_core, triangle_stats
+from weather_data_pipeline_spark.operators.text import dup_span_stats
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# random simple graphs as ordered edge sets over <= 8 nodes
+edge_sets = st.sets(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] < e[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _adj(edges):
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+@SET
+@given(edges=edge_sets)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    adj = _adj(edges)
+    tri_ref = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri_ref[a] += 1
+            tri_ref[b] += 1
+            tri_ref[c] += 1
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r.node: (r.degree, r.n_triangles) for r in triangle_stats(df).collect()}
+    assert got == {n: (len(adj[n]), tri_ref[n]) for n in adj}
+
+
+@SET
+@given(edges=edge_sets, k=st.integers(2, 3))
+def test_k_core_matches_iterative_peel(spark, edges, k):
+    adj = _adj(edges)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r.node: r.core_degree for r in k_core(df, k=k).collect()}
+    assert got == {n: len(adj[n]) for n in adj}
+
+
+# tiny vocab so duplicated trigrams actually occur across random docs
+words = st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10)
+corpora = st.lists(words, min_size=2, max_size=5)
+
+
+def _spans_ref(corpus, kk=3):
+    grams: dict[tuple, set[int]] = {}
+    for did, w in enumerate(corpus):
+        for i in range(len(w) - kk + 1):
+            grams.setdefault(tuple(w[i : i + kk]), set()).add(did)
+    out = {}
+    for did, w in enumerate(corpus):
+        if not w:
+            continue
+        marked = set()
+        for i in range(len(w) - kk + 1):
+            if len(grams[tuple(w[i : i + kk])]) >= 2:
+                marked.update(range(i, i + kk))
+        # merged spans = runs of consecutive marked positions
+        n_spans = sum(
+            1 for p in marked if p - 1 not in marked
+        )
+        out[did] = (len(w), n_spans, len(marked))
+    return out
+
+
+@SET
+@given(corpus=corpora)
+def test_dup_span_stats_matches_bruteforce(spark, corpus):
+    rows = [(i, " ".join(w)) for i, w in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+        for r in dup_span_stats(df, k=3).collect()
+    }
+    assert got == _spans_ref(corpus)

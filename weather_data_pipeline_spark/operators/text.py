@@ -288,7 +288,13 @@ def dup_span_stats(
     )
     wp = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max("endp").over(wp.rowsBetween(Window.unboundedPreceding, -1))
-    new_island = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    # a new island starts only when the gram leaves a GAP in marked tokens
+    # (pos > prev_end + 1): overlapping AND token-adjacent spans merge, so
+    # n_dup_spans counts contiguous duplicated REGIONS (property-tested
+    # against a marked-token-run reference)
+    new_island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
     isl = hits.withColumn("island", F.sum(new_island).over(wp))
     spans = isl.groupBy(id_col, "island").agg(
         F.min("pos").alias("s"), F.max("endp").alias("e")

@@ -6892,7 +6892,7 @@ ord_h AS (
   FROM hits),
 isl AS (
   SELECT doc_id, pos, endp,
-         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
            OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM ord_h),
 spans AS (
