@@ -103,3 +103,87 @@ def test_dup_span_stats_matches_bruteforce(spark, corpus):
         for r in dup_span_stats(df, k=3).collect()
     }
     assert got == _spans_ref(corpus)
+
+
+# integer-coordinate embeddings: dot products are exact in BOTH the decimal
+# fold and the numpy double reference, so the argmax comparison is exact
+emb_rows = st.lists(
+    st.tuples(
+        st.lists(st.integers(1, 9), min_size=3, max_size=3),
+        st.integers(0, 2),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@SET
+@given(rows=emb_rows)
+def test_hard_negatives_matches_numpy_argmax(spark, rows):
+    import numpy as np
+
+    from weather_data_pipeline_spark.operators.similarity import hard_negatives
+
+    data = [(i, [float(x) for x in v], lab) for i, (v, lab) in enumerate(rows)]
+    mat = np.array([v for _, v, _ in data])
+    labs = np.array([lab for _, _, lab in data])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    ref = {}
+    for i in range(len(data)):
+        cand = [
+            (-sims[i, j], j) for j in range(len(data)) if labs[j] != labs[i]
+        ]
+        if cand:
+            ref[i] = min(cand)[1]  # max cosine, ties -> smallest id
+    df = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.vec_id: r.hard_negative_id for r in hard_negatives(df).collect()}
+    assert got == ref
+
+
+words4 = st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=6)
+
+
+@SET
+@given(corpus=st.lists(words4, min_size=1, max_size=5))
+def test_bigram_nll_matches_python_reference(spark, corpus):
+    import math
+
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    # reference: add-one-smoothed bigram NLL with 6dp-rounded log terms
+    docs = [w for w in corpus if w]
+    pc: dict[tuple, int] = {}
+    vocab = set()
+    for w in docs:
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            pc[(a, b)] = pc.get((a, b), 0) + 1
+    ctx: dict[str, int] = {}
+    for (a, _), n in pc.items():
+        ctx[a] = ctx.get(a, 0) + n
+    V = len(vocab)
+    ref = {}
+    for did, w in enumerate(docs):
+        if len(w) < 2:
+            continue
+        terms = [
+            round(math.log((pc[(a, b)] + 1) / (ctx[a] + V)), 6)
+            for a, b in zip(w, w[1:])
+        ]
+        ref[did] = (len(terms), round(-sum(terms) / len(terms), 9))
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, "en", "srcX", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{td}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_bigrams, round(r.avg_nll, 9))
+            for r in REGISTRY["bigram_nll_documents"].spark(spark, td).collect()
+        }
+    assert got == ref
