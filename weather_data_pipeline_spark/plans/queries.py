@@ -6280,13 +6280,18 @@ def winnowing_containment_documents(spark, sf_dir):
     fps = docs.select(
         "doc_id", X.winnowing_fingerprints(F.col("text")).alias("fps")
     ).where(F.size("fps") > 0)
-    ex0 = fps.select("doc_id", F.explode("fps").alias("fp"))
+    # materialize the exploded fingerprints ONCE: ex0 feeds the df census
+    # AND the keep-join, and ex feeds sizes plus both self-join legs — left
+    # lazy, the expensive winnowing computation re-executes per consumer
+    ex0 = fps.select("doc_id", F.explode("fps").alias("fp")).localCheckpoint(
+        eager=True
+    )
     # MOSS-style boilerplate suppression: a fingerprint shared by >50
     # documents is template noise, not evidence of containment — and every
     # hot fingerprint costs C(df,2) join pairs, so the cap also bounds the
     # inverted-index fanout (18.8s -> ~3s at sf0.1 on this templated corpus)
     keep = ex0.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 50)
-    ex = ex0.join(keep.select("fp"), "fp")
+    ex = ex0.join(keep.select("fp"), "fp").localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = ex.alias("a"), ex.alias("b")
     shared = (
