@@ -92,13 +92,14 @@ _FAMILY_RULES: list[tuple[str, str]] = [
      "dedup"),
     (r"(chunk_documents|pack_sequences|hash_split|stratified_sample|"
      r"weighted_sample|per_source_cap|training_corpus|mixture_allocation|"
-     r"curriculum)",
+     r"curriculum|prompt_completion|length_bucket)",
      "corpus_assembly"),
-    (r"(_embeddings$|^label_centroids|^nearest_centroid|^embedding_norm)",
+    (r"(_embeddings$|^label_centroids|^nearest_centroid|^embedding_norm|"
+     r"^embedding_outliers)",
      "similarity"),
     (r"(token|bpe|language_id|quality_score|word_counts|tfidf|pmi|oov|"
      r"unigram|bigram|repetition|string_funcs|ngram_novelty|zipf|"
-     r"char_entropy|quality_rules)", "text"),
+     r"char_entropy|quality_rules|heldout_lm)", "text"),
     (r"(_drift_|chisq_type)", "drift_quality"),
     (r"(^lag_|^lead_|^diff_|rolling|ffill|interpolate|ewma|zscore|cusum|"
      r"seasonal|ohlc|trend_slope|drawdown|mad_outliers|gapfill|"

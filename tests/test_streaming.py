@@ -195,7 +195,7 @@ def test_checkpoint_recovery_no_reprocessing(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)  # availableNow must terminate
 
     # phase 1: half the files arrive, stream drains them and terminates
     for f in files[:4]:

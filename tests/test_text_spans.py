@@ -179,3 +179,20 @@ def test_hard_negatives_picks_cross_label_argmax(spark):
     # vec 2's best cross-label cosine is vec 1 (0.953 vs 0.902 for vec 0);
     # vec 3 ([0,1]) is nearest to 1 (cos 0.14) among labels != 1
     assert got[2] == 1 and got[3] == 1
+
+
+def test_hard_negatives_zero_norm_vector_does_not_poison_batch(spark):
+    # one zero vector must not suppress other rows' candidates (NaN row-max
+    # trap); the degenerate vector itself emits no row
+    from weather_data_pipeline_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], 0),
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.43], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.vec_id: r.hard_negative_id for r in hard_negatives(emb).collect()}
+    assert got == {1: 2, 2: 1}

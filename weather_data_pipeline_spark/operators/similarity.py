@@ -761,13 +761,23 @@ def hard_negatives(
             sims = (b_mat[pos] @ b_mat.T) / np.outer(b_norms[pos], b_norms)
             diff = b_labs[None, :] != b_labs[pos][:, None]
             sims = np.where(diff, sims, -np.inf)
+            # a zero-norm (or NaN-component) vector yields NaN cosines for a
+            # WHOLE column; left in place, np.max would poison every row's
+            # max and silently suppress all candidates in the batch. Map
+            # NaN -> -inf: degenerate vectors drop out as anchors AND as
+            # candidates, healthy rows keep their true winner.
+            sims = np.where(np.isnan(sims), -np.inf, sims)
             rowmax = sims.max(axis=1)
-            # the label mask must ALSO gate the candidate set: a row with no
-            # different-label neighbor has rowmax = -inf and `-inf >= -inf`
-            # would otherwise admit self/same-label columns — such rows must
-            # emit nothing (the SQL oracle's a.label != b.label join finds
-            # no pair for them either)
-            mask = diff & (sims >= (rowmax[:, None] - 1e-6))
+            # two gates beyond the threshold: (a) the label mask — without it
+            # a row with rowmax -inf admits self/same-label columns via
+            # `-inf >= -inf`; (b) rowmax must be FINITE — a zero-norm anchor
+            # (all its cosines NaN -> -inf) must emit nothing, or its
+            # candidates hit the exact re-score's /0 under ANSI mode
+            mask = (
+                diff
+                & (sims >= (rowmax[:, None] - 1e-6))
+                & np.isfinite(rowmax)[:, None]
+            )
             ai, bi = np.nonzero(mask)
             yield pd.DataFrame({"id": b_ids[pos][ai], "neg_id": b_ids[bi]})
 

@@ -2977,6 +2977,15 @@ def _grams_spark(w, k: int):
     )
 
 
+# THE bigram-stream definition shared by every bigram LM in the engine
+# (bigram_lm, bigram_nll, heldout_lm): one expression constant so the
+# tokenized-pair semantics cannot drift between them. The SQL oracles use
+# the equivalent lateral generate_series pattern.
+_BG_STRUCT_EXPR = (
+    "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"
+)
+
+
 @register(
     "repetition_score_documents",
     f"""
@@ -3182,15 +3191,17 @@ _ID_HASH = _PHASH.format(t="CAST(doc_id AS VARCHAR)")
 # that references the split (hash_split_documents reports it,
 # split_leakage_documents audits it); duplicating the ratio/hash in two
 # places would let the audit silently diverge from the reported split
+# simple-CASE form: the md5 bucket expression is evaluated ONCE per row
+# (a searched CASE would inline the hash into every branch)
 _SPLIT_CASE_SQL = (
-    f"CASE WHEN {_ID_HASH} % 10 < 8 THEN 'train' "
-    f"WHEN {_ID_HASH} % 10 = 8 THEN 'val' ELSE 'test' END"
+    f"CASE {_ID_HASH} % 10 WHEN 8 THEN 'val' WHEN 9 THEN 'test' "
+    f"ELSE 'train' END"
 )
 
 
 def _split_col():
     b = X.portable_token_hash(F.col("doc_id").cast("string")) % 10
-    return F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    return F.when(b == 8, "val").when(b == 9, "test").otherwise("train")
 
 
 @register(
@@ -3803,11 +3814,9 @@ def bigram_lm_documents(spark, sf_dir):
     d = d.select(F.split(F.trim(F.lower("text")), r"\s+").alias("w")).where(
         F.size("w") >= 2
     )
-    pairs = d.select(
-        F.explode(
-            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+    pairs = d.select(F.explode(F.expr(_BG_STRUCT_EXPR)).alias("bg")).select(
+        "bg.w1", "bg.w2"
+    )
     c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     wv = Window.partitionBy("w1")
     return (
@@ -6838,14 +6847,7 @@ def bigram_nll_documents(spark, sf_dir):
     toks = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
     bg = (
         toks.where(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"
-                )
-            ).alias("b"),
-        )
+        .select("doc_id", F.explode(F.expr(_BG_STRUCT_EXPR)).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
     pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
@@ -7767,9 +7769,7 @@ def heldout_lm_score_documents(spark, sf_dir):
     tot = uni.agg(
         F.sum("n_word").alias("n_total"), F.count(F.lit(1)).alias("vsize")
     )
-    bg_expr = F.expr(
-        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"
-    )
+    bg_expr = F.expr(_BG_STRUCT_EXPR)
     tbg = (
         trn.where(F.size("w") >= 2)
         .select(F.explode(bg_expr).alias("b"))
