@@ -7912,3 +7912,52 @@ def embedding_outliers(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "edit_distance_pairs_documents",
+    "WITH cand AS (SELECT id_a, id_b FROM ("
+    + REGISTRY["minhash_lsh_candidates_documents"].sql
+    + """))
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+       ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                   / greatest(len(a.text), len(b.text), 1), 6) AS edit_similarity
+FROM cand c
+JOIN documents a ON c.id_a = a.doc_id
+JOIN documents b ON c.id_b = b.doc_id
+ORDER BY c.id_a, c.id_b
+""",
+)
+def edit_distance_pairs_documents(spark, sf_dir):
+    # The VERIFICATION step of a classic dedup pipeline: exact Levenshtein
+    # similarity, computed ONLY on the MinHash-LSH candidate pairs (never
+    # all-pairs — edit distance is O(len^2) per pair, so the candidate set
+    # must be linear before anyone pays it). Both engines implement the
+    # same unit-cost Levenshtein, so the scores are exactly oracled. At
+    # 100 TB the candidate join ships doc texts for candidate ids only.
+    cand = (
+        REGISTRY["minhash_lsh_candidates_documents"]
+        .spark(spark, sf_dir)
+        .select("id_a", "id_b")
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    ed = F.levenshtein("text_a", "text_b")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ed.cast("long").alias("edit_distance"),
+            F.round(
+                1.0
+                - ed.cast("double")
+                / F.greatest(F.length("text_a"), F.length("text_b"), F.lit(1)),
+                6,
+            ).alias("edit_similarity"),
+        )
+        .orderBy("id_a", "id_b")
+    )
