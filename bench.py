@@ -88,7 +88,7 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     (r"^multimodal_", "multimodal"),
     (r"(minhash|jaccard|simhash|dedup|shingle|neardup|pagerank|"
      r"decontaminate|fingerprint|winnowing|dup_cluster|dup_span|triangle|"
-     r"kcore|split_leakage)",
+     r"kcore|split_leakage|edit_distance|tfidf_cosine)",
      "dedup"),
     (r"(chunk_documents|pack_sequences|hash_split|stratified_sample|"
      r"weighted_sample|per_source_cap|training_corpus|mixture_allocation|"

@@ -7961,3 +7961,94 @@ def edit_distance_pairs_documents(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "tfidf_cosine_pairs_documents",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_W_SQL} AS w FROM documents WHERE length(trim(text)) > 0),
+n AS (SELECT COUNT(*) AS n_docs FROM t),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS word FROM t) GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+-- discriminative terms only: df-capped (RELATIVE to corpus size, so the
+-- cut means the same thing at every SF) like the MOSS suppression in
+-- winnowing — bounds the posting-list join fanout AND sharpens the signal
+wts AS (
+  SELECT tf.doc_id, tf.word,
+         CAST(ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+              AS DECIMAL(18,6)) AS wt
+  FROM tf JOIN df USING (word) CROSS JOIN n
+  WHERE df.df <= 0.1 * n.n_docs),
+nrm AS (
+  SELECT doc_id, CAST(SUM(wt * wt) AS DOUBLE) AS norm2
+  FROM wts GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.wt * b.wt) AS DOUBLE) AS dot
+  FROM wts a JOIN wts b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d.id_a, d.id_b,
+       d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS tfidf_cosine
+FROM dots d
+JOIN nrm na ON d.id_a = na.doc_id
+JOIN nrm nb ON d.id_b = nb.doc_id
+WHERE d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def tfidf_cosine_pairs_documents(spark, sf_dir):
+    # Sparse LEXICAL similarity — the tf-idf-weighted counterpart of the
+    # unigram-Jaccard and dense-embedding pair queries. Weights are
+    # 6dp-rounded decimals so dot products and norms accumulate EXACTLY
+    # (order-independent, engine-portable); the posting-list self-join runs
+    # only over df<=50 discriminative terms (MOSS-style cap — common terms
+    # are both noise and the quadratic-fanout hazard). At 100 TB: tf/df are
+    # map-side-combined aggregations; the pair join's cost is sum of
+    # df-capped posting-list squares, linear in corpus for fixed cap.
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    t = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
+    n = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        t.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    wts = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") <= 0.1 * F.col("n_docs"))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("wt"),
+        )
+    )
+    nrm = wts.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).cast("double").alias("norm2")
+    )
+    a = wts.select(F.col("doc_id").alias("id_a"), "word", F.col("wt").alias("wa"))
+    b = wts.select(F.col("doc_id").alias("id_b"), "word", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "word")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("norm2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("norm2").alias("nb2"))
+    cos = F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("tfidf_cosine"))
+        .where(F.col("tfidf_cosine") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
