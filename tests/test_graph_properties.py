@@ -187,3 +187,47 @@ def test_bigram_nll_matches_python_reference(spark, corpus):
             for r in REGISTRY["bigram_nll_documents"].spark(spark, td).collect()
         }
     assert got == ref
+
+
+vals = st.lists(
+    st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=40
+)
+
+
+@SET
+@given(values=vals)
+def test_winsorize_matches_numpy_percentiles(spark, values):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    # mirror the query's clipping on a single synthetic group: Spark
+    # percentile() uses linear interpolation == np.percentile default
+    df = spark.createDataFrame(
+        [(i, "t", float(v)) for i, v in enumerate(values)],
+        "event_id long, event_type string, value double",
+    )
+    cuts = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    got = {
+        r.event_id: r.w
+        for r in df.join(cuts, "event_type")
+        .select(
+            "event_id",
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value"))
+            .alias("w"),
+        )
+        .collect()
+    }
+    arr = np.array(values, dtype=np.float64)
+    lo, hi = np.percentile(arr, 5), np.percentile(arr, 95)
+    ref = np.clip(arr, lo, hi)
+    for i, v in enumerate(ref):
+        # numpy's interpolation arithmetic differs from Spark/DuckDB in the
+        # last ulp (the ENGINE parity is exact — pinned by the oracle); the
+        # numpy reference only needs to agree to float tolerance
+        assert abs(got[i] - v) <= 1e-9 * max(1.0, abs(v)), (i, got[i], v)
