@@ -8052,3 +8052,83 @@ def tfidf_cosine_pairs_documents(spark, sf_dir):
         .where(F.col("tfidf_cosine") >= 0.5)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "incremental_dedup_documents",
+    "WITH cand AS (SELECT id_a, id_b FROM ("
+    + REGISTRY["minhash_lsh_candidates_documents"].sql
+    + """)),
+batch AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE source = 'src1'),
+corpus AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE source <> 'src1'),
+exact AS (
+  SELECT b.doc_id, CAST(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup
+  FROM batch b LEFT JOIN (SELECT DISTINCT fp FROM corpus) c USING (fp)),
+near AS (
+  SELECT b.doc_id, COUNT(x.other) AS n_neardup_candidates
+  FROM batch b
+  LEFT JOIN (
+    SELECT c.id_a AS doc_id, c.id_b AS other FROM cand c
+    UNION ALL
+    SELECT c.id_b AS doc_id, c.id_a AS other FROM cand c
+  ) x ON b.doc_id = x.doc_id
+     AND x.other IN (SELECT doc_id FROM corpus)
+  GROUP BY b.doc_id)
+SELECT e.doc_id, e.exact_dup,
+       CAST(n.n_neardup_candidates AS BIGINT) AS n_neardup_candidates,
+       CASE WHEN e.exact_dup = 1 THEN 'drop_exact'
+            WHEN n.n_neardup_candidates > 0 THEN 'review_neardup'
+            ELSE 'keep' END AS decision
+FROM exact e JOIN near n USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def incremental_dedup_documents(spark, sf_dir):
+    # Ingest-time dedup of a NEW batch (source 'src1' stands in for today's
+    # crawl) against the EXISTING corpus index — the incremental flow a
+    # production pipeline runs per delivery, as opposed to the global
+    # from-scratch dedup queries. Exact hits via md5-fingerprint semi
+    # lookup; near-dup exposure via the linear LSH candidate pairs that
+    # cross the batch/corpus boundary; a per-doc keep/drop/review decision.
+    # At 100 TB the corpus side is a pre-built fingerprint/band INDEX (the
+    # minhash_signatures table) — the batch never joins corpus text.
+    cand = (
+        REGISTRY["minhash_lsh_candidates_documents"]
+        .spark(spark, sf_dir)
+        .select("id_a", "id_b")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    batch = d.where(F.col("source") == "src1").select("doc_id", "fp")
+    corpus = d.where(F.col("source") != "src1").select("doc_id", "fp")
+    exact = batch.join(
+        corpus.select("fp").distinct().withColumn("hit", F.lit(1)), "fp", "left"
+    ).select(
+        "doc_id", F.coalesce("hit", F.lit(0)).cast("int").alias("exact_dup")
+    )
+    touch = cand.select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("other")).unionAll(
+        cand.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("other"))
+    )
+    cross = touch.join(
+        corpus.select(F.col("doc_id").alias("other")), "other"
+    )
+    near = (
+        batch.select("doc_id")
+        .join(cross, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.count("other").cast("long").alias("n_neardup_candidates"))
+    )
+    return (
+        exact.join(near, "doc_id")
+        .select(
+            "doc_id",
+            "exact_dup",
+            "n_neardup_candidates",
+            F.when(F.col("exact_dup") == 1, "drop_exact")
+            .when(F.col("n_neardup_candidates") > 0, "review_neardup")
+            .otherwise("keep")
+            .alias("decision"),
+        )
+        .orderBy("doc_id")
+    )
