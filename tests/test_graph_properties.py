@@ -196,32 +196,28 @@ vals = st.lists(
 
 @SET
 @given(values=vals)
-def test_winsorize_matches_numpy_percentiles(spark, values):
+def test_winsorize_matches_numpy_percentiles(spark, values, tmp_path_factory):
+    # exercises the REGISTERED query (not a re-implementation of its clip)
+    # on a synthetic events table: Spark percentile() uses linear
+    # interpolation == np.percentile default
+    import datetime
     import numpy as np
 
-    from pyspark.sql import functions as F
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
 
-    # mirror the query's clipping on a single synthetic group: Spark
-    # percentile() uses linear interpolation == np.percentile default
-    df = spark.createDataFrame(
-        [(i, "t", float(v)) for i, v in enumerate(values)],
-        "event_id long, event_type string, value double",
-    )
-    cuts = df.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
-    )
+    td = tmp_path_factory.mktemp("wz")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "t", float(v), "{}") for i, v in enumerate(values)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(td / "events.parquet"))
     got = {
-        r.event_id: r.w
-        for r in df.join(cuts, "event_type")
-        .select(
-            "event_id",
-            F.when(F.col("value") < F.col("lo"), F.col("lo"))
-            .when(F.col("value") > F.col("hi"), F.col("hi"))
-            .otherwise(F.col("value"))
-            .alias("w"),
-        )
-        .collect()
+        r.event_id: r.value_winsorized
+        for r in REGISTRY["winsorize_value_events"].spark(spark, str(td)).collect()
     }
     arr = np.array(values, dtype=np.float64)
     lo, hi = np.percentile(arr, 5), np.percentile(arr, 95)

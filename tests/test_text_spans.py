@@ -196,3 +196,35 @@ def test_hard_negatives_zero_norm_vector_does_not_poison_batch(spark):
     )
     got = {r.vec_id: r.hard_negative_id for r in hard_negatives(emb).collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_incremental_dedup_intra_batch_duplicates(spark, tmp_path):
+    # two identical docs ARRIVING IN THE SAME BATCH: the first keeps, the
+    # second drops (earlier-doc asymmetry); an exact copy of a corpus doc
+    # drops; a unique doc keeps
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    corpus_text = "alpha beta gamma delta epsilon zeta eta theta"
+    batch_text = "one two three four five six seven eight"
+    rows = [
+        (1, corpus_text, "en", "src2", len(corpus_text)),
+        (2, "totally different corpus words here now ok fine", "en", "src3", 48),
+        (10, batch_text, "en", "src1", len(batch_text)),
+        (11, batch_text, "en", "src1", len(batch_text)),  # dup of 10
+        (12, corpus_text, "en", "src1", len(corpus_text)),  # dup of corpus 1
+        (13, "unique nine ten eleven twelve thirteen fourteen", "en", "src1", 47),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.exact_dup, r.decision)
+        for r in REGISTRY["incremental_dedup_documents"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[11] == (1, "drop_exact")
+    assert got[12] == (1, "drop_exact")
+    assert got[13] == (0, "keep")
+    # doc 10 must NOT be dropped — it is the first arrival of its content
+    assert got[10][0] == 0 and got[10][1] in ("keep", "review_neardup")

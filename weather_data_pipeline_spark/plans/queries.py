@@ -8004,10 +8004,11 @@ def tfidf_cosine_pairs_documents(spark, sf_dir):
     # unigram-Jaccard and dense-embedding pair queries. Weights are
     # 6dp-rounded decimals so dot products and norms accumulate EXACTLY
     # (order-independent, engine-portable); the posting-list self-join runs
-    # only over df<=50 discriminative terms (MOSS-style cap — common terms
-    # are both noise and the quadratic-fanout hazard). At 100 TB: tf/df are
-    # map-side-combined aggregations; the pair join's cost is sum of
-    # df-capped posting-list squares, linear in corpus for fixed cap.
+    # only over discriminative terms with df <= 10% of the corpus
+    # (MOSS-style cap, RELATIVE so the cut means the same thing at every
+    # SF — common terms are both noise and the quadratic-fanout hazard).
+    # At 100 TB: tf/df are map-side-combined aggregations; the pair join's
+    # cost is the sum of df-capped posting-list squares.
     d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     t = d.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
     n = t.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -8030,6 +8031,10 @@ def tfidf_cosine_pairs_documents(spark, sf_dir):
             .cast("decimal(18,6)")
             .alias("wt"),
         )
+        # wts feeds THREE subplans (norms + both posting-join legs); left
+        # lazy, the tokenize->tf->df->weight pipeline re-runs per consumer
+        # (the winnowing lesson)
+        .localCheckpoint(eager=True)
     )
     nrm = wts.groupBy("doc_id").agg(
         F.sum(F.col("wt") * F.col("wt")).cast("double").alias("norm2")
@@ -8062,17 +8067,27 @@ def tfidf_cosine_pairs_documents(spark, sf_dir):
 batch AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE source = 'src1'),
 corpus AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE source <> 'src1'),
 exact AS (
-  SELECT b.doc_id, CAST(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup
-  FROM batch b LEFT JOIN (SELECT DISTINCT fp FROM corpus) c USING (fp)),
-near AS (
-  SELECT b.doc_id, COUNT(x.other) AS n_neardup_candidates
-  FROM batch b
-  LEFT JOIN (
+  SELECT b.doc_id,
+         CAST(CASE WHEN c.fp IS NOT NULL OR b.rn > 1 THEN 1 ELSE 0 END AS INT)
+           AS exact_dup
+  FROM (SELECT doc_id, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM batch) b
+  LEFT JOIN (SELECT DISTINCT fp FROM corpus) c USING (fp)),
+prior AS (
+  SELECT doc_id AS other, 1 AS is_corpus FROM corpus
+  UNION ALL
+  SELECT doc_id AS other, 0 AS is_corpus FROM batch),
+xr AS (
+  SELECT x.doc_id, x.other FROM (
     SELECT c.id_a AS doc_id, c.id_b AS other FROM cand c
     UNION ALL
-    SELECT c.id_b AS doc_id, c.id_a AS other FROM cand c
-  ) x ON b.doc_id = x.doc_id
-     AND x.other IN (SELECT doc_id FROM corpus)
+    SELECT c.id_b AS doc_id, c.id_a AS other FROM cand c) x
+  JOIN prior p ON x.other = p.other
+  WHERE p.is_corpus = 1 OR x.other < x.doc_id),
+near AS (
+  SELECT b.doc_id, COUNT(xr.other) AS n_neardup_candidates
+  FROM batch b LEFT JOIN xr ON b.doc_id = xr.doc_id
   GROUP BY b.doc_id)
 SELECT e.doc_id, e.exact_dup,
        CAST(n.n_neardup_candidates AS BIGINT) AS n_neardup_candidates,
@@ -8087,11 +8102,13 @@ def incremental_dedup_documents(spark, sf_dir):
     # Ingest-time dedup of a NEW batch (source 'src1' stands in for today's
     # crawl) against the EXISTING corpus index — the incremental flow a
     # production pipeline runs per delivery, as opposed to the global
-    # from-scratch dedup queries. Exact hits via md5-fingerprint semi
-    # lookup; near-dup exposure via the linear LSH candidate pairs that
-    # cross the batch/corpus boundary; a per-doc keep/drop/review decision.
-    # At 100 TB the corpus side is a pre-built fingerprint/band INDEX (the
-    # minhash_signatures table) — the batch never joins corpus text.
+    # from-scratch dedup queries. Exact hits via md5-fingerprint lookup
+    # against the corpus AND against earlier docs in the same batch (two
+    # identical arrivals must not both pass the gate: the first keeps, the
+    # second drops); near-dup exposure likewise counts LSH candidates in
+    # the corpus or earlier in the batch. At 100 TB the corpus side is a
+    # pre-built fingerprint/band INDEX (the minhash_signatures table) —
+    # the batch never joins corpus text.
     cand = (
         REGISTRY["minhash_lsh_candidates_documents"]
         .spark(spark, sf_dir)
@@ -8102,16 +8119,44 @@ def incremental_dedup_documents(spark, sf_dir):
     )
     batch = d.where(F.col("source") == "src1").select("doc_id", "fp")
     corpus = d.where(F.col("source") != "src1").select("doc_id", "fp")
-    exact = batch.join(
-        corpus.select("fp").distinct().withColumn("hit", F.lit(1)), "fp", "left"
-    ).select(
-        "doc_id", F.coalesce("hit", F.lit(0)).cast("int").alias("exact_dup")
+    earlier = (
+        batch.alias("b")
+        .join(
+            batch.select(F.col("fp"), F.col("doc_id").alias("b2_id")).alias("b2"),
+            "fp",
+        )
+        .where(F.col("b2_id") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("ehit", F.lit(1))
+    )
+    exact = (
+        batch.join(
+            corpus.select("fp").distinct().withColumn("hit", F.lit(1)), "fp", "left"
+        )
+        .join(earlier, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(F.coalesce("hit", F.lit(0)), F.coalesce("ehit", F.lit(0)))
+            .cast("int")
+            .alias("exact_dup"),
+        )
     )
     touch = cand.select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("other")).unionAll(
         cand.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("other"))
     )
-    cross = touch.join(
-        corpus.select(F.col("doc_id").alias("other")), "other"
+    prior = (
+        corpus.select(F.col("doc_id").alias("other")).withColumn("is_corpus", F.lit(1))
+    ).unionAll(
+        batch.select(F.col("doc_id").alias("other")).withColumn("is_corpus", F.lit(0))
+    )
+    # corpus docs always count; batch docs only when EARLIER than the doc
+    # under decision (streaming-within-batch asymmetry: of two identical
+    # arrivals the first keeps, the second sees the first)
+    cross = (
+        touch.join(prior, "other")
+        .where((F.col("is_corpus") == 1) | (F.col("other") < F.col("doc_id")))
+        .select("doc_id", "other")
     )
     near = (
         batch.select("doc_id")
