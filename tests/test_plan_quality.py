@@ -548,3 +548,17 @@ def test_jl_projection_zero_exchanges_before_sort(spark, sf_dir):
     plan = plan_of(df)
     assert "hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_plan_census_covers_every_registered_query():
+    # PLANS.md claims to be "a census of every query's physical plan" —
+    # hold it to that: every registry entry needs a row (regenerate with
+    # tools/plan_census.py after adding queries). Environment-gated
+    # queries (absent in some containers) are exempt only if absent here.
+    import re
+
+    with open("PLANS.md") as fh:
+        txt = fh.read()
+    rows = set(re.findall(r"^\| (\w+) \|", txt, flags=re.M))
+    missing = sorted(set(REGISTRY) - rows - {"query"})
+    assert not missing, f"PLANS.md missing census rows for: {missing}"
