@@ -214,3 +214,20 @@ def test_strip_training_summary_prevents_observation_capture(spark):
     assert not m.hasSummary
     auc = BinaryClassificationEvaluator().evaluate(m.transform(vec))
     assert 0.0 <= auc <= 1.0
+
+
+def test_ml_calibration_feed_shape_and_bounds(spark, sf_dir):
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["ml_calibration_feed"].spark(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    brier = rows[0].brier_score
+    assert 0.0 <= brier <= 1.0
+    total = 0
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_predicted <= 1.0
+        assert 0.0 <= r.empirical_rate <= 1.0
+        assert r.brier_score == brier
+        total += r.n
+    assert total > 0

@@ -8177,3 +8177,51 @@ def incremental_dedup_documents(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register("ml_calibration_feed", None)  # rows-only (training output)
+def ml_calibration_feed(spark, sf_dir):
+    # M8 eval completeness: the reliability curve (predicted-probability
+    # deciles vs empirical positive rate) + Brier score for the balanced
+    # rain classifier — the plot feed a probability consumer needs beyond
+    # ROC-AUC (a model can rank well and still be badly calibrated).
+    # Deterministic: seeded RF + temporal split. The curve is one groupBy
+    # over the test predictions; Brier is a 1-row agg on the same frame.
+    from pyspark.ml.functions import vector_to_array
+
+    from ..ml import models as M
+
+    feats = (
+        FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+        .limit(4000)
+        .repartition(8)
+    )
+    train, test = SP.temporal_split(feats, "timestamp", 0.2)
+    cols = M.feature_columns(train)
+    m = M.train_rain_classifier(train, test, cols=cols, fast=True)
+    te = test.where(F.col("will_rain").isNotNull()).fillna(0, subset=cols)
+    pred = m.pipeline_model.transform(te).select(
+        vector_to_array("probability").getItem(1).alias("p1"),
+        F.col("will_rain").cast("double").alias("y"),
+    )
+    pred = pred.withColumn(
+        "bin", F.least(F.floor(F.col("p1") * 10), F.lit(9)).cast("int")
+    ).cache()
+    brier = pred.agg(
+        F.avg((F.col("p1") - F.col("y")) * (F.col("p1") - F.col("y"))).alias("b")
+    ).first()
+    out = (
+        pred.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p1"), 6).alias("mean_predicted"),
+            F.round(F.avg("y"), 6).alias("empirical_rate"),
+        )
+        .withColumn("brier_score", F.round(F.lit(brier.b), 6))
+        .orderBy("bin")
+    )
+    rows = out.collect()
+    pred.unpersist()
+    return spark.createDataFrame(
+        rows, "bin int, n bigint, mean_predicted double, empirical_rate double, brier_score double"
+    )
