@@ -8225,3 +8225,106 @@ def ml_calibration_feed(spark, sf_dir):
     return spark.createDataFrame(
         rows, "bin int, n bigint, mean_predicted double, empirical_rate double, brier_score double"
     )
+
+
+@register(
+    "session_overlap_pairs_events",
+    ev_sql("""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM o),
+sess AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS sid, MIN(ts) AS st, MAX(ts) AS en
+  FROM s GROUP BY 1, 2)
+SELECT a.user_id AS user_a, a.sid AS sid_a,
+       b.user_id AS user_b, b.sid AS sid_b,
+       CAST(epoch_us(least(a.en, b.en)) - epoch_us(greatest(a.st, b.st))
+            AS BIGINT) AS overlap_us
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+ORDER BY user_a, sid_a, user_b, sid_b
+"""),
+)
+def session_overlap_pairs_events(spark, sf_dir):
+    # Interval-overlap self-join at scale: which users' sessions were
+    # concurrent (the co-presence primitive behind collaboration/abuse
+    # correlation). The SQL oracle is the quadratic SPEC; the Spark plan is
+    # the scalable BUCKETIZED interval join — each session explodes to the
+    # hour buckets it touches, candidates form per bucket (equi-join, never
+    # all-pairs), duplicates collapse with distinct, and the exact overlap
+    # predicate verifies. At 100 TB the bucket width trades candidate
+    # volume vs duplicate factor; hour buckets bound candidates to
+    # concurrent-session pairs, which is the OUTPUT's own magnitude.
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            # exact microsecond gap — a seconds cast would truncate and
+            # diverge from the oracle's INTERVAL comparison at boundaries
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("brk", brk).withColumn("sid", F.sum("brk").over(w))
+    sess = (
+        s.groupBy("user_id", F.col("sid").cast("long").alias("sid"))
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+        .localCheckpoint(eager=True)  # feeds both join legs
+    )
+    bucketed = sess.select(
+        "user_id",
+        "sid",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("st") / 3600),
+                F.floor(F.unix_timestamp("en") / 3600),
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sid").alias("sid_a"),
+        F.col("st").alias("st_a"),
+        F.col("en").alias("en_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sid").alias("sid_b"),
+        F.col("st").alias("st_b"),
+        F.col("en").alias("en_b"),
+        "bucket",
+    )
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "sid_a", "st_a", "en_a", "user_b", "sid_b", "st_b", "en_b")
+        .distinct()
+    )
+    overlap_us = F.unix_micros(F.least("en_a", "en_b")) - F.unix_micros(
+        F.greatest("st_a", "st_b")
+    )
+    return (
+        cand.where(
+            (F.col("st_a") <= F.col("en_b")) & (F.col("st_b") <= F.col("en_a"))
+        )
+        .select(
+            "user_a",
+            "sid_a",
+            "user_b",
+            "sid_b",
+            overlap_us.cast("long").alias("overlap_us"),
+        )
+        .orderBy("user_a", "sid_a", "user_b", "sid_b")
+    )
