@@ -103,7 +103,7 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     (r"(_drift_|chisq_type)", "drift_quality"),
     (r"(^lag_|^lead_|^diff_|rolling|ffill|interpolate|ewma|zscore|cusum|"
      r"seasonal|ohlc|trend_slope|drawdown|mad_outliers|gapfill|"
-     r"inter_event_gap|session_stats|funnel|cohort|transition|first_last|"
+     r"inter_event_gap|session_|funnel|cohort|transition|first_last|"
      r"^ranking|cumulative|forward_rain|latest_event)", "window_ts"),
     (r"(^recent_events_scan|^topk_events|row_null_threshold)", "scan"),
 ]
