@@ -555,9 +555,11 @@ def test_plan_census_covers_every_registered_query():
     # hold it to that: every registry entry needs a row (regenerate with
     # tools/plan_census.py after adding queries). Environment-gated
     # queries (absent in some containers) are exempt only if absent here.
+    import os
     import re
 
-    with open("PLANS.md") as fh:
+    plans_path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(plans_path) as fh:
         txt = fh.read()
     rows = set(re.findall(r"^\| (\w+) \|", txt, flags=re.M))
     missing = sorted(set(REGISTRY) - rows - {"query"})

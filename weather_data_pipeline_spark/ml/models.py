@@ -224,6 +224,15 @@ def select_best(models: list[TrainedModel]) -> TrainedModel:
     return max(models, key=lambda m: m.metrics.get("test_r2", float("-inf")))
 
 
+def prep_classifier_frame(
+    df: DataFrame, cols: list[str], label: str = "will_rain"
+) -> DataFrame:
+    """The classifier's train/test frame prep — label-notnull filter +
+    zero-fill. Exposed so downstream consumers (calibration feed) score the
+    SAME population the reported metrics were computed on."""
+    return df.where(F.col(label).isNotNull()).fillna(0, subset=cols)
+
+
 def train_rain_classifier(
     train: DataFrame, test: DataFrame, cols: list[str] | None = None, fast: bool = False
 ) -> TrainedModel:
@@ -231,8 +240,8 @@ def train_rain_classifier(
     (reference `weather_predictor.py:313-391`): weight = n/(2·n_class)."""
     cols = cols or feature_columns(train)
     label = "will_rain"
-    tr = train.where(F.col(label).isNotNull()).fillna(0, subset=cols)
-    te = test.where(F.col(label).isNotNull()).fillna(0, subset=cols)
+    tr = prep_classifier_frame(train, cols, label)
+    te = prep_classifier_frame(test, cols, label)
     counts = {r[label]: r["n"] for r in tr.groupBy(label).agg(F.count("*").alias("n")).collect()}
     total = sum(counts.values())
     tr = tr.withColumn(

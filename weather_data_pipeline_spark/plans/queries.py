@@ -1466,20 +1466,34 @@ def ml_feature_importance_feed(spark, sf_dir):
     ).orderBy("rank")
 
 
+# One trained classifier per (session, sf_dir), shared by the metrics and
+# calibration queries — same rationale (and shape) as _SUITE_CACHE above
+_RAIN_CACHE: dict = {}
+
+
+def _trained_rain(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    if key not in _RAIN_CACHE:
+        from ..ml import models as M
+
+        feats = (
+            FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+            .limit(4000)
+            # limit() collapses to one partition; rebalance so tree fits
+            # parallelize without per-task overhead swamping 4k rows
+            .repartition(8)
+        )
+        train, test = SP.temporal_split(feats, "timestamp", 0.2)
+        cols = M.feature_columns(train)
+        m = M.train_rain_classifier(train, test, cols=cols, fast=True)
+        _RAIN_CACHE[key] = (m, test, cols)
+    return _RAIN_CACHE[key]
+
+
 @register("ml_rain_classifier_metrics", None)  # rows-only
 def ml_rain_classifier_metrics(spark, sf_dir):
     # M8: balanced-weight RandomForest rain classifier + ROC-AUC/acc/P/R
-    from ..ml import models as M
-
-    feats = (
-        FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
-        .limit(4000)
-        # limit() collapses to one partition; rebalance so tree fits
-        # parallelize without per-task overhead swamping 4k rows
-        .repartition(8)
-    )
-    train, test = SP.temporal_split(feats, "timestamp", 0.2)
-    m = M.train_rain_classifier(train, test, fast=True)
+    m, _, _ = _trained_rain(spark, sf_dir)
     return spark.createDataFrame(
         [(m.name, m.metrics["roc_auc"], m.metrics["accuracy"], m.metrics["precision"], m.metrics["recall"])],
         "model string, roc_auc double, accuracy double, precision double, recall double",
@@ -8191,15 +8205,8 @@ def ml_calibration_feed(spark, sf_dir):
 
     from ..ml import models as M
 
-    feats = (
-        FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
-        .limit(4000)
-        .repartition(8)
-    )
-    train, test = SP.temporal_split(feats, "timestamp", 0.2)
-    cols = M.feature_columns(train)
-    m = M.train_rain_classifier(train, test, cols=cols, fast=True)
-    te = test.where(F.col("will_rain").isNotNull()).fillna(0, subset=cols)
+    m, test, cols = _trained_rain(spark, sf_dir)
+    te = M.prep_classifier_frame(test, cols)
     pred = m.pipeline_model.transform(te).select(
         vector_to_array("probability").getItem(1).alias("p1"),
         F.col("will_rain").cast("double").alias("y"),
@@ -8262,21 +8269,12 @@ def session_overlap_pairs_events(spark, sf_dir):
     # predicate verifies. At 100 TB the bucket width trades candidate
     # volume vs duplicate factor; hour buckets bound candidates to
     # concurrent-session pairs, which is the OUTPUT's own magnitude.
+    # shared gap-sessionization helper (exact-microsecond gap comparison —
+    # a seconds cast would diverge from the oracle's INTERVAL at boundaries)
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    brk = F.when(
-        F.lag("ts").over(w).isNull()
-        | (
-            # exact microsecond gap — a seconds cast would truncate and
-            # diverge from the oracle's INTERVAL comparison at boundaries
-            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-            > 30 * 60 * 1_000_000
-        ),
-        1,
-    ).otherwise(0)
-    s = ev.withColumn("brk", brk).withColumn("sid", F.sum("brk").over(w))
+    s = AJ.sessionize(ev, "user_id", "ts", gap_seconds=30 * 60)
     sess = (
-        s.groupBy("user_id", F.col("sid").cast("long").alias("sid"))
+        s.groupBy("user_id", F.col("session_id").cast("long").alias("sid"))
         .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
         .localCheckpoint(eager=True)  # feeds both join legs
     )
@@ -8306,11 +8304,18 @@ def session_overlap_pairs_events(spark, sf_dir):
         F.col("en").alias("en_b"),
         "bucket",
     )
+    # emit-once: a pair sharing k buckets would otherwise appear k times
+    # and need a shuffle-heavy 8-column distinct; instead keep the pair
+    # ONLY in the bucket containing its overlap start — each qualifying
+    # pair survives in exactly one bucket, no dedup exchange at all
     cand = (
         a.join(b, "bucket")
         .where(F.col("user_a") < F.col("user_b"))
+        .where(
+            F.col("bucket")
+            == F.floor(F.unix_timestamp(F.greatest("st_a", "st_b")) / 3600)
+        )
         .select("user_a", "sid_a", "st_a", "en_a", "user_b", "sid_b", "st_b", "en_b")
-        .distinct()
     )
     overlap_us = F.unix_micros(F.least("en_a", "en_b")) - F.unix_micros(
         F.greatest("st_a", "st_b")
