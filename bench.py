@@ -92,7 +92,7 @@ _FAMILY_RULES: list[tuple[str, str]] = [
      "dedup"),
     (r"(chunk_documents|pack_sequences|hash_split|stratified_sample|"
      r"weighted_sample|per_source_cap|training_corpus|mixture_allocation|"
-     r"curriculum|prompt_completion|length_bucket)",
+     r"curriculum|prompt_completion|length_bucket|source_quality_profile)",
      "corpus_assembly"),
     (r"(_embeddings$|^label_centroids|^nearest_centroid|^embedding_norm|"
      r"^embedding_outliers)",

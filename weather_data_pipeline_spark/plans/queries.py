@@ -8333,3 +8333,63 @@ def session_overlap_pairs_events(spark, sf_dir):
         )
         .orderBy("user_a", "sid_a", "user_b", "sid_b")
     )
+
+
+@register(
+    "source_quality_profile_documents",
+    "WITH qr AS (SELECT doc_id, keep FROM ("
+    + REGISTRY["quality_rules_documents"].sql
+    + ")),\nnll AS (SELECT doc_id, avg_nll FROM ("
+    + REGISTRY["bigram_nll_documents"].sql
+    + ")),\nds AS (SELECT doc_id, dup_frac FROM ("
+    + REGISTRY["dup_span_stats_documents"].sql
+    + """)),
+j AS (
+  SELECT d.source, qr.keep, nll.avg_nll, ds.dup_frac
+  FROM documents d
+  JOIN qr ON d.doc_id = qr.doc_id
+  JOIN nll ON d.doc_id = nll.doc_id
+  JOIN ds ON d.doc_id = ds.doc_id)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_keep,
+       ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+       ROUND(CAST(SUM(CAST(ROUND(avg_nll, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_nll,
+       ROUND(CAST(SUM(CAST(ROUND(dup_frac, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_dup_frac
+FROM j GROUP BY source ORDER BY source
+""",
+)
+def source_quality_profile_documents(spark, sf_dir):
+    # Source-level curation table: per source, the Gopher keep rate, mean
+    # LM NLL, and mean duplicated-span fraction — the "which sources
+    # deserve more crawl budget" ranking a corpus team actually consumes
+    # (the doc-level signals roll up to dimension cardinality). Per-doc
+    # doubles are quantized to 6dp decimals before the group sum, so the
+    # per-source means are order-independent and engine-portable.
+    qr = REGISTRY["quality_rules_documents"].spark(spark, sf_dir).select("doc_id", "keep")
+    nll = REGISTRY["bigram_nll_documents"].spark(spark, sf_dir).select("doc_id", "avg_nll")
+    ds = REGISTRY["dup_span_stats_documents"].spark(spark, sf_dir).select(
+        "doc_id", "dup_frac"
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = src.join(qr, "doc_id").join(nll, "doc_id").join(ds, "doc_id")
+    dec = lambda c: F.round(F.col(c), 6).cast("decimal(18,6)")  # noqa: E731
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            F.round(F.sum("keep").cast("double") / F.count(F.lit(1)), 6).alias(
+                "keep_rate"
+            ),
+            F.round(
+                F.sum(dec("avg_nll")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_nll"),
+            F.round(
+                F.sum(dec("dup_frac")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_dup_frac"),
+        )
+        .orderBy("source")
+    )
