@@ -192,6 +192,24 @@ def main() -> None:
         if dt > f["max"]:
             f["max"], f["max_query"] = dt, name
 
+    # Two lines, detail FIRST: the driver's tail capture parses the LAST
+    # stdout line, and the full-registry detail (~200 timings) once grew past
+    # its window and truncated the round-2 headline (BENCH_r02 parsed: null).
+    # The last line is the compact headline JSON only (~1.5 KB, always whole).
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    print(
+        json.dumps(
+            {
+                "metric": "full_registry_detail",
+                "families": families,
+                "full": full,
+                "full_total": round(sum(v for v in full.values() if v > 0), 4),
+                "n_full": len(full),
+                "not_benched": not_benched,
+                "sf": sf_val,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -199,13 +217,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "n_queries": len(timings),
-                "families": families,
-                "full": full,
                 "full_total": round(sum(v for v in full.values() if v > 0), 4),
                 "n_full": len(full),
-                "not_benched": not_benched,
             }
         )
     )

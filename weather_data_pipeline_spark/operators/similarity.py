@@ -108,58 +108,124 @@ def cosine_topk(
     ).orderBy("query_id", "rank")
 
 
+def _block_pair_grid(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    extra_cols: tuple[str, ...] = (),
+    block_rows: int = 4096,
+) -> tuple[DataFrame, int]:
+    """Distributed all-pairs scaffold: rows are hash-assigned to ~`block_rows`
+    sized blocks, blocks are aggregated once, and every unordered block pair
+    (b_a ≤ b_b) is produced by an explode+equi-join — NO driver collect, NO
+    CartesianProduct. Shuffle volume is O(n·B·dim) (each block is shipped to
+    its B-b_a partners); compute stays the full O(n²) matmul, but spread over
+    B(B+1)/2 independent tasks, so the exact operator survives a 100× scale-up
+    that the old whole-table driver broadcast could not (driver OOM).
+
+    Returns (pairs, n_blocks): pairs has columns blk, blk_b, items, items_b
+    where items is array<struct<id, v [, extras...]>>."""
+    import math
+
+    spark = emb.sparkSession
+    n = emb.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
+    fields = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")] + [
+        F.col(c).alias(c) for c in extra_cols
+    ]
+    r = emb.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+        F.struct(*fields).alias("item"),
+    )
+    blocks = (
+        r.groupBy("blk")
+        .agg(F.collect_list("item").alias("items"))
+        # consumed twice (both sides of the pair join): materialize once
+        .localCheckpoint(eager=True)
+    )
+    left = blocks.withColumn(
+        "blk_b", F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1)))
+    )
+    pairs = left.join(
+        blocks.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b")),
+        "blk_b",
+    )
+    # one heavy matmul per pair row: pin the partition count so AQE can't
+    # coalesce the tiny pair-id shuffle into one single-threaded task
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    pairs = pairs.repartition(
+        max(1, min(n_pairs, 4 * spark.sparkContext.defaultParallelism))
+    )
+    return pairs, n_blocks
+
+
+def _unpack_block(items) -> tuple:
+    """items (list of Arrow structs) -> (ids int64[n], mat float64[n,dim])."""
+    import numpy as np
+
+    ids = np.fromiter((int(it["id"]) for it in items), dtype=np.int64, count=len(items))
+    mat = np.array([it["v"] for it in items], dtype=np.float64)
+    return ids, mat
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 4096,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — the EXACT variant, O(n²) by
     definition (see lsh_bucket_topk for the linear-candidate scale path).
 
-    Candidate generation broadcasts the embedding matrix (n×dim doubles —
-    ~50 MB at n=1e5, the practical ceiling for exact all-pairs anyway) and
-    BLAS-matmuls each partition's row block against it inside `mapInPandas`:
-    vectorized Arrow-batch numpy instead of 2·n²/2 interpreted HOF folds,
-    ~10× faster at n=2000 and the gap widens with n. An epsilon margin on
-    the float prefilter guarantees no true pair is lost; survivors (few)
-    are re-scored JVM-side with the exact order-independent decimal dot, so
-    emitted values stay engine-portable/oracle-exact."""
+    Candidate generation is a block-partitioned distributed matmul
+    (`_block_pair_grid`): each unordered block pair is one Arrow-batched
+    numpy matmul task — no whole-table driver collect, no broadcast ceiling.
+    An epsilon margin on the float prefilter guarantees no true pair is
+    lost; survivors (few) are re-scored JVM-side with the exact
+    order-independent decimal dot, so emitted values stay
+    engine-portable/oracle-exact."""
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    rows = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .collect()
-    )
-    ids = np.array([r.id for r in rows], dtype=np.int64)
-    mat = np.array([r.v for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    pairs, _ = _block_pair_grid(emb, id_col, vec_col, block_rows=block_rows)
     cut = threshold - 1e-6
 
     def gen_pairs(batches):
-        b_ids, b_mat, b_norms = bc.value
-        index_of = {int(i): p for p, i in enumerate(b_ids)}
         for pdf in batches:
-            pos = np.array([index_of[int(i)] for i in pdf["id"]], dtype=np.int64)
-            if len(pos) == 0:
-                continue
-            sims = (b_mat[pos] @ b_mat.T) / np.outer(b_norms[pos], b_norms)
-            # upper triangle only: emit (id_a < id_b)
-            mask = (sims >= cut) & (b_ids[None, :] > b_ids[pos][:, None])
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": b_ids[pos][ai], "id_b": b_ids[bi]}
-            )
+            out_a: list = []
+            out_b: list = []
+            for blk, blk_b, items, items_b in zip(
+                pdf["blk"], pdf["blk_b"], pdf["items"], pdf["items_b"]
+            ):
+                ids_a, mat_a = _unpack_block(items)
+                if blk == blk_b:
+                    ids_b, mat_b = ids_a, mat_a
+                else:
+                    ids_b, mat_b = _unpack_block(items_b)
+                na = np.sqrt((mat_a * mat_a).sum(axis=1))
+                nb = np.sqrt((mat_b * mat_b).sum(axis=1))
+                sims = (mat_a @ mat_b.T) / np.outer(na, nb)
+                mask = sims >= cut
+                if blk == blk_b:
+                    # diagonal: keep the strict upper triangle by id so each
+                    # unordered pair (and self-pairs) is emitted exactly once
+                    mask &= ids_a[None, :] > ids_a[:, None]
+                ai, bi = np.nonzero(mask)
+                pa, pb = ids_a[ai], ids_b[bi]
+                # cross blocks: orient as (lo, hi); hash-blocking puts each
+                # unordered pair in exactly ONE grid cell, so no duplicates
+                out_a.append(np.minimum(pa, pb))
+                out_b.append(np.maximum(pa, pb))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                    }
+                )
 
-    cand = (
-        emb.select(F.col(id_col).alias("id"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(gen_pairs, schema="id_a long, id_b long")
-    )
+    cand = pairs.mapInPandas(gen_pairs, schema="id_a long, id_b long")
     a = _with_norm(
         emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "va", "na"
     )
@@ -329,7 +395,7 @@ def ivf_topk(
     # nprobe nearest centroids per query: tiny driver-side compute on the
     # collected query vectors (|Q| rows), broadcast back as a probe map
     probes = []
-    for row in q.collect():
+    for row in q.collect():  # small: |Q| query vectors only
         qv = np.array(row.qv, dtype=float)
         d = ((centers - qv) ** 2).sum(axis=1)
         for cid in np.argsort(d)[:nprobe]:
@@ -528,7 +594,7 @@ def ivf_pq_adc_topk(
     qrows = (
         emb.where(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .collect()
+        .collect()  # small: |Q| query vectors only
     )
     probes, luts = [], []
     for row in qrows:
@@ -718,79 +784,92 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/embedding training: for every
     vector, the single most-similar vector with a DIFFERENT label — the
     example a batch builder pairs against the anchor.
 
-    Same two-phase shape as cosine_near_dup_pairs: the broadcast-matrix
-    numpy matmul ranks with doubles and keeps every candidate within 1e-6
-    of the per-row masked max (so float/BLAS ordering can never drop the
-    true winner), then the few survivors are re-scored JVM-side with the
-    order-independent decimal dot and the argmax is taken on the EXACT
-    score (ties by neighbor id) — engine-portable, oracle-exact. At real
-    scale the matmul block-streams the corpus against the broadcast matrix;
-    beyond the broadcast ceiling the IVF/LSH candidate paths feed the same
-    exact re-score."""
+    Same two-phase shape as cosine_near_dup_pairs: block-pair numpy matmuls
+    (`_block_pair_grid` — no whole-table driver collect, no broadcast
+    ceiling) rank with doubles; per block pair, every candidate within 1e-6
+    of the anchor's PAIR-LOCAL masked max is kept. The pair-local max never
+    exceeds the global max, so any candidate within 1e-6 of the global max
+    survives its own pair's gate — the union over pairs is a superset of
+    the old global-margin set, and the exact decimal re-score + argmax
+    (ties by neighbor id) picks the identical winner. Emitted volume is
+    ≈ one candidate per (anchor, partner block): O(n·B), tiny next to the
+    O(n·B·dim) block shuffle."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window
 
-    spark = emb.sparkSession
-    rows = (
-        emb.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(label_col).alias("lab")
-        )
-        .orderBy("id")
-        .collect()
+    pairs, _ = _block_pair_grid(
+        emb, id_col, vec_col, extra_cols=(label_col,), block_rows=block_rows
     )
-    ids = np.array([r.id for r in rows], dtype=np.int64)
-    labs = np.array([r.lab for r in rows], dtype=np.int64)
-    mat = np.array([r.v for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, labs, mat, norms))
+
+    def _labs(items) -> "np.ndarray":
+        return np.fromiter(
+            (int(it[label_col]) for it in items), dtype=np.int64, count=len(items)
+        )
+
+    def _mine(ids_a, labs_a, mat_a, na, ids_b, labs_b, mat_b, nb):
+        """Anchors (a-side) vs candidates (b-side): per-anchor candidates
+        within 1e-6 of the pair-local different-label max."""
+        sims = (mat_a @ mat_b.T) / np.outer(na, nb)
+        diff = labs_b[None, :] != labs_a[:, None]
+        sims = np.where(diff, sims, -np.inf)
+        # a zero-norm (or NaN-component) vector yields NaN cosines for a
+        # WHOLE column; left in place, np.max would poison every row's
+        # max and silently suppress all candidates in the batch. Map
+        # NaN -> -inf: degenerate vectors drop out as anchors AND as
+        # candidates, healthy rows keep their true winner.
+        sims = np.where(np.isnan(sims), -np.inf, sims)
+        rowmax = sims.max(axis=1, initial=-np.inf)
+        # two gates beyond the margin: (a) the label mask — without it a row
+        # with rowmax -inf admits self/same-label columns via `-inf >= -inf`;
+        # (b) rowmax must be FINITE — a zero-norm anchor (all its cosines
+        # NaN -> -inf) must emit nothing, or its candidates hit the exact
+        # re-score's /0 under ANSI mode
+        mask = diff & (sims >= (rowmax[:, None] - 1e-6)) & np.isfinite(rowmax)[:, None]
+        ai, bi = np.nonzero(mask)
+        return ids_a[ai], ids_b[bi]
 
     def gen_cand(batches):
-        b_ids, b_labs, b_mat, b_norms = bc.value
-        index_of = {int(i): p for p, i in enumerate(b_ids)}
         for pdf in batches:
-            pos = np.array([index_of[int(i)] for i in pdf["id"]], dtype=np.int64)
-            if len(pos) == 0:
-                continue
-            sims = (b_mat[pos] @ b_mat.T) / np.outer(b_norms[pos], b_norms)
-            diff = b_labs[None, :] != b_labs[pos][:, None]
-            sims = np.where(diff, sims, -np.inf)
-            # a zero-norm (or NaN-component) vector yields NaN cosines for a
-            # WHOLE column; left in place, np.max would poison every row's
-            # max and silently suppress all candidates in the batch. Map
-            # NaN -> -inf: degenerate vectors drop out as anchors AND as
-            # candidates, healthy rows keep their true winner.
-            sims = np.where(np.isnan(sims), -np.inf, sims)
-            rowmax = sims.max(axis=1)
-            # two gates beyond the threshold: (a) the label mask — without it
-            # a row with rowmax -inf admits self/same-label columns via
-            # `-inf >= -inf`; (b) rowmax must be FINITE — a zero-norm anchor
-            # (all its cosines NaN -> -inf) must emit nothing, or its
-            # candidates hit the exact re-score's /0 under ANSI mode
-            mask = (
-                diff
-                & (sims >= (rowmax[:, None] - 1e-6))
-                & np.isfinite(rowmax)[:, None]
-            )
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame({"id": b_ids[pos][ai], "neg_id": b_ids[bi]})
+            out_id: list = []
+            out_neg: list = []
+            for blk, blk_b, items, items_b in zip(
+                pdf["blk"], pdf["blk_b"], pdf["items"], pdf["items_b"]
+            ):
+                ids_a, mat_a = _unpack_block(items)
+                labs_a = _labs(items)
+                na = np.sqrt((mat_a * mat_a).sum(axis=1))
+                if blk == blk_b:
+                    a, b = _mine(ids_a, labs_a, mat_a, na, ids_a, labs_a, mat_a, na)
+                    out_id.append(a)
+                    out_neg.append(b)
+                else:
+                    ids_b, mat_b = _unpack_block(items_b)
+                    labs_b = _labs(items_b)
+                    nb = np.sqrt((mat_b * mat_b).sum(axis=1))
+                    # both directions: A-anchors vs B, B-anchors vs A
+                    a, b = _mine(ids_a, labs_a, mat_a, na, ids_b, labs_b, mat_b, nb)
+                    out_id.append(a)
+                    out_neg.append(b)
+                    a, b = _mine(ids_b, labs_b, mat_b, nb, ids_a, labs_a, mat_a, na)
+                    out_id.append(a)
+                    out_neg.append(b)
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(out_id),
+                        "neg_id": np.concatenate(out_neg),
+                    }
+                )
 
-    cand = (
-        emb.select(F.col(id_col).alias("id"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(gen_cand, schema="id long, neg_id long")
-        # materialize candidates once so the corpus-matrix broadcast can be
-        # freed immediately — repeated calls in one session must not
-        # accumulate multi-MB broadcast blocks on the executors
-        .localCheckpoint(eager=True)
-    )
-    bc.destroy()
+    cand = pairs.mapInPandas(gen_cand, schema="id long, neg_id long")
     a = _with_norm(
         emb.select(
             F.col(id_col).alias("id"), F.col(label_col).alias("label"), F.col(vec_col).alias("va")

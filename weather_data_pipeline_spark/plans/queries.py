@@ -817,7 +817,14 @@ def temp_change_distribution(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark for name, q in REGISTRY.items()}
+    # Oracled queries first (registration order), then rows-only ones: the
+    # driver's CORRECTNESS snapshot hash-checks the first N entries in this
+    # dict's order, so every slot it can fully verify should be verifiable.
+    # Rows-only queries (training metrics, approximate sketches) keep their
+    # relative order at the tail; they are gated by pytest instead.
+    oracled = {n: q.spark for n, q in REGISTRY.items() if q.sql is not None}
+    rows_only = {n: q.spark for n, q in REGISTRY.items() if q.sql is None}
+    return {**oracled, **rows_only}
 
 
 def oracle_sql() -> dict[str, str]:
