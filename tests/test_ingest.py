@@ -337,3 +337,47 @@ def test_observed_flatten_metrics_single_pass(spark):
     assert m["n_invalid"] == 2
     assert m["n_null_temp"] == 1
     assert n_valid == 2
+
+
+def test_ntz_to_ltz_converts_nested_timestamps(spark):
+    """NTZ timestamps nested inside struct/array columns convert to LTZ with
+    identical wall-clock values (UTC session) — not just top-level fields."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from weather_data_pipeline_spark.sources.tables import _ntz_to_ltz
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 3, 1, 12, 30, 0)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("created", T.TimestampNTZType()),
+                        T.StructField("tag", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("history", T.ArrayType(T.TimestampNTZType())),
+        ]
+    )
+    df = spark.createDataFrame([(1, t0, (t0, "x"), [t0, t0])], schema)
+    out = _ntz_to_ltz(df)
+    s = out.schema
+    assert s["ts"].dataType == T.TimestampType()
+    assert s["meta"].dataType["created"].dataType == T.TimestampType()
+    assert s["history"].dataType.elementType == T.TimestampType()
+    row = out.collect()[0]
+    assert row.ts == t0 and row.meta.created == t0 and row.history == [t0, t0]
+
+
+def test_ntz_to_ltz_noop_when_no_ntz(spark):
+    from weather_data_pipeline_spark.sources.tables import _ntz_to_ltz
+
+    df = spark.range(3).withColumn("s", __import__("pyspark").sql.functions.lit("a"))
+    assert _ntz_to_ltz(df) is df  # no projection added for NTZ-free schemas

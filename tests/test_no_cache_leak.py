@@ -62,3 +62,39 @@ def test_train_regressors_unpersists(spark, sf_dir, tmp_path):
     M.train_regressors(ev, ev, cols=["temperature", "humidity"], fast=True)
     assert not (_persistent_rdd_ids(spark) - before)
     assert _sql_cache_empty(spark)
+
+
+def test_iterative_graph_loops_free_per_round_checkpoints(spark):
+    """connected_components / k_core / pagerank must free each superstep's
+    localCheckpoint blocks once the next round is materialized (ADVICE r02):
+    only the inputs of the RETURNED lazy frame may stay pinned, never one
+    edge/label/rank set per round."""
+    from weather_data_pipeline_spark.operators.graph import (
+        connected_components,
+        k_core,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    before = _persistent_rdd_ids(spark)
+
+    cc = connected_components(edges, src="id_a", dst="id_b", max_iter=25)
+    cc.count()
+    after_cc = _persistent_rdd_ids(spark) - before
+    assert len(after_cc) <= 2  # und + final labels, NOT one per superstep
+
+    kc = k_core(edges, k=2, max_rounds=16)
+    assert sorted((r.node, r.core_degree) for r in kc.collect()) == [
+        (1, 2),
+        (2, 2),
+        (3, 2),
+    ]
+    pr = pagerank(edges, src="id_a", dst="id_b", undirected=True, n_iter=10)
+    assert pr.count() == 10
+    total_new = _persistent_rdd_ids(spark) - before
+    # cc(2) + k_core(2: input e + converged-round e) + pagerank(3: nodes,
+    # deg-joined edges, final ranks) — a leaking loop would add 2 per round
+    assert len(total_new) <= 8, f"pinned {len(total_new)} checkpoint RDD sets"

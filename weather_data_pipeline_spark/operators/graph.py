@@ -17,8 +17,36 @@ itself never leaves the cluster. At 100 TB this is the standard scalable CC
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """`localCheckpoint(eager=True)` + the RDD ids it pinned, so iterative
+    loops can FREE a round's blocks once the next round is materialized —
+    otherwise every superstep's edge/label set stays pinned in executor
+    storage for the whole session (max_rounds+1 copies). The id diff is
+    taken around the eager checkpoint; loops run single-threaded on the
+    driver so no interleaved checkpoint can slip into the window."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    ids = [
+        i
+        for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        if i not in before
+    ]
+    return out, ids
+
+
+def _free_ckpt(spark: SparkSession, ids: list[int]) -> None:
+    """Unpersist the blocks behind previously tracked checkpoint RDD ids.
+    Only call once every consumer of the checkpointed frame has run."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
 
 
 def connected_components(
@@ -41,26 +69,28 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.s", "e.d").localCheckpoint()
-    labels = (
+    spark = edges.sparkSession
+    labels, label_ids = _ckpt_tracked(
         und.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         msgs = und.join(labels, und.s == labels.node).select(
             F.col("d").alias("node"), "label"
         )
-        new_labels = (
+        new_labels, new_ids = _ckpt_tracked(
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        )
         n_changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        # the convergence count was the last reader of the OLD labels
+        _free_ckpt(spark, label_ids)
+        labels, label_ids = new_labels, new_ids
         if n_changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
@@ -103,28 +133,32 @@ def pagerank(
     # whole job by n_iter. (Fixed here after the full-registry bench caught
     # pagerank_neardup at ~380 s: out_deg lacked a checkpoint, so all 10
     # supersteps replayed the Jaccard edge join.)
+    spark = edges.sparkSession
     if undirected:
         # explode-double rather than self-union: one scan of the edge input
-        ed = edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
-                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
-                )
-            ).alias("e")
-        ).select("e.s", "e.d").localCheckpoint()
+        ed, pre_ids = _ckpt_tracked(
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                        F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                    )
+                ).alias("e")
+            ).select("e.s", "e.d")
+        )
     else:
-        ed = edges.selectExpr(f"{src} AS s", f"{dst} AS d").localCheckpoint()
+        ed, pre_ids = _ckpt_tracked(edges.selectExpr(f"{src} AS s", f"{dst} AS d"))
     nodes = (
         ed.select(F.explode(F.array("s", "d")).alias("node")).distinct().localCheckpoint()
     )
     n_nodes = nodes.count()
     # carry out-degree ON the edge rows: one small self-agg + join now, and
     # the iteration loop needs a single join instead of two
-    ed = ed.join(
-        ed.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s"
-    ).localCheckpoint()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    ed, _ed_ids = _ckpt_tracked(
+        ed.join(ed.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s")
+    )
+    _free_ckpt(spark, pre_ids)  # nodes + deg-join were its last readers
+    ranks, rank_ids = _ckpt_tracked(nodes.withColumn("rank", F.lit(1.0 / n_nodes)))
     for _ in range(n_iter):
         contribs = (
             ed.join(ranks.withColumnRenamed("node", "s"), "s")
@@ -133,24 +167,24 @@ def pagerank(
         incoming = contribs.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(28,18)")).cast("double").alias("in_sum")
         )
-        ranks = (
-            nodes.join(incoming, "node", "left")
-            .select(
+        raw, raw_ids = _ckpt_tracked(
+            nodes.join(incoming, "node", "left").select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n_nodes)
                     + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        _free_ckpt(spark, rank_ids)  # contribs (inside raw) was the last reader
         total = (
-            ranks.agg(F.sum(F.col("rank").cast("decimal(28,18)")).cast("double"))
+            raw.agg(F.sum(F.col("rank").cast("decimal(28,18)")).cast("double"))
             .first()[0]
         )
-        ranks = ranks.withColumn(
-            "rank", F.round(F.col("rank") / F.lit(total), 12)
-        ).localCheckpoint()
+        ranks, rank_ids = _ckpt_tracked(
+            raw.withColumn("rank", F.round(F.col("rank") / F.lit(total), 12))
+        )
+        _free_ckpt(spark, raw_ids)
     return ranks
 
 
@@ -223,8 +257,9 @@ def k_core(
     peel depth (a path peels ~len/2 rounds); raises RuntimeError if no
     fixpoint within `max_rounds` so callers never get a half-peeled answer.
     """
-    e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")).localCheckpoint(
-        eager=True
+    spark = edges.sparkSession
+    e, e_ids = _ckpt_tracked(
+        edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
     )
     n_edges = e.count()
     # max_rounds peel rounds + 1 confirmation round: a graph whose peel
@@ -233,7 +268,7 @@ def k_core(
     # the two budgets stay aligned)
     for _ in range(max_rounds + 1):
         if n_edges == 0:
-            return e.sparkSession.createDataFrame([], "node long, core_degree long")
+            return spark.createDataFrame([], "node long, core_degree long")
         deg = (
             e.select(F.col("id_a").alias("node"))
             .unionAll(e.select(F.col("id_b").alias("node")))
@@ -241,14 +276,18 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("core_degree"))
         )
         keep = deg.where(F.col("core_degree") >= k).select("node")
-        e2 = (
+        e2, e2_ids = _ckpt_tracked(
             e.join(keep.withColumnRenamed("node", "id_a"), "id_a")
             .join(keep.withColumnRenamed("node", "id_b"), "id_b")
             .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
         )
         n2 = e2.count()
         if n2 == n_edges:
+            # the returned deg plan still reads THIS round's e: free only e2
+            # (identical content) and leave e pinned for the caller
+            _free_ckpt(spark, e2_ids)
             return deg.select("node", F.col("core_degree").cast("long"))
-        e, n_edges = e2, n2
+        # advancing: this round's deg/keep/e2 are materialized, e is done
+        _free_ckpt(spark, e_ids)
+        e, e_ids, n_edges = e2, e2_ids, n2
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")

@@ -1378,12 +1378,22 @@ def streaming_hourly_agg(spark, sf_dir):
 # plots consume the SAME training run's results object
 # (weather_predictor.py:550-633 reads self.results), and it keeps the
 # expensive 5-model fit from running once per consuming query.
+# Caches hold AT MOST ONE entry (cleared on key change): the consuming
+# queries run back-to-back with the same (session, sf_dir), and an unbounded
+# id()-keyed dict would pin dead sessions' models and test frames for the
+# process lifetime (ADVICE r02).
 _SUITE_CACHE: dict = {}
 
 
+def _one_entry_cache(cache: dict, key, build):
+    if key not in cache:
+        cache.clear()
+        cache[key] = build()
+    return cache[key]
+
+
 def _trained_suite(spark, sf_dir):
-    key = (id(spark), sf_dir)
-    if key not in _SUITE_CACHE:
+    def build():
         from ..ml import models as M
 
         feats = (
@@ -1394,8 +1404,9 @@ def _trained_suite(spark, sf_dir):
             .repartition(8)
         )
         train, test = SP.temporal_split(feats, "timestamp", 0.2)
-        _SUITE_CACHE[key] = M.train_regressors(train, test, fast=True)
-    return _SUITE_CACHE[key]
+        return M.train_regressors(train, test, fast=True)
+
+    return _one_entry_cache(_SUITE_CACHE, (id(spark), sf_dir), build)
 
 
 @register("ml_train_eval_metrics", None)  # rows-only: MLlib metric surface
@@ -1474,13 +1485,13 @@ def ml_feature_importance_feed(spark, sf_dir):
 
 
 # One trained classifier per (session, sf_dir), shared by the metrics and
-# calibration queries — same rationale (and shape) as _SUITE_CACHE above
+# calibration queries — same rationale (and single-entry bound) as
+# _SUITE_CACHE above
 _RAIN_CACHE: dict = {}
 
 
 def _trained_rain(spark, sf_dir):
-    key = (id(spark), sf_dir)
-    if key not in _RAIN_CACHE:
+    def build():
         from ..ml import models as M
 
         feats = (
@@ -1493,8 +1504,9 @@ def _trained_rain(spark, sf_dir):
         train, test = SP.temporal_split(feats, "timestamp", 0.2)
         cols = M.feature_columns(train)
         m = M.train_rain_classifier(train, test, cols=cols, fast=True)
-        _RAIN_CACHE[key] = (m, test, cols)
-    return _RAIN_CACHE[key]
+        return (m, test, cols)
+
+    return _one_entry_cache(_RAIN_CACHE, (id(spark), sf_dir), build)
 
 
 @register("ml_rain_classifier_metrics", None)  # rows-only
@@ -7102,7 +7114,14 @@ def quality_rules_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _kcore_sql(k: int = 2, rounds: int = 16) -> str:
+# Single source of truth for the kcore_documents peel budget: the oracle
+# unrolls exactly this many rounds and the Spark side passes it as
+# max_rounds — bumping one without the other would make Spark raise (or the
+# oracle emit a half-peeled core) on deeper-peel graphs.
+_KCORE_ROUNDS = 16
+
+
+def _kcore_sql(k: int = 2, rounds: int = _KCORE_ROUNDS) -> str:
     # Unrolled peel rounds — same trick as the pagerank oracle: a fixed
     # round count R >= the graph's peel depth makes the iterative algorithm
     # engine-portable (rounds past the fixpoint are no-ops). The Spark side
@@ -7143,7 +7162,7 @@ def kcore_documents(spark, sf_dir):
     # survive iterative degree-<2 peeling — the "dense duplication
     # structure" census that separates genuine boilerplate families (cores)
     # from incidental pairwise matches (peeled chains/leaves). Same BSP
-    # peel as operators/graph.k_core; oracle unrolls 16 rounds.
+    # peel as operators/graph.k_core; oracle unrolls _KCORE_ROUNDS rounds.
     from ..operators.graph import k_core
 
     edges = (
@@ -7152,7 +7171,7 @@ def kcore_documents(spark, sf_dir):
         .select("id_a", "id_b")
     )
     return (
-        k_core(edges, k=2, max_rounds=16)
+        k_core(edges, k=2, max_rounds=_KCORE_ROUNDS)
         .withColumnRenamed("node", "doc_id")
         .orderBy("doc_id")
     )
@@ -8221,15 +8240,24 @@ def ml_calibration_feed(spark, sf_dir):
     pred = pred.withColumn(
         "bin", F.least(F.floor(F.col("p1") * 10), F.lit(9)).cast("int")
     ).cache()
+
+    # order-independent means: 9dp-quantized decimal sum / count instead of
+    # double F.avg, whose partition-order accumulation could flip the 6dp
+    # rounding at a boundary between runs (ADVICE r02)
+    def _davg9(expr):
+        return F.sum(F.round(expr, 9).cast("decimal(19,9)")).cast(
+            "double"
+        ) / F.count(F.lit(1))
+
     brier = pred.agg(
-        F.avg((F.col("p1") - F.col("y")) * (F.col("p1") - F.col("y"))).alias("b")
+        _davg9((F.col("p1") - F.col("y")) * (F.col("p1") - F.col("y"))).alias("b")
     ).first()
     out = (
         pred.groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("p1"), 6).alias("mean_predicted"),
-            F.round(F.avg("y"), 6).alias("empirical_rate"),
+            F.round(_davg9(F.col("p1")), 6).alias("mean_predicted"),
+            F.round(_davg9(F.col("y")), 6).alias("empirical_rate"),
         )
         .withColumn("brier_score", F.round(F.lit(brier.b), 6))
         .orderBy("bin")

@@ -32,28 +32,54 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _ntz_to_ltz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
+def _swap_ntz(dt):
+    """Recursively rebuild a DataType with TIMESTAMP_NTZ → TIMESTAMP.
+
+    Returns the original object when nothing changes so `_ntz_to_ltz` can
+    cheaply detect no-op columns."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType()
+    if isinstance(dt, T.StructType):
+        fields = [
+            T.StructField(f.name, _swap_ntz(f.dataType), f.nullable, f.metadata)
+            for f in dt.fields
+        ]
+        if all(nf.dataType is f.dataType for nf, f in zip(fields, dt.fields)):
+            return dt
+        return T.StructType(fields)
+    if isinstance(dt, T.ArrayType):
+        elem = _swap_ntz(dt.elementType)
+        return dt if elem is dt.elementType else T.ArrayType(elem, dt.containsNull)
+    if isinstance(dt, T.MapType):
+        k, v = _swap_ntz(dt.keyType), _swap_ntz(dt.valueType)
+        if k is dt.keyType and v is dt.valueType:
+            return dt
+        return T.MapType(k, v, dt.valueContainsNull)
+    return dt
+
+
 def _ntz_to_ltz(df: DataFrame) -> DataFrame:
-    """Cast TIMESTAMP_NTZ columns to plain TimestampType.
+    """Cast TIMESTAMP_NTZ columns (top-level AND nested in struct/array/map)
+    to plain TimestampType.
 
     The driver's parquet stores tz-naive timestamps; with the session tz
     pinned to UTC the cast is a pure wall-clock reinterpretation (same
     values), and keeps one timestamp type across the whole engine — the
     JSON/CSV format options, window(), and streaming watermarks all key off
-    the LTZ type.
-
-    Only TOP-LEVEL fields are converted; an NTZ timestamp nested inside a
-    struct/array would pass through unchanged. The driver's tables have no
-    nested timestamps, so this is a documented limitation, not a live bug.
+    the LTZ type. Nested conversion rides Spark's field-wise struct/array/map
+    cast, still one codegen'd projection.
     """
-    ntz = {
-        f.name for f in df.schema.fields if f.dataType.simpleString() == "timestamp_ntz"
-    }
-    if not ntz:
+    casts = {f.name: _swap_ntz(f.dataType) for f in df.schema.fields}
+    if all(casts[f.name] is f.dataType for f in df.schema.fields):
         return df
     # single select (one projection) instead of a withColumn per column
     return df.select(
         *[
-            F.col(f.name).cast("timestamp").alias(f.name) if f.name in ntz else F.col(f.name)
+            F.col(f.name).cast(casts[f.name]).alias(f.name)
+            if casts[f.name] is not f.dataType
+            else F.col(f.name)
             for f in df.schema.fields
         ]
     )
