@@ -1,8 +1,11 @@
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+on local[$SPARK_GRAFT_CPUS] and print TWO JSON lines — full-registry detail
+first, then a compact headline line LAST (the driver tail-parses the final
+stdout line, so it must stay small and complete):
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-     "families": {...}, "full": {...}}
+    {"metric": "full_registry_detail", "families": {...}, "full": {...}, ...}
+    {"metric": "headline_queries_total_wall", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
 
 `value`/`queries` stay the headline-set total (round-over-round comparable).
 `full` adds a single-shot timing for EVERY registered query, grouped into
@@ -160,10 +163,11 @@ def main() -> None:
     # cut skips the most expensive training runs, which correctness already
     # covers at sf0.01)
     _ml_cost = {
-        "ml_feature_importance_feed": 0,  # 1 model
-        "ml_rain_classifier_metrics": 1,  # 1 model
-        "ml_train_eval_metrics": 2,  # 5 models
-        "ml_model_comparison_feed": 3,  # 5 models
+        "ml_rain_classifier_metrics": 0,  # builds the rain cache (1 model)
+        "ml_calibration_feed": 1,  # shares the rain cache
+        "ml_train_eval_metrics": 2,  # builds the suite cache (5 models)
+        "ml_model_comparison_feed": 3,  # shares the suite
+        "ml_feature_importance_feed": 4,  # shares the suite's RF
     }
     order = sorted(
         (n for n in REGISTRY if n not in full),

@@ -243,3 +243,43 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.count() == 3
+
+    # RUNTIME evidence, not just the planned filter: execute the join and
+    # read the fact FileSourceScanExec's metrics out of the executed plan.
+    # With DPP the scan touches only the 3 selected day-partitions' files;
+    # the control run with DPP disabled reads every partition.
+    def fact_scan_metrics() -> dict:
+        j = fact.join(dim, "day").groupBy("day").count()
+        j.collect()  # executes THIS plan (count() would build a new one)
+        found: list[dict] = []
+
+        def walk(node):
+            cls = node.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan())
+            if "QueryStageExec" in cls:
+                walk(node.plan())
+            if cls == "FileSourceScanExec":
+                m = node.metrics()
+                keys = m.keys().toList()
+                found.append(
+                    {keys.apply(i): m.apply(keys.apply(i)).value() for i in range(keys.size())}
+                )
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(j._jdf.queryExecution().executedPlan())
+        # the fact scan is the partitioned one (reports numPartitions)
+        return next(s for s in found if "numPartitions" in s)
+
+    pruned = fact_scan_metrics()
+    n_days = pruned.get("staticFilesNum")  # present only when DPP attached
+    assert n_days and n_days > 3  # the layout has more partitions than selected
+    assert pruned["numPartitions"] == 3 and pruned["numFiles"] == 3
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+        full = fact_scan_metrics()
+        assert full["numFiles"] == n_days  # control: no DPP -> every partition
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")

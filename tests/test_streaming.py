@@ -214,3 +214,26 @@ def test_checkpoint_recovery_no_reprocessing(spark, sf_dir, tmp_path):
     # and the totals agree with batch truth exactly
     truth = ev.agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s")).first().s
     assert got.agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s")).first().s == truth
+
+
+def test_streaming_hourly_agg_utc_pinned_under_non_utc_session(spark, sf_dir):
+    """A caller-built session with a non-UTC timezone must not shift
+    watermark/window boundaries: events_stream pins UTC itself (VERDICT r02
+    #4), so the streaming result still equals the UTC batch dual."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+
+    got = SJ.streaming_hourly_event_counts(s2, sf_dir)
+    assert s2.conf.get("spark.sql.session.timeZone") == "UTC"  # pinned inside
+    batch = (
+        load_events(spark, sf_dir)  # UTC session loader
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+    g = {(str(r.hour_start), r.event_type): (r.n_events, r.sum_value) for r in got.collect()}
+    b = {(str(r.hour_start), r.event_type): (r.n_events, r.sum_value) for r in batch.collect()}
+    assert g == b

@@ -1117,8 +1117,13 @@ ORDER BY id_a, id_b
 """,
 )
 def cosine_near_dup_embeddings(spark, sf_dir):
-    # embedding-cosine near-dup pairs (brute force; LSH variant is rows-only)
-    return S.cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    # embedding-cosine near-dup pairs (exact; LSH variant is the linear
+    # path). block_rows=256 so even the sf0.01 driver run exercises the
+    # distributed block-pair grid (2 blocks/3 cells) rather than the
+    # degenerate single-block case — the oracle checks the scale shape.
+    return S.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, block_rows=256
+    )
 
 
 def _lsh_table_bucket_sql(
@@ -1393,6 +1398,10 @@ def _one_entry_cache(cache: dict, key, build):
 
 
 def _trained_suite(spark, sf_dir):
+    """-> (results, cols): the fitted 5-model suite and the feature columns
+    it trained on (so the importance feed can reuse the suite's RF instead
+    of paying a second fit)."""
+
     def build():
         from ..ml import models as M
 
@@ -1404,7 +1413,8 @@ def _trained_suite(spark, sf_dir):
             .repartition(8)
         )
         train, test = SP.temporal_split(feats, "timestamp", 0.2)
-        return M.train_regressors(train, test, fast=True)
+        cols = M.feature_columns(train)
+        return M.train_regressors(train, test, cols=cols, fast=True), cols
 
     return _one_entry_cache(_SUITE_CACHE, (id(spark), sf_dir), build)
 
@@ -1414,7 +1424,7 @@ def ml_train_eval_metrics(spark, sf_dir):
     # M1-M7: feature prep -> temporal split -> regressor suite -> metrics.
     # Capped + fast settings so the correctness harness stays quick; full
     # configs are the defaults in ml/models.py.
-    results = _trained_suite(spark, sf_dir)
+    results, _cols = _trained_suite(spark, sf_dir)
     rows = [
         (
             m.name,
@@ -1442,7 +1452,7 @@ def ml_model_comparison_feed(spark, sf_dir):
     # client can pivot/plot this feed directly. Shares the session's one
     # trained suite with ml_train_eval_metrics (reference plots read the
     # same results object).
-    results = _trained_suite(spark, sf_dir)
+    results, _cols = _trained_suite(spark, sf_dir)
     rows = [
         (m.name, split, metric, float(m.metrics[f"{split}_{metric}"]))
         for m in results
@@ -1457,26 +1467,15 @@ def ml_model_comparison_feed(spark, sf_dir):
 @register("ml_feature_importance_feed", None)  # rows-only (training output)
 def ml_feature_importance_feed(spark, sf_dir):
     # M13/M12 data contract: top-N feature importances of the tree model as
-    # the bar-chart-ready frame (model, rank, feature, importance).
-    from pyspark.ml import Pipeline
-
+    # the bar-chart-ready frame (model, rank, feature, importance). Reads
+    # the SESSION'S one trained suite — the reference's importance plot
+    # consumes the same fitted model as its metric tables
+    # (weather_predictor.py:550-633), and a second RF fit here would add
+    # ~15 s of pure retraining to every full-registry pass.
     from ..ml import models as M
 
-    feats = (
-        FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
-        .limit(4000)
-        # limit() collapses to one partition; rebalance so tree fits
-        # parallelize without per-task overhead swamping 4k rows
-        .repartition(8)
-    )
-    train, _ = SP.temporal_split(feats, "timestamp", 0.2)
-    cols = M.feature_columns(train)
-    rf = M.regressor_suite(fast=True)["random_forest"]
-    pipe = Pipeline(stages=M.feature_pipeline(cols).getStages() + [rf])
-    filled = train.fillna(0, subset=cols).cache()  # fit is many passes
-    model = M.strip_training_summary(pipe.fit(filled))
-    filled.unpersist()
-    tm = M.TrainedModel("random_forest", model, {})
+    results, cols = _trained_suite(spark, sf_dir)
+    tm = next(m for m in results if m.name == "random_forest")
     top = M.feature_importances(tm, cols)[:10]
     return spark.createDataFrame(
         [("random_forest", i + 1, feat, float(imp)) for i, (feat, imp) in enumerate(top)],
@@ -7413,7 +7412,10 @@ def hard_negatives_embeddings(spark, sf_dir):
     # Hard-negative mining (contrastive-training batch construction): each
     # vector's most-similar DIFFERENT-label neighbor, exact-decimal argmax
     # — see operators/similarity.hard_negatives for the two-phase design.
-    return S.hard_negatives(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+    # block_rows=256: the driver's sf0.01 run checks the multi-block grid.
+    return S.hard_negatives(
+        _t(spark, sf_dir, "embeddings"), block_rows=256
+    ).orderBy("vec_id")
 
 
 @register(
