@@ -227,3 +227,59 @@ def test_winsorize_matches_numpy_percentiles(spark, values, tmp_path_factory):
         # last ulp (the ENGINE parity is exact — pinned by the oracle); the
         # numpy reference only needs to agree to float tolerance
         assert abs(got[i] - v) <= 1e-9 * max(1.0, abs(v)), (i, got[i], v)
+
+
+@SET
+@given(rows=emb_rows)
+def test_hard_negatives_block_grid_invariant_to_block_size(spark, rows):
+    """The block-pair grid decomposition must be lossless: forcing every
+    block size from 1 (every row its own block) through n yields the same
+    winners as the single-block case and the numpy reference."""
+    import numpy as np
+
+    from weather_data_pipeline_spark.operators.similarity import hard_negatives
+
+    data = [(i, [float(x) for x in v], lab) for i, (v, lab) in enumerate(rows)]
+    mat = np.array([v for _, v, _ in data])
+    labs = np.array([lab for _, _, lab in data])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    ref = {}
+    for i in range(len(data)):
+        cand = [(-sims[i, j], j) for j in range(len(data)) if labs[j] != labs[i]]
+        if cand:
+            ref[i] = min(cand)[1]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>, label int")
+    for block_rows in (1, 2, len(data)):
+        got = {
+            r.vec_id: r.hard_negative_id
+            for r in hard_negatives(df, block_rows=block_rows).collect()
+        }
+        assert got == ref, f"block_rows={block_rows}"
+
+
+@SET
+@given(rows=emb_rows)
+def test_near_dup_block_grid_matches_numpy_all_pairs(spark, rows):
+    import numpy as np
+
+    from weather_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+
+    data = [(i, [float(x) for x in v]) for i, (v, _) in enumerate(rows)]
+    mat = np.array([v for _, v in data])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    thr = 0.9
+    ref = {
+        (i, j)
+        for i in range(len(data))
+        for j in range(i + 1, len(data))
+        if sims[i, j] >= thr
+    }
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    for block_rows in (1, 3, len(data)):
+        got = {
+            (r.id_a, r.id_b)
+            for r in cosine_near_dup_pairs(df, thr, block_rows=block_rows).collect()
+        }
+        assert got == ref, f"block_rows={block_rows}"

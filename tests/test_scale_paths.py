@@ -283,3 +283,53 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         assert full["numFiles"] == n_days  # control: no DPP -> every partition
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+
+
+def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
+    """The 100 TB skew story's other half (beside salting): AQE must detect
+    a hot join key's oversized shuffle partition and split it at RUNTIME —
+    the executed plan's SortMergeJoin is marked skew=true and the AQE
+    shuffle read reports skewed splits. forceOptimizeSkewedJoin only skips
+    the extra-shuffle cost veto (the downstream agg would otherwise make
+    AQE decline); detection thresholds are still doing the work."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key carrying ~200x the rows of each cold key
+        fact = (
+            spark.range(2_000_000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+            .union(
+                spark.range(9_000).select(
+                    (F.col("id") % 9 + 1).alias("k"), F.col("id").alias("v")
+                )
+            )
+        )
+        dim = spark.range(20).select(
+            (F.col("id") % 10).alias("k"), (F.col("id") * 10).alias("w")
+        )
+        out = fact.join(dim, "k").select(F.sum("v").alias("s"))
+        [row] = out.collect()
+        # every fact row matches exactly 2 dim rows -> sum doubles
+        expected = 2 * (
+            sum(range(2_000_000)) + sum(range(9_000))
+        )
+        assert row.s == expected
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan  # AQEShuffleRead reports the split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

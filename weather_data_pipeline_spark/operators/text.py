@@ -317,3 +317,95 @@ def dup_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-corpus scrubbing)
+# ---------------------------------------------------------------------------
+# Patterns are deliberately RE2-compatible (no lookaround, no backrefs) so
+# the SAME strings run identically under Spark's Java regex engine and the
+# DuckDB (RE2) oracle. Ordered: redaction applies them sequentially, and the
+# order matters where classes could overlap (emails before phones so the
+# digits inside "user123@x.com" are consumed as part of the email first).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("credit_card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"),
+    ("phone", r"\+?\d{1,3}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII census + redacted text: count matches per class and
+    replace each with a `[CLASS]` token — the scrub stage every public-crawl
+    corpus pipeline runs before training (cf. CCNet/Dolma-style pipelines).
+
+    Pure codegen'd scalar work (regexp_extract_all / regexp_replace): zero
+    shuffle, scales as a map-only pass. Counts are computed on the ORIGINAL
+    text per class (order-independent census); redaction is sequential in
+    PII_PATTERNS order so overlapping classes resolve deterministically.
+    """
+    out = df.select(
+        id_col,
+        F.col(text_col),
+        *[
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat in PII_PATTERNS
+        ],
+    )
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    total = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.select(
+        id_col,
+        *[f"n_{name}" for name, _ in PII_PATTERNS],
+        total.alias("n_pii_total"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    max_banned_ratio: float = 0.02,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banned-term filter (the C4/Dolma-style blocklist stage): per doc the
+    banned-token count, distinct banned terms hit, banned ratio, and the
+    keep decision (ratio < threshold).
+
+    The blocklist is embedded as an array literal — for real-world lists
+    (thousands of terms) this stays a scalar `array_contains`-free form:
+    `array_intersect`/`filter` over the token array are JVM higher-order
+    functions, zero shuffle, one codegen'd scan. Ratios are exact decimals
+    (banned/total at 6 dp) so the keep boundary is engine-portable."""
+    bl = F.array(*[F.lit(t) for t in sorted(blocklist)])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    banned = F.filter(toks, lambda t: F.array_contains(bl, t))
+    return df.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(banned).cast("long").alias("n_banned"),
+        F.size(F.array_intersect(F.array_distinct(toks), bl))
+        .cast("long")
+        .alias("distinct_banned_terms"),
+        F.round(F.size(banned).cast("double") / F.size(toks), 6).alias(
+            "banned_ratio"
+        ),
+        (
+            F.round(F.size(banned).cast("double") / F.size(toks), 6)
+            < F.lit(max_banned_ratio)
+        )
+        .cast("int")
+        .alias("keep"),
+    )

@@ -8430,3 +8430,80 @@ def source_quality_profile_documents(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _pii_sql() -> str:
+    # SQL twin of operators/text.pii_scrub: identical RE2-safe patterns,
+    # identical sequential redaction order; DuckDB regexp_replace needs the
+    # 'g' flag to match Spark's global-replace semantics.
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in X.PII_PATTERNS
+    )
+    red = "text"
+    for name, pat in X.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    total = " + ".join(f"n_{name}" for name, _ in X.PII_PATTERNS)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+       {counts},
+       md5({red}) AS redacted_md5
+  FROM documents)
+SELECT doc_id, {", ".join("n_" + n for n, _ in X.PII_PATTERNS)},
+       CAST({total} AS BIGINT) AS n_pii_total, redacted_md5
+FROM c ORDER BY doc_id
+"""
+
+
+@register("pii_scrub_documents", _pii_sql())
+def pii_scrub_documents(spark, sf_dir):
+    # Corpus PII scrub (emails/SSNs/credit cards/phones/IPv4): per-doc class
+    # counts + md5 of the redacted text — the pre-training scrub stage of
+    # any public-crawl pipeline. Map-only, zero shuffle; the md5 projection
+    # makes redaction hash-checkable without emitting full text (and keeps
+    # the output sortable for the driver's rows-only canonicalizer).
+    # The fixture corpus is PII-free word text, so counts legitimately read
+    # 0 and redacted_md5 == md5(text) — the behavioral tests
+    # (tests/test_pii.py) pin real redaction on crafted strings.
+    return X.pii_scrub(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# demo blocklist drawn from the fixture vocabulary so the filter is
+# non-vacuous: both terms occur in ~most documents, making counts, ratios
+# and the keep boundary genuinely exercised by the oracle
+_BLOCKLIST = ["slow", "error"]
+_BLOCK_MAX_RATIO = 0.02
+
+
+@register(
+    "blocklist_filter_documents",
+    f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ('error','slow'))) AS n_banned,
+         len(list_intersect(list_distinct(toks), ['error','slow']))
+           AS distinct_banned_terms
+  FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_banned AS BIGINT) AS n_banned,
+       CAST(distinct_banned_terms AS BIGINT) AS distinct_banned_terms,
+       ROUND(CAST(n_banned AS DOUBLE) / n_tokens, 6) AS banned_ratio,
+       CAST(ROUND(CAST(n_banned AS DOUBLE) / n_tokens, 6) < {_BLOCK_MAX_RATIO}
+            AS INT) AS keep
+FROM c ORDER BY doc_id
+""",
+)
+def blocklist_filter_documents(spark, sf_dir):
+    # Banned-term (blocklist) filter — the C4/Dolma corpus-scrub stage:
+    # per-doc banned counts, distinct banned terms, exact 6dp banned ratio
+    # and the keep decision. Map-only JVM higher-order functions, zero
+    # shuffle (operators/text.blocklist_filter).
+    return X.blocklist_filter(
+        _t(spark, sf_dir, "documents"), _BLOCKLIST, _BLOCK_MAX_RATIO
+    ).orderBy("doc_id")
