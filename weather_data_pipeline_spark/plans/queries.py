@@ -1397,6 +1397,28 @@ def _one_entry_cache(cache: dict, key, build):
     return cache[key]
 
 
+# The 4000-row training frame shared by the suite AND the rain classifier:
+# materialized ONCE (localCheckpoint) so feature_columns' null-ratio agg,
+# the class-weight counts, and every MLlib fit pass read 4000 cached rows
+# instead of replaying the 70-column feature pipeline DAG (~3 s each at
+# sf0.1, ~5 replays across the two builds).
+_FEATS_CACHE: dict = {}
+
+
+def _ml_feats(spark, sf_dir):
+    def build():
+        return (
+            FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+            .limit(4000)
+            # limit() collapses to one partition; rebalance so tree fits
+            # parallelize without per-task overhead swamping 4k rows
+            .repartition(8)
+            .localCheckpoint(eager=True)
+        )
+
+    return _one_entry_cache(_FEATS_CACHE, (id(spark), sf_dir), build)
+
+
 def _trained_suite(spark, sf_dir):
     """-> (results, cols): the fitted 5-model suite and the feature columns
     it trained on (so the importance feed can reuse the suite's RF instead
@@ -1405,14 +1427,7 @@ def _trained_suite(spark, sf_dir):
     def build():
         from ..ml import models as M
 
-        feats = (
-            FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
-            .limit(4000)
-            # limit() collapses to one partition; rebalance so tree fits
-            # parallelize without per-task overhead swamping 4k rows
-            .repartition(8)
-        )
-        train, test = SP.temporal_split(feats, "timestamp", 0.2)
+        train, test = SP.temporal_split(_ml_feats(spark, sf_dir), "timestamp", 0.2)
         cols = M.feature_columns(train)
         return M.train_regressors(train, test, cols=cols, fast=True), cols
 
@@ -1493,14 +1508,7 @@ def _trained_rain(spark, sf_dir):
     def build():
         from ..ml import models as M
 
-        feats = (
-            FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
-            .limit(4000)
-            # limit() collapses to one partition; rebalance so tree fits
-            # parallelize without per-task overhead swamping 4k rows
-            .repartition(8)
-        )
-        train, test = SP.temporal_split(feats, "timestamp", 0.2)
+        train, test = SP.temporal_split(_ml_feats(spark, sf_dir), "timestamp", 0.2)
         cols = M.feature_columns(train)
         m = M.train_rain_classifier(train, test, cols=cols, fast=True)
         return (m, test, cols)
