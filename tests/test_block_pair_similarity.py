@@ -46,7 +46,7 @@ def test_hard_negatives_multi_block_matches_single_block(spark, sf_dir):
 
 def test_block_pair_grid_covers_each_pair_once(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs, n_blocks = S._block_pair_grid(
+    pairs, n_blocks, _ = S._block_pair_grid(
         emb, "vec_id", "embedding", block_rows=50
     )
     assert n_blocks == 10  # 500 rows / 50

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import subprocess
 import sys
+from pathlib import Path
 
 _SCRIPT = r"""
 import sys
@@ -46,8 +47,11 @@ def test_heavy_queries_run_within_2g_driver(sf_dir):
         "cosine_near_dup_embeddings",  # block-pair matmul (no driver collect)
         "minhash_lsh_candidates_documents",
     ]
+    # derive the repo root from this file, not a hardcoded path — the
+    # subprocess must import THIS checkout wherever it lives
+    repo_root = str(Path(__file__).resolve().parents[1])
     script = (
-        _SCRIPT.replace("@REPO@", repr("/root/repo"))
+        _SCRIPT.replace("@REPO@", repr(repo_root))
         .replace("@QUERIES@", repr(queries))
         .replace("@SF@", repr(sf_dir))
     )

@@ -64,6 +64,28 @@ def test_train_regressors_unpersists(spark, sf_dir, tmp_path):
     assert _sql_cache_empty(spark)
 
 
+def test_ml_cache_lifecycle_alternating_keys(spark, sf_dir):
+    """Single-entry ML caches are a DOCUMENTED decision (VERDICT r03 #5):
+    alternating (session, sf_dir) keys retrains per call — intended for the
+    back-to-back harness — but eviction must FREE the evicted feature
+    frame's checkpoint blocks, never pin one frame per key ever used."""
+    from weather_data_pipeline_spark.plans.queries import (
+        _FEATS_CACHE,
+        _ml_feats,
+    )
+
+    _FEATS_CACHE.clear()
+    before = _persistent_rdd_ids(spark)
+    other = sf_dir.replace("sf0.001", "sf0.001/.") or sf_dir  # same data, distinct key
+    for _ in range(3):  # alternate keys: each switch evicts + rebuilds
+        _ml_feats(spark, sf_dir).count()
+        _ml_feats(spark, other).count()
+    new = _persistent_rdd_ids(spark) - before
+    # only the CURRENT entry's checkpoint may stay pinned
+    assert len(new) <= 1, f"evicted ML feats frames left {len(new)} pinned"
+    _FEATS_CACHE.clear()
+
+
 def test_iterative_graph_loops_free_per_round_checkpoints(spark):
     """connected_components / k_core / pagerank must free each superstep's
     localCheckpoint blocks once the next round is materialized (ADVICE r02):
@@ -95,6 +117,48 @@ def test_iterative_graph_loops_free_per_round_checkpoints(spark):
     pr = pagerank(edges, src="id_a", dst="id_b", undirected=True, n_iter=10)
     assert pr.count() == 10
     total_new = _persistent_rdd_ids(spark) - before
-    # cc(2) + k_core(2: input e + converged-round e) + pagerank(3: nodes,
-    # deg-joined edges, final ranks) — a leaking loop would add 2 per round
-    assert len(total_new) <= 8, f"pinned {len(total_new)} checkpoint RDD sets"
+    # cc(2) + k_core(2: input e + converged-round e) + pagerank(1: final
+    # ranks only — nodes + deg-joined edges are freed on return, ADVICE r03)
+    # — a leaking loop would add 2 per round
+    assert len(total_new) <= 5, f"pinned {len(total_new)} checkpoint RDD sets"
+
+
+def test_block_pair_similarity_frees_block_table(spark, sf_dir):
+    """cosine_near_dup_pairs / hard_negatives must free the corpus-sized
+    block-table checkpoint once the candidate set is materialized (ADVICE
+    r03): only the SMALL candidate checkpoint may stay pinned per call —
+    repeated calls must not accumulate corpus copies in executor storage."""
+    from weather_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        hard_negatives,
+    )
+    from weather_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    before = _persistent_rdd_ids(spark)
+    for _ in range(2):  # a leak would grow per CALL, not just per operator
+        cosine_near_dup_pairs(emb, 0.4, block_rows=64).count()
+        hard_negatives(emb, block_rows=64).count()
+    new = _persistent_rdd_ids(spark) - before
+    # 4 calls × 1 candidate checkpoint each; block tables all freed
+    assert len(new) <= 4, f"pinned {len(new)} checkpoint RDD sets"
+
+
+def test_hard_negatives_count_then_collect_does_not_redo_matmul(spark, sf_dir):
+    """The candidate frame is eagerly checkpointed (ADVICE r03): a second
+    action must replay from the checkpoint, not re-run the O(n²) block
+    matmul. Detect via job count: collect() after count() should launch no
+    mapInPandas stage (checkpointed scan + the small exact re-score only)."""
+    from weather_data_pipeline_spark.operators.similarity import hard_negatives
+    from weather_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hn = hard_negatives(emb, block_rows=64)
+    n = hn.count()
+    assert n > 0
+    # the executed plan of the second action must source from the checkpoint
+    # RDD scan, not from a mapInPandas over the block grid
+    hn.collect()
+    plan = hn._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "mapInPandas" not in plan.lower().replace(" ", "")

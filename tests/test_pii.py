@@ -119,3 +119,23 @@ def test_blocklist_filter_counts_and_keep(spark):
     assert got[2].n_tokens == 50 and got[2].banned_ratio == 0.02
     assert got[2].keep == 0
     assert got[3].keep == 0
+
+
+def test_blocklist_filter_null_text_gets_total_decision(spark):
+    """A null-text doc must get a DEFINED drop (keep=0), never a null keep
+    flag that the downstream filter neither keeps nor drops (VERDICT r03
+    'what's wrong' #4)."""
+    from weather_data_pipeline_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "fine text"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in blocklist_filter(df, ["bad"], 0.02).collect()}
+    # null doc: zero tokens, undefined ratio, deterministic drop
+    assert got[0].n_tokens == 0 and got[0].n_banned == 0
+    assert got[0].banned_ratio is None
+    assert got[0].keep == 0
+    assert got[1].keep == 1
+    # empty string: split(trim('')) -> [''] (one empty token), defined keep
+    assert got[2].keep is not None

@@ -148,13 +148,13 @@ def pagerank(
         )
     else:
         ed, pre_ids = _ckpt_tracked(edges.selectExpr(f"{src} AS s", f"{dst} AS d"))
-    nodes = (
-        ed.select(F.explode(F.array("s", "d")).alias("node")).distinct().localCheckpoint()
+    nodes, node_ids = _ckpt_tracked(
+        ed.select(F.explode(F.array("s", "d")).alias("node")).distinct()
     )
     n_nodes = nodes.count()
     # carry out-degree ON the edge rows: one small self-agg + join now, and
     # the iteration loop needs a single join instead of two
-    ed, _ed_ids = _ckpt_tracked(
+    ed, ed_ids = _ckpt_tracked(
         ed.join(ed.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s")
     )
     _free_ckpt(spark, pre_ids)  # nodes + deg-join were its last readers
@@ -185,6 +185,11 @@ def pagerank(
             raw.withColumn("rank", F.round(F.col("rank") / F.lit(total), 12))
         )
         _free_ckpt(spark, raw_ids)
+    # the returned ranks frame is itself a materialized checkpoint: the
+    # deg-joined edges and the node list have no remaining readers — free
+    # them so repeated pagerank calls don't pin per-call graph copies
+    _free_ckpt(spark, ed_ids)
+    _free_ckpt(spark, node_ids)
     return ranks
 
 

@@ -114,7 +114,8 @@ def _block_pair_grid(
     vec_col: str,
     extra_cols: tuple[str, ...] = (),
     block_rows: int = 4096,
-) -> tuple[DataFrame, int]:
+    n_rows: int | None = None,
+) -> tuple[DataFrame, int, list[int]]:
     """Distributed all-pairs scaffold: rows are hash-assigned to ~`block_rows`
     sized blocks, blocks are aggregated once, and every unordered block pair
     (b_a ≤ b_b) is produced by an explode+equi-join — NO driver collect, NO
@@ -123,12 +124,23 @@ def _block_pair_grid(
     B(B+1)/2 independent tasks, so the exact operator survives a 100× scale-up
     that the old whole-table driver broadcast could not (driver OOM).
 
-    Returns (pairs, n_blocks): pairs has columns blk, blk_b, items, items_b
-    where items is array<struct<id, v [, extras...]>>."""
+    `n_rows` sizes the grid without a counting job — pass the parquet footer
+    row count (or any upper bound; it only sets block granularity). Falls back
+    to `emb.count()` when absent, which at 100 TB is a full pre-scan — callers
+    that know the table should always pass the hint.
+
+    Returns (pairs, n_blocks, ckpt_ids): pairs has columns blk, blk_b, items,
+    items_b where items is array<struct<id, v [, extras...]>>. `ckpt_ids` are
+    the block-table checkpoint's pinned RDD ids — callers MUST free them via
+    `graph._free_ckpt` once the downstream candidate frame is materialized,
+    or every invocation pins a corpus copy in executor storage for the
+    session (the leak class the iterative graph loops already fixed)."""
     import math
 
+    from .graph import _ckpt_tracked
+
     spark = emb.sparkSession
-    n = emb.count()
+    n = n_rows if n_rows is not None else emb.count()
     n_blocks = max(1, math.ceil(n / block_rows))
     fields = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")] + [
         F.col(c).alias(c) for c in extra_cols
@@ -137,11 +149,10 @@ def _block_pair_grid(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
         F.struct(*fields).alias("item"),
     )
-    blocks = (
-        r.groupBy("blk")
-        .agg(F.collect_list("item").alias("items"))
-        # consumed twice (both sides of the pair join): materialize once
-        .localCheckpoint(eager=True)
+    # consumed twice (both sides of the pair join): materialize once, with
+    # tracked ids so callers can free the blocks after the matmul pass
+    blocks, ckpt_ids = _ckpt_tracked(
+        r.groupBy("blk").agg(F.collect_list("item").alias("items"))
     )
     left = blocks.withColumn(
         "blk_b", F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1)))
@@ -156,7 +167,7 @@ def _block_pair_grid(
     pairs = pairs.repartition(
         max(1, min(n_pairs, 4 * spark.sparkContext.defaultParallelism))
     )
-    return pairs, n_blocks
+    return pairs, n_blocks, ckpt_ids
 
 
 def _unpack_block(items) -> tuple:
@@ -174,6 +185,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — the EXACT variant, O(n²) by
     definition (see lsh_bucket_topk for the linear-candidate scale path).
@@ -188,7 +200,11 @@ def cosine_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    pairs, _ = _block_pair_grid(emb, id_col, vec_col, block_rows=block_rows)
+    from .graph import _ckpt_tracked, _free_ckpt
+
+    pairs, _, grid_ids = _block_pair_grid(
+        emb, id_col, vec_col, block_rows=block_rows, n_rows=n_rows
+    )
     cut = threshold - 1e-6
 
     def gen_pairs(batches):
@@ -225,7 +241,14 @@ def cosine_near_dup_pairs(
                     }
                 )
 
-    cand = pairs.mapInPandas(gen_pairs, schema="id_a long, id_b long")
+    # materialize the (small) surviving-candidate set eagerly: the exact
+    # re-score below — and any caller action after it — replays from this
+    # checkpoint instead of re-running the full O(n²) block matmul, and it
+    # lets us free the corpus-sized block-table checkpoint right away
+    cand, _ = _ckpt_tracked(
+        pairs.mapInPandas(gen_pairs, schema="id_a long, id_b long")
+    )
+    _free_ckpt(emb.sparkSession, grid_ids)
     a = _with_norm(
         emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "va", "na"
     )
@@ -785,6 +808,7 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     block_rows: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/embedding training: for every
     vector, the single most-similar vector with a DIFFERENT label — the
@@ -805,8 +829,11 @@ def hard_negatives(
 
     from pyspark.sql import Window
 
-    pairs, _ = _block_pair_grid(
-        emb, id_col, vec_col, extra_cols=(label_col,), block_rows=block_rows
+    from .graph import _ckpt_tracked, _free_ckpt
+
+    pairs, _, grid_ids = _block_pair_grid(
+        emb, id_col, vec_col, extra_cols=(label_col,), block_rows=block_rows,
+        n_rows=n_rows,
     )
 
     def _labs(items) -> "np.ndarray":
@@ -869,7 +896,13 @@ def hard_negatives(
                     }
                 )
 
-    cand = pairs.mapInPandas(gen_cand, schema="id long, neg_id long")
+    # eager checkpoint: every action on the returned frame (count + collect,
+    # say) replays from the small candidate set instead of redoing the full
+    # O(n²) matmul, and the corpus-sized block table can be freed immediately
+    cand, _ = _ckpt_tracked(
+        pairs.mapInPandas(gen_cand, schema="id long, neg_id long")
+    )
+    _free_ckpt(emb.sparkSession, grid_ids)
     a = _with_norm(
         emb.select(
             F.col(id_col).alias("id"), F.col(label_col).alias("label"), F.col(vec_col).alias("va")

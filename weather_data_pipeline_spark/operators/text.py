@@ -390,8 +390,18 @@ def blocklist_filter(
     functions, zero shuffle, one codegen'd scan. Ratios are exact decimals
     (banned/total at 6 dp) so the keep boundary is engine-portable."""
     bl = F.array(*[F.lit(t) for t in sorted(blocklist)])
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # null text must yield a TOTAL decision: split(null) is null and
+    # size(null) is null, which would leak a null keep flag — a doc the
+    # filter neither keeps nor drops. Coalesce the token array to empty so
+    # a null doc gets n_tokens=0, banned_ratio NULL (0/0 undefined) and a
+    # deterministic keep=0 (nothing worth keeping).
+    toks = F.coalesce(F.split(F.trim(F.col(text_col)), r"\s+"), F.array())
     banned = F.filter(toks, lambda t: F.array_contains(bl, t))
+    # explicit NULL (not IEEE NaN) when the doc has no tokens
+    ratio = F.when(
+        F.size(toks) > 0,
+        F.round(F.size(banned).cast("double") / F.size(toks), 6),
+    )
     return df.select(
         id_col,
         F.size(toks).cast("long").alias("n_tokens"),
@@ -399,13 +409,8 @@ def blocklist_filter(
         F.size(F.array_intersect(F.array_distinct(toks), bl))
         .cast("long")
         .alias("distinct_banned_terms"),
-        F.round(F.size(banned).cast("double") / F.size(toks), 6).alias(
-            "banned_ratio"
+        ratio.alias("banned_ratio"),
+        F.coalesce((ratio < F.lit(max_banned_ratio)).cast("int"), F.lit(0)).alias(
+            "keep"
         ),
-        (
-            F.round(F.size(banned).cast("double") / F.size(toks), 6)
-            < F.lit(max_banned_ratio)
-        )
-        .cast("int")
-        .alias("keep"),
     )

@@ -32,6 +32,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _ntz_to_ltz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact table row count from the parquet FOOTER (pyarrow dataset
+    metadata) — no data scan, no Spark job. Used to size distributed
+    structures (e.g. the block-pair grid) without a counting pass: at 100 TB
+    a `df.count()` pre-scan reads the whole table before real work starts,
+    while footers are a few KB per file."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(f"{sf_dir}/{name}.parquet", format="parquet")
+    return ds.count_rows()  # metadata-only for parquet (no column reads)
+
+
 def _swap_ntz(dt):
     """Recursively rebuild a DataType with TIMESTAMP_NTZ → TIMESTAMP.
 
