@@ -201,19 +201,32 @@ def main() -> None:
     # its window and truncated the round-2 headline (BENCH_r02 parsed: null).
     # The last line is the compact headline JSON only (~1.5 KB, always whole).
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    print(
-        json.dumps(
-            {
-                "metric": "full_registry_detail",
-                "families": families,
-                "full": full,
-                "full_total": round(sum(v for v in full.values() if v > 0), 4),
-                "n_full": len(full),
-                "not_benched": not_benched,
-                "sf": sf_val,
-            }
-        )
-    )
+    detail = {
+        "metric": "full_registry_detail",
+        "families": families,
+        "full": full,
+        "full_total": round(sum(v for v in full.values() if v > 0), 4),
+        "n_full": len(full),
+        "not_benched": not_benched,
+        "sf": sf_val,
+    }
+    print(json.dumps(detail))
+    # ALSO persist the detail to a committed per-round file: the driver's
+    # 2,000-char stdout tail can't hold ~200 per-query timings, so without
+    # this the full-registry numbers are lost to history and round-over-round
+    # per-query regression diffs are impossible (VERDICT r03 #3). Round N =
+    # one past the highest recorded BENCH_r{N}.json (the driver writes that
+    # artifact AFTER bench runs, so during round N only rounds < N exist).
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    out = os.path.join(here, f"BENCH_FULL_r{(max(rounds, default=0) + 1):02d}.json")
+    with open(out, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(
         json.dumps(
             {
