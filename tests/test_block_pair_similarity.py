@@ -64,6 +64,32 @@ def test_block_pair_grid_covers_each_pair_once(spark, sf_dir):
     assert total == emb.count()
 
 
+def test_lsh_planes_scale_with_corpus():
+    """ANN bucket-count rule (BENCH_SCALING finding: fixed 64 buckets made
+    the in-bucket join quadratic, e≈1.5 at sf1.0). Driver-scale fixtures
+    must keep EXACTLY 6 planes so the 6-plane DuckDB oracle stays valid;
+    beyond that, bucket count grows so occupancy stays ~32."""
+    from weather_data_pipeline_spark.sources.tables import parquet_row_count
+
+    # every driver fixture size stays on the oracle's 6 planes
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = parquet_row_count(f"/root/testdata/{sf}", "embeddings")
+        assert S.lsh_planes_for(n) == 6, (sf, n)
+    assert S.lsh_planes_for(2048) == 6  # boundary: 2048/32 = 64 = 2^6
+    assert S.lsh_planes_for(6000) == 8
+    assert S.lsh_planes_for(20000) == 10
+    # occupancy n / 2^planes stays bounded as n grows
+    for n in (10**5, 10**6, 10**8):
+        assert n / 2 ** S.lsh_planes_for(n) <= 32
+    # multi-table (semantic dedup) variant: 4 planes at every driver
+    # fixture size (oracle parity), growing past 2048 rows
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = parquet_row_count(f"/root/testdata/{sf}", "embeddings")
+        assert S.lsh_planes_for(n, target_bucket=128, min_planes=4) == 4, sf
+    assert S.lsh_planes_for(6000, target_bucket=128, min_planes=4) == 6
+    assert S.lsh_planes_for(20000, target_bucket=128, min_planes=4) == 8
+
+
 def test_similarity_has_no_driver_side_table_collect():
     """Source-level invariant: the only `.collect()` in similarity.py must be
     provably small (|Q| query vectors for IVF/PQ codebooks and probes). The

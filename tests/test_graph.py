@@ -43,6 +43,21 @@ def test_non_convergence_raises(spark):
         connected_components(df, max_iter=1)
 
 
+def test_long_chain_converges_in_log_rounds(spark):
+    # 151-node path, diameter 150: plain min-label propagation needs ~150
+    # rounds — the sf0.3 scaling run proved real near-dup graphs hit this
+    # (semantic dedup died at max_iter=25). Pointer jumping doubles reach
+    # per round, so the default budget must now suffice with margin.
+    got = _cc(spark, [(i, i + 1) for i in range(150)])
+    assert got == {i: 0 for i in range(151)}
+
+
+def test_chain_reversed_ids_converges(spark):
+    # worst orientation: min id at the FAR end of the propagation direction
+    got = _cc(spark, [(i + 1, i) for i in range(100)])
+    assert got == {i: 0 for i in range(101)}
+
+
 def test_pagerank_star_graph(spark):
     # star: 1..4 all point at 0; 0 points at 1. Hub 0 must dominate, the
     # reciprocal spoke 1 must beat the pure leaves 2/3/4 (which tie), and

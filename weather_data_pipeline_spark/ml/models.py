@@ -46,6 +46,20 @@ try:  # xgboost is optional in this environment
 except ImportError:
     HAS_XGBOOST = False
 
+class EmptyTrainingData(ValueError):
+    """Raised when a train path receives zero rows: fitting on empty data is
+    a CALLER error with a typed, clear message — never an opaque JVM stack
+    from deep inside an MLlib fit (registry-wide empty-input contract,
+    tests/test_empty_tables.py)."""
+
+
+def _require_rows(df: DataFrame, what: str) -> None:
+    if df.limit(1).count() == 0:
+        raise EmptyTrainingData(
+            f"{what}: training frame has no rows; supply non-empty data"
+        )
+
+
 EXCLUDED_FEATURE_COLS = {
     "city",
     "timestamp",
@@ -196,6 +210,7 @@ def train_regressors(
     fast: bool = False,
 ) -> list[TrainedModel]:
     """M5+M6: fit the suite, metric each on train and test."""
+    _require_rows(train, "train_regressors")
     cols = cols or feature_columns(train)
     # cache BOTH sides: every fit does many passes over train, and every
     # model's evaluation re-reads test 3× (one per metric) — without the
@@ -241,6 +256,7 @@ def train_rain_classifier(
     cols = cols or feature_columns(train)
     label = "will_rain"
     tr = prep_classifier_frame(train, cols, label)
+    _require_rows(tr, "train_rain_classifier")
     te = prep_classifier_frame(test, cols, label)
     counts = {r[label]: r["n"] for r in tr.groupBy(label).agg(F.count("*").alias("n")).collect()}
     total = sum(counts.values())

@@ -313,6 +313,26 @@ def add_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def lsh_planes_for(
+    n_rows: int, target_bucket: int = 32, min_planes: int = 6
+) -> int:
+    """Scale-out rule for the sign-LSH bucket count: planes =
+    max(min_planes, ceil(log2(n_rows / target_bucket))), i.e. bucket count
+    grows WITH the corpus so expected occupancy stays ~target_bucket.
+
+    With a FIXED plane count the bucket count is constant, occupancy grows
+    linearly and the in-bucket candidate equi-join quadratically — measured
+    scaling exponent ≈1.5 on the sf0.1→sf1.0 replicas (BENCH_SCALING.json)
+    before this rule. Corpora ≤ 2^min_planes·target rows (all driver-scale
+    fixtures) keep exactly min_planes, so the 6-plane DuckDB oracle stays
+    bit-identical at sf0.001/0.01."""
+    import math
+
+    if n_rows <= target_bucket:
+        return min_planes
+    return max(min_planes, math.ceil(math.log2(n_rows / target_bucket)))
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     k: int = 5,

@@ -1193,7 +1193,14 @@ def ann_lsh_topk_embeddings(spark, sf_dir):
     # fully deterministic (md5 hyperplanes, identical fold order for the
     # ranking doubles, decimal-exact emitted cosines) — so the whole ANN
     # result, buckets and ranking included, is hash-checked against DuckDB.
-    return S.lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), k=5)
+    # Plane count scales with the corpus (footer row count) so bucket
+    # occupancy — and with it the candidate join — stays linear; at the
+    # driver fixture sizes the rule yields exactly the oracle's 6 planes.
+    return S.lsh_bucket_topk(
+        _t(spark, sf_dir, "embeddings"),
+        k=5,
+        n_planes=S.lsh_planes_for(parquet_row_count(sf_dir, "embeddings")),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3224,11 +3231,12 @@ def neardup_components_documents(spark, sf_dir):
     # Near-duplicate clustering: connected components over the shingle-
     # Jaccard >= 0.05 pair graph (the edge set is itself the oracled
     # shingle_jaccard_pairs_documents query). Spark side is min-label
-    # propagation — the BSP/Pregel formulation (Hash-to-Min): each round is
-    # one join + one min-aggregate, both hash-partitioned on the node key,
-    # and converges in O(component diameter) rounds. localCheckpoint()
-    # truncates the growing lineage each round; the driver only ever sees a
-    # 1-row convergence count, never the data.
+    # propagation WITH pointer jumping — each round is one edge join, one
+    # min-aggregate and one label-of-label shortcut join, all
+    # hash-partitioned on the node key, converging in O(log diameter)
+    # rounds (measured necessary: the sf0.3 semantic-dedup graph has a
+    # >25-hop chain). localCheckpoint() truncates the growing lineage each
+    # round; the driver only ever sees a 1-row convergence count.
     from ..operators.graph import component_sizes, connected_components
 
     pairs = REGISTRY["shingle_jaccard_pairs_documents"].spark(spark, sf_dir).select(
@@ -6643,7 +6651,18 @@ def semantic_dedup_keep_list_embeddings(spark, sf_dir):
     # singletons. Deterministic end-to-end (md5 hyperplanes, decimal dots,
     # min-label CC), hence the full recursive-CTE oracle — the embedding
     # counterpart of dedup_keep_list_documents.
-    return S.semantic_dedup_keep_list(_t(spark, sf_dir, "embeddings"))
+    # planes_per_table scales with the corpus (footer count) so per-table
+    # bucket occupancy — and the candidate join — stays linear; at driver
+    # fixture sizes the rule yields exactly the oracle's 4 planes
+    # (BENCH_SCALING: fixed 16 buckets/table timed out at sf0.3).
+    return S.semantic_dedup_keep_list(
+        _t(spark, sf_dir, "embeddings"),
+        planes_per_table=S.lsh_planes_for(
+            parquet_row_count(sf_dir, "embeddings"),
+            target_bucket=128,
+            min_planes=4,
+        ),
+    )
 
 
 _MIXTURE_SQL = """
