@@ -429,6 +429,11 @@ def ivf_topk(
     Recall < 1 by construction (measured in tests)."""
     import numpy as np
 
+    if emb.limit(1).count() == 0:
+        # no corpus -> no codebook to train; a well-defined empty answer
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
     assigned, model = ivf_index(emb, n_centroids, vec_col)
     centers = np.array(model.clusterCenters())
 
@@ -494,7 +499,13 @@ def pq_encode(
     from pyspark.ml.functions import array_to_vector
 
     spark = emb.sparkSession
-    d = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    drow = emb.select(F.size(vec_col).alias("d")).first()
+    if drow is None:
+        # empty corpus -> no codebooks to train; well-defined empty answer
+        return spark.createDataFrame(
+            [], f"{id_col} long, codes array<int>, recon_err double"
+        )
+    d = drow["d"]
     assert d % m == 0, f"dim {d} not divisible into {m} subspaces"
     sub = d // m
 
@@ -592,7 +603,15 @@ def ivf_pq_adc_topk(
     from pyspark.ml.functions import array_to_vector
 
     spark = emb.sparkSession
-    d = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    drow = emb.select(F.size(vec_col).alias("d")).first()
+    if drow is None:
+        # empty corpus -> no quantizers to train; well-defined empty answer
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, adc_dist double, "
+            "exact_dist double, rank int",
+        )
+    d = drow["d"]
     assert d % m == 0
     sub = d // m
 

@@ -5858,6 +5858,15 @@ def pca_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("_v")
     )
+    if emb.limit(1).count() == 0:
+        # empty store: no covariance to decompose — well-defined empty answer
+        return spark.createDataFrame(
+            [],
+            "vec_id long, "
+            + ", ".join(f"pc_{i} double" for i in range(4))
+            + ", "
+            + ", ".join(f"explained_var_{i} double" for i in range(4)),
+        )
     model = PCA(k=4, inputCol="_v", outputCol="_pc").fit(emb)
     ev = [float(v) for v in model.explainedVariance]
     out = model.transform(emb).select(

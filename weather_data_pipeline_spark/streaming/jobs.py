@@ -362,9 +362,11 @@ def baseline_value_props(
         *[F.sum((b == i).cast("bigint")).alias(f"n_{i}") for i in range(n_bins)],
         F.count(F.lit(1)).alias("n_total"),
     ).first()
+    # empty baseline: conditional sums come back NULL — treat as 0 counts,
+    # and the Laplace smoothing then yields the well-defined uniform 1/n_bins
     total = float(row["n_total"])
     return [
-        (float(row[f"n_{i}"]) + alpha) / (total + alpha * n_bins)
+        (float(row[f"n_{i}"] or 0) + alpha) / (total + alpha * n_bins)
         for i in range(n_bins)
     ]
 
