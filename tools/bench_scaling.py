@@ -164,9 +164,21 @@ def main() -> None:
     ap.add_argument("--timeout", type=float, default=420.0, help="per query+scale")
     ap.add_argument("--only", default=None, help="substring filter")
     ap.add_argument(
+        "--queries", default=None, help="comma-separated exact query names"
+    )
+    ap.add_argument(
+        "--sf3",
+        action="store_true",
+        help="add a 30x point (scaledata/sf3.0, built on demand)",
+    )
+    ap.add_argument(
         "--out", default=os.path.join(_REPO, "BENCH_SCALING.json")
     )
     args = ap.parse_args()
+    if args.sf3:
+        SCALES.append(
+            ("sf3.0", 30.0, os.path.join(_REPO, "scaledata", "sf3.0"), 30)
+        )
 
     for _, _, d, factor in SCALES:
         if factor > 1 and (args.build or not os.path.isdir(d)):
@@ -174,7 +186,10 @@ def main() -> None:
 
             replicate(SRC, d, factor)
 
-    names = [n for n in QUERIES if (not args.only or args.only in n)]
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",") if n.strip()]
+    else:
+        names = [n for n in QUERIES if (not args.only or args.only in n)]
     spark = get_spark("wdp-bench-scaling")
     # warmup: codegen/JIT + parquet footers
     spark.read.parquet(f"{SRC}/lineitem.parquet").groupBy(
