@@ -78,8 +78,16 @@ def test_cc_round_body_stays_flat_for_20_rounds(spark):
         if rnd >= 6 and times[-1] > 30 * (sorted(times[:4])[1] + 0.05):
             break  # already exponential — fail below without hanging
     _free_ckpt(spark, label_ids)
+    # structural gate (primary): every round's checkpoint must still be a
+    # bare LogicalRDD leaf — the origin-strip working is WHAT makes rounds
+    # flat, and it cannot be tripped by host contention
+    assert "LogicalRDD" in labels._jdf.queryExecution().optimizedPlan().toString()
     early = sorted(times[1:5])[1]  # 2nd-smallest of rounds 2-5 (skip warmup)
-    late = max(times[-3:])
+    # median of the last 5 rounds (ADVICE r04): a single GC/scheduler stall
+    # on a contended host can spike ONE late round; the exponential failure
+    # inflates EVERY late round (x8 by round 19, doubling after), which no
+    # median can hide
+    late = sorted(times[-5:])[2]
     # 10x margin: scheduler noise is ~2x; the regression is >=8x by round 19
     # and doubling every round after — only the exponential failure trips this
     assert len(times) == 20 and late <= max(10 * early, early + 2.0), times

@@ -86,6 +86,35 @@ def test_ml_cache_lifecycle_alternating_keys(spark, sf_dir):
     _FEATS_CACHE.clear()
 
 
+def test_ml_cache_evict_skips_foreign_context_ids(spark, sf_dir):
+    """ADVICE r04: eviction must NOT free ids owned by a different (stopped,
+    replaced) SparkContext — after a restart RDD ids restart from 0, so a
+    stale id can collide with an unrelated live RDD in the new context. A
+    planted cache entry with a foreign applicationId but a LIVE victim's ids
+    must leave the victim's blocks persistent after eviction."""
+    from weather_data_pipeline_spark.operators.graph import (
+        _ckpt_tracked,
+        _free_ckpt,
+    )
+    from weather_data_pipeline_spark.plans.queries import (
+        _FEATS_CACHE,
+        _ml_feats,
+    )
+
+    victim, victim_ids = _ckpt_tracked(spark.range(10))
+    assert set(victim_ids) <= _persistent_rdd_ids(spark)
+    _FEATS_CACHE.clear()
+    # entry shape: (df, ids, owning applicationId) — a foreign app id with
+    # ids that COLLIDE with the live victim's
+    _FEATS_CACHE[("stale-key",)] = (None, list(victim_ids), "app-STALE")
+    _ml_feats(spark, sf_dir).count()  # evicts the planted entry
+    assert set(victim_ids) <= _persistent_rdd_ids(spark), (
+        "evict freed ids owned by a foreign context (id-collision hazard)"
+    )
+    _free_ckpt(spark, victim_ids)
+    _FEATS_CACHE.clear()
+
+
 def test_iterative_graph_loops_free_per_round_checkpoints(spark):
     """connected_components / k_core / pagerank must free each superstep's
     localCheckpoint blocks once the next round is materialized (ADVICE r02):
@@ -126,8 +155,10 @@ def test_iterative_graph_loops_free_per_round_checkpoints(spark):
 def test_block_pair_similarity_frees_block_table(spark, sf_dir):
     """cosine_near_dup_pairs / hard_negatives must free the corpus-sized
     block-table checkpoint once the candidate set is materialized (ADVICE
-    r03): only the SMALL candidate checkpoint may stay pinned per call —
-    repeated calls must not accumulate corpus copies in executor storage."""
+    r03), and — ADVICE r04 — the candidate checkpoints themselves must not
+    accumulate per CALL: each invocation frees the previous same-operator
+    invocation's candidate blocks (_ckpt_cand), so pinned storage is bounded
+    at one candidate set per OPERATOR regardless of call count."""
     from weather_data_pipeline_spark.operators.similarity import (
         cosine_near_dup_pairs,
         hard_negatives,
@@ -136,12 +167,12 @@ def test_block_pair_similarity_frees_block_table(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     before = _persistent_rdd_ids(spark)
-    for _ in range(2):  # a leak would grow per CALL, not just per operator
+    for _ in range(3):  # a leak would grow per CALL, not just per operator
         cosine_near_dup_pairs(emb, 0.4, block_rows=64).count()
         hard_negatives(emb, block_rows=64).count()
     new = _persistent_rdd_ids(spark) - before
-    # 4 calls × 1 candidate checkpoint each; block tables all freed
-    assert len(new) <= 4, f"pinned {len(new)} checkpoint RDD sets"
+    # 6 calls, but only the LATEST candidate checkpoint per operator stays
+    assert len(new) <= 2, f"pinned {len(new)} checkpoint RDD sets"
 
 
 def test_hard_negatives_count_then_collect_does_not_redo_matmul(spark, sf_dir):

@@ -17,8 +17,67 @@ itself never leaves the cluster. At 100 TB this is the standard scalable CC
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_STRIP_WARNED = False
+
+# --- checkpoint mode (VERDICT r04 #2) ---------------------------------------
+# `localCheckpoint` pins blocks in EXECUTOR storage: fast (no FS round-trip)
+# but not executor-loss-safe — on a real cluster, losing one executor
+# mid-loop loses its blocks and the truncated lineage cannot recompute them,
+# failing an hours-long corpus build unrecoverably. The opt-in reliable mode
+# routes every iterative checkpoint through `Dataset.checkpoint` against the
+# fault-tolerant checkpoint dir (HDFS/S3 on a cluster), so recovery replays
+# from files instead of dying. Local mode stays the default: single-JVM test
+# runs cannot lose an executor, and reliable checkpointing computes each
+# round twice (the eager action + the checkpoint-file write job).
+_RELIABLE = {"on": False}
+
+
+@contextmanager
+def reliable_checkpoints(spark: SparkSession, checkpoint_dir: str):
+    """Scoped opt-in: every `_ckpt_tracked`/`_ckpt_untracked` call inside the
+    `with` block (connected_components, pagerank, k_core, the block-pair
+    grid, semantic dedup) uses fault-tolerant `Dataset.checkpoint` into
+    `checkpoint_dir` instead of `localCheckpoint`. On a cluster point the
+    dir at HDFS/S3 and set `spark.cleaner.referenceTracking.cleanCheckpoints
+    =true` so checkpoint files are GC'd with their RDDs; `_free_ckpt` has
+    nothing to unpersist in this mode (no executor blocks are pinned).
+    Alternatively set $SPARK_GRAFT_RELIABLE_CKPT_DIR to enable globally."""
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    prev = _RELIABLE["on"]
+    _RELIABLE["on"] = True
+    try:
+        yield
+    finally:
+        _RELIABLE["on"] = prev
+
+
+def _reliable_on(spark: SparkSession) -> bool:
+    if _RELIABLE["on"]:
+        return True
+    d = os.environ.get("SPARK_GRAFT_RELIABLE_CKPT_DIR")
+    if d:
+        if spark.sparkContext.getCheckpointDir() is None:
+            spark.sparkContext.setCheckpointDir(d)
+        return True
+    return False
+
+
+def _ckpt_untracked(df: DataFrame) -> DataFrame:
+    """Materialize-once for PRE-LOOP frames (the doubled edge list, the
+    triangle join input): these live for the whole operator call, so their
+    blocks are freed by session GC, not per-round. Respects the reliable
+    opt-in so a cluster run's recovery story covers the loop INPUTS too —
+    losing the edge list's blocks mid-loop is the same unrecoverable failure
+    as losing a round's labels."""
+    if _reliable_on(df.sparkSession):
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def _strip_plan_origin(df: DataFrame) -> DataFrame:
@@ -39,7 +98,11 @@ def _strip_plan_origin(df: DataFrame) -> DataFrame:
 
     Uses an internal API (SparkSession.internalCreateDataFrame); falls back
     to the unmodified frame if unavailable (e.g. Spark Connect) — loops
-    still work there, only with the superlinear-round hazard."""
+    still work there, only with the superlinear-round hazard. The fallback
+    WARNS once per process (ADVICE r04): a silent strip failure would
+    silently re-enable the exponential per-round pathology, and the canary
+    test (tests/test_private_api_canaries.py) fails loudly on the version
+    bump that breaks the API."""
     try:
         spark = df.sparkSession
         rdd = df._jdf.queryExecution().toRdd()
@@ -50,7 +113,20 @@ def _strip_plan_origin(df: DataFrame) -> DataFrame:
             spark._jsparkSession.internalCreateDataFrame(rdd, schema, False),
             spark,
         )
-    except Exception:
+    except Exception as exc:
+        global _STRIP_WARNED
+        if not _STRIP_WARNED:
+            _STRIP_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "_strip_plan_origin fell back to the unstripped frame "
+                f"({type(exc).__name__}: {exc}); iterative checkpoint loops "
+                "may exhibit superlinear per-round driver cost on this "
+                "Spark build",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return df
 
 
@@ -62,7 +138,15 @@ def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
     taken around the eager checkpoint; loops run single-threaded on the
     driver so no interleaved checkpoint can slip into the window. The
     returned frame is origin-stripped (see _strip_plan_origin) so
-    loop-internal self-joins can't compound per-round driver cost."""
+    loop-internal self-joins can't compound per-round driver cost.
+
+    Under the `reliable_checkpoints` opt-in the materialization is a
+    fault-tolerant `Dataset.checkpoint` instead: data lands in checkpoint-dir
+    FILES, no executor blocks are pinned, and the returned id list is empty
+    (`_free_ckpt` then has nothing to do — file lifecycle belongs to the
+    ContextCleaner when `cleanCheckpoints=true`)."""
+    if _reliable_on(df.sparkSession):
+        return _strip_plan_origin(df.checkpoint(eager=True)), []
     sc = df.sparkSession.sparkContext
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     out = df.localCheckpoint(eager=True)
@@ -109,14 +193,16 @@ def connected_components(
     """
     # double the edges via explode — ONE scan of the (possibly expensive to
     # derive) edge input, unlike a self-union which would compute it twice
-    und = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
-                F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
-            )
-        ).alias("e")
-    ).select("e.s", "e.d").localCheckpoint()
+    und = _ckpt_untracked(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        ).select("e.s", "e.d")
+    )
     spark = edges.sparkSession
     labels, label_ids = _ckpt_tracked(
         und.select(F.col("s").alias("node"))
@@ -276,8 +362,8 @@ def triangle_stats(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> Da
     # without materialization Catalyst re-executes the (possibly expensive)
     # edge derivation per consumer — localCheckpoint runs it once and is
     # session-safe (no persist() to leak)
-    e = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")).localCheckpoint(
-        eager=True
+    e = _ckpt_untracked(
+        edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
     )
     both = e.select(F.col("id_a").alias("node")).unionAll(
         e.select(F.col("id_b").alias("node"))
