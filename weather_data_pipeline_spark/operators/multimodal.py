@@ -107,7 +107,12 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, schema=out_schema)
+    # a NULL payload (missing/corrupt blob) has no bytes to featurize; drop
+    # it JVM-side before the Arrow transfer — at 100 TB one bad object must
+    # not kill the extraction job (registry-wide degenerate-input contract)
+    return df.where(F.col("payload").isNotNull()).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -140,6 +140,10 @@ def _block_pair_grid(
     from .graph import _ckpt_tracked
 
     spark = emb.sparkSession
+    # a NULL vector has no geometry — it can contribute to no pair; drop it
+    # before blocking (the n_rows hint may still count such rows: it only
+    # sets block granularity, never correctness)
+    emb = emb.where(F.col(vec_col).isNotNull())
     n = n_rows if n_rows is not None else emb.count()
     n_blocks = max(1, math.ceil(n / block_rows))
     fields = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")] + [
@@ -168,6 +172,38 @@ def _block_pair_grid(
         max(1, min(n_pairs, 4 * spark.sparkContext.defaultParallelism))
     )
     return pairs, n_blocks, ckpt_ids
+
+
+# Latest candidate checkpoint per operator: (owning applicationId, RDD ids).
+# See _ckpt_cand for the deferred-free contract.
+_PREV_CAND: dict = {}
+
+
+def _ckpt_cand(op: str, df: DataFrame) -> DataFrame:
+    """Eager candidate checkpoint with DEFERRED freeing (ADVICE r04): the
+    candidate frame feeds the RETURNED lazy plan, so its blocks cannot be
+    freed inside this call — instead each invocation frees the PREVIOUS
+    same-operator invocation's candidate blocks. Pinned executor storage is
+    then bounded at ONE candidate set per operator for the session, instead
+    of growing one set per call. Contract: an operator's returned frame is
+    valid until the NEXT call of the SAME operator (the registry, bench and
+    driver all consume results before re-invoking — the same single-entry
+    rationale as the ML caches, plans/queries.py:1395).
+
+    The free is guarded by the owning context's applicationId: after a
+    session restart RDD ids restart from 0, and freeing a stale id through a
+    NEW context could unpersist an unrelated RDD (the id-collision hazard
+    ADVICE r04 flags on the ML cache evict path)."""
+    from .graph import _ckpt_tracked, _free_ckpt
+
+    spark = df.sparkSession
+    app = spark.sparkContext.applicationId
+    prev = _PREV_CAND.pop(op, None)
+    out, ids = _ckpt_tracked(df)
+    if prev is not None and prev[0] == app:
+        _free_ckpt(spark, prev[1])
+    _PREV_CAND[op] = (app, ids)
+    return out
 
 
 def _unpack_block(items) -> tuple:
@@ -200,7 +236,7 @@ def cosine_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    from .graph import _ckpt_tracked, _free_ckpt
+    from .graph import _free_ckpt
 
     pairs, _, grid_ids = _block_pair_grid(
         emb, id_col, vec_col, block_rows=block_rows, n_rows=n_rows
@@ -244,9 +280,11 @@ def cosine_near_dup_pairs(
     # materialize the (small) surviving-candidate set eagerly: the exact
     # re-score below — and any caller action after it — replays from this
     # checkpoint instead of re-running the full O(n²) block matmul, and it
-    # lets us free the corpus-sized block-table checkpoint right away
-    cand, _ = _ckpt_tracked(
-        pairs.mapInPandas(gen_pairs, schema="id_a long, id_b long")
+    # lets us free the corpus-sized block-table checkpoint right away; the
+    # candidate blocks themselves are freed by the NEXT call (_ckpt_cand)
+    cand = _ckpt_cand(
+        "cosine_near_dup_pairs",
+        pairs.mapInPandas(gen_pairs, schema="id_a long, id_b long"),
     )
     _free_ckpt(emb.sparkSession, grid_ids)
     a = _with_norm(
@@ -400,7 +438,15 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    # NULL vectors can't train or be assigned to a codebook — drop at entry
+    emb = emb.where(F.col(vec_col).isNotNull())
     with_vec = emb.withColumn("_vec", array_to_vector(F.col(vec_col).cast("array<double>")))
+    # a codebook can't have more centers than the corpus has rows: KMeans
+    # init throws on k > n, and its param validator requires k >= 2 — so the
+    # floor is 2 and CALLERS must handle corpora of < 2 rows themselves
+    # (registry-wide degenerate-input contract). The probe reads at most
+    # n_centroids rows — not a corpus scan.
+    n_centroids = max(2, min(n_centroids, with_vec.limit(n_centroids).count()))
     # maxIter=10: codebook/centroid quality plateaus well before the default
     # 20 on this data (recall/distortion gates unchanged) at half the cost;
     # at 100 TB you additionally train on a sample, not the full corpus
@@ -429,8 +475,10 @@ def ivf_topk(
     Recall < 1 by construction (measured in tests)."""
     import numpy as np
 
-    if emb.limit(1).count() == 0:
-        # no corpus -> no codebook to train; a well-defined empty answer
+    emb = emb.where(F.col(vec_col).isNotNull())  # no geometry, no neighbors
+    if emb.limit(2).count() < 2:
+        # <2 corpus rows: no codebook to train (KMeans needs k>=2), and the
+        # self-excluded neighbor set is empty anyway — well-defined empty
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, rank int"
         )
@@ -499,6 +547,7 @@ def pq_encode(
     from pyspark.ml.functions import array_to_vector
 
     spark = emb.sparkSession
+    emb = emb.where(F.col(vec_col).isNotNull())  # no bytes, no codes
     drow = emb.select(F.size(vec_col).alias("d")).first()
     if drow is None:
         # empty corpus -> no codebooks to train; well-defined empty answer
@@ -523,6 +572,21 @@ def pq_encode(
             for j in range(m)
         ],
     ).cache()
+    # per-subspace codebooks can't exceed the corpus row count (KMeans init
+    # throws on k > n, its validator requires k >= 2); a single-row corpus
+    # needs no codebook at all — one implicit centroid (the vector itself)
+    # reproduces it exactly: codes all 0, recon_err 0. The probe reads at
+    # most k rows, not the corpus.
+    n_avail = base.limit(k).count()
+    if n_avail < 2:
+        out = base.select(
+            id_col,
+            F.array(*[F.lit(0) for _ in range(m)]).alias("codes"),
+            F.lit(0.0).alias("recon_err"),
+        )
+        base.unpersist()
+        return out
+    k = min(k, n_avail)
     models = [
         KMeans(
             k=k,
@@ -603,9 +667,11 @@ def ivf_pq_adc_topk(
     from pyspark.ml.functions import array_to_vector
 
     spark = emb.sparkSession
+    emb = emb.where(F.col(vec_col).isNotNull())  # no geometry, no neighbors
     drow = emb.select(F.size(vec_col).alias("d")).first()
-    if drow is None:
-        # empty corpus -> no quantizers to train; well-defined empty answer
+    if drow is None or emb.limit(2).count() < 2:
+        # <2 corpus rows: no quantizers to train (KMeans needs k>=2), and
+        # the self-excluded neighbor set is empty anyway — well-defined empty
         return spark.createDataFrame(
             [],
             "query_id long, neighbor_id long, adc_dist double, "
@@ -614,6 +680,12 @@ def ivf_pq_adc_topk(
     d = drow["d"]
     assert d % m == 0
     sub = d // m
+    # quantizer sizes can't exceed the corpus row count (KMeans init throws
+    # on k > n, validator floor k >= 2); the probe reads at most max(k)
+    # rows, not the corpus
+    n_avail = emb.limit(max(n_centroids, n_codes)).count()
+    n_centroids = max(2, min(n_centroids, n_avail))
+    n_codes = max(2, min(n_codes, n_avail))
 
     assigned, ivf_model = ivf_index(emb, n_centroids, vec_col, seed)
     centers = np.array(ivf_model.clusterCenters())
@@ -868,7 +940,7 @@ def hard_negatives(
 
     from pyspark.sql import Window
 
-    from .graph import _ckpt_tracked, _free_ckpt
+    from .graph import _free_ckpt
 
     pairs, _, grid_ids = _block_pair_grid(
         emb, id_col, vec_col, extra_cols=(label_col,), block_rows=block_rows,
@@ -937,9 +1009,11 @@ def hard_negatives(
 
     # eager checkpoint: every action on the returned frame (count + collect,
     # say) replays from the small candidate set instead of redoing the full
-    # O(n²) matmul, and the corpus-sized block table can be freed immediately
-    cand, _ = _ckpt_tracked(
-        pairs.mapInPandas(gen_cand, schema="id long, neg_id long")
+    # O(n²) matmul, and the corpus-sized block table can be freed immediately;
+    # the candidate blocks themselves are freed by the NEXT call (_ckpt_cand)
+    cand = _ckpt_cand(
+        "hard_negatives",
+        pairs.mapInPandas(gen_cand, schema="id long, neg_id long"),
     )
     _free_ckpt(emb.sparkSession, grid_ids)
     a = _with_norm(

@@ -1435,14 +1435,20 @@ def _ml_feats(spark, sf_dir):
             # parallelize without per-task overhead swamping 4k rows
             .repartition(8)
         )
-        return df, ids
+        # the owning context's applicationId rides along so eviction can
+        # tell whether the ids still mean anything (ADVICE r04): after a
+        # session restart RDD ids restart from 0, and freeing a stale id
+        # through the NEW context could unpersist an unrelated RDD
+        return df, ids, spark.sparkContext.applicationId
 
     def evict(old):
         # free the evicted frame's checkpoint blocks — eviction without this
-        # pinned one 4k-row frame per (session, sf_dir) ever used
-        _free_ckpt(spark, old[1])
+        # pinned one 4k-row frame per (session, sf_dir) ever used; skip when
+        # the entry belongs to a different (stopped/replaced) context
+        if old[2] == spark.sparkContext.applicationId:
+            _free_ckpt(spark, old[1])
 
-    df, _ids = _one_entry_cache(
+    df, _ids, _app = _one_entry_cache(
         _FEATS_CACHE, (id(spark), sf_dir), build, on_evict=evict
     )
     return df
@@ -5855,11 +5861,20 @@ def pca_embeddings(spark, sf_dir):
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("_v")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        # a NULL vector contributes nothing to the covariance and has no
+        # projection — drop at entry (degenerate-input contract)
+        .where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("_v"),
+        )
     )
-    if emb.limit(1).count() == 0:
-        # empty store: no covariance to decompose — well-defined empty answer
+    if emb.limit(2).count() < 2:
+        # empty or single-row store: the covariance (hence the components)
+        # is undefined below 2 rows — well-defined empty answer, not an
+        # IllegalArgumentException from RowMatrix.computeCovariance
         return spark.createDataFrame(
             [],
             "vec_id long, "
