@@ -15,6 +15,17 @@ budget runs out is listed in `not_benched` rather than silently dropped.
 
 Each query is forced to full execution with a count() action on the final
 plan, which executes every operator.
+
+Load-proofing (VERDICT r04 #1 — two consecutive rounds lost signal to
+ambient host load): the artifact records loadavg + cpu count at start and
+end, an idle gate WARNS (or refuses under $SPARK_GRAFT_BENCH_STRICT=1) when
+the host is already busy, a fixed calibration query runs best-of-3 first so
+every timing can be read both raw and calibration-normalized, and the
+headline set is best-of-3 (median-free min, like before, but with one more
+draw against transient spikes). The round label comes from $SPARK_GRAFT_ROUND
+when set (ADVICE r04: within-round recaptures must label themselves
+explicitly); the max(BENCH_r*)+1 inference stays as the driver fallback and
+warns when it replaces an existing BENCH_FULL file.
 """
 
 from __future__ import annotations
@@ -37,6 +48,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # reported in `not_benched`, never silently dropped
 FULL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
 _T_START = time.perf_counter()
+
+# Calibration anchor: q1_pricing_summary best-of-3 on an IDLE host at sf0.1
+# (local[32], this container class). Timings normalize as
+# raw * (REFERENCE_CALIBRATION_SEC / measured_calibration) — a host running
+# 30 % slow inflates the calibration by the same ~30 %, so normalized
+# numbers stay round-over-round comparable even when ambient load isn't.
+# Only meaningful at the default sf0.1; other SFs record the measurement but
+# skip normalization.
+CALIBRATION_QUERY = "q1_pricing_summary"
+REFERENCE_CALIBRATION_SEC = 0.50  # measured best-of-5, idle, round 5
+# idle gate: 1-min loadavg per cpu above this at START means another
+# workload is already running and every number will be inflated
+IDLE_LOAD_PER_CPU = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.25"))
 
 # Headline set: one per operator family — scan/agg/join/window/custom-window/
 # text/dedup/similarity/streaming/feature-pipeline
@@ -137,6 +161,18 @@ def _run_once(spark, name: str) -> float:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    ncpus = os.cpu_count() or 1
+    load_start = os.getloadavg()
+    idle_ok = load_start[0] / ncpus <= IDLE_LOAD_PER_CPU
+    if not idle_ok:
+        msg = (
+            f"bench: host NOT idle (loadavg {load_start[0]:.2f} on {ncpus} "
+            f"cpus > {IDLE_LOAD_PER_CPU}/cpu) — timings will be inflated"
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+            print(msg + "; refusing under SPARK_GRAFT_BENCH_STRICT", file=sys.stderr)
+            sys.exit(3)
+        print(msg, file=sys.stderr)
     spark = get_spark("wdp-bench")
     # JVM + whole-stage-codegen + parquet-footer warmup: a scan-agg-join that
     # exercises the codegen/JIT paths so the first measured query doesn't pay
@@ -145,13 +181,36 @@ def main() -> None:
     warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().count()
 
-    # best-of-2 per query: single-JVM local mode shares the host with other
+    # fixed calibration query FIRST (best-of-3): one number that captures how
+    # slow THIS host is right now, so every other timing can be normalized
+    calibration = round(
+        min(_run_once(spark, CALIBRATION_QUERY) for _ in range(3)), 4
+    )
+    at_default_sf = os.path.realpath(SF_DIR) == os.path.realpath(
+        "/root/testdata/sf0.1"
+    )
+    cal_scale = (
+        round(REFERENCE_CALIBRATION_SEC / calibration, 4)
+        if at_default_sf and calibration > 0
+        else None
+    )
+    cal_info = {
+        "query": CALIBRATION_QUERY,
+        "sec": calibration,
+        "reference_sec": REFERENCE_CALIBRATION_SEC if at_default_sf else None,
+        "scale": cal_scale,  # multiply raw timings by this to normalize
+    }
+
+    # best-of-3 per query: single-JVM local mode shares the host with other
     # work, so one-shot wall times mix engine cost with transient load; the
-    # min of two runs is a stable estimate of true plan cost.
+    # min of three runs is a stable estimate of true plan cost.
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in REGISTRY]
     for name in names:
-        timings[name] = round(min(_run_once(spark, name) for _ in range(2)), 4)
+        best = calibration if name == CALIBRATION_QUERY else min(
+            _run_once(spark, name) for _ in range(3)
+        )
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
 
     # full-registry pass, single shot each, budget-bounded; headline queries
@@ -201,6 +260,14 @@ def main() -> None:
     # its window and truncated the round-2 headline (BENCH_r02 parsed: null).
     # The last line is the compact headline JSON only (~1.5 KB, always whole).
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    load_end = os.getloadavg()
+    load_info = {
+        "ncpus": ncpus,
+        "loadavg_start": [round(v, 2) for v in load_start],
+        "loadavg_end": [round(v, 2) for v in load_end],
+        "idle_at_start": idle_ok,
+        "max_load_per_cpu": IDLE_LOAD_PER_CPU,
+    }
     detail = {
         "metric": "full_registry_detail",
         "families": families,
@@ -209,21 +276,45 @@ def main() -> None:
         "n_full": len(full),
         "not_benched": not_benched,
         "sf": sf_val,
+        "calibration": cal_info,
+        "load": load_info,
+        "duration_sec": round(time.perf_counter() - _T_START, 1),
     }
-    print(json.dumps(detail))
+    if cal_scale is not None:
+        # calibration-normalized view of the full pass: what the same run
+        # would have read on the reference idle host
+        detail["full_normalized"] = {
+            n: round(v * cal_scale, 4) for n, v in full.items() if v > 0
+        }
+    print(json.dumps({k: v for k, v in detail.items() if k != "full_normalized"}))
     # ALSO persist the detail to a committed per-round file: the driver's
     # 2,000-char stdout tail can't hold ~200 per-query timings, so without
     # this the full-registry numbers are lost to history and round-over-round
-    # per-query regression diffs are impossible (VERDICT r03 #3). Round N =
-    # one past the highest recorded BENCH_r{N}.json (the driver writes that
-    # artifact AFTER bench runs, so during round N only rounds < N exist).
+    # per-query regression diffs are impossible (VERDICT r03 #3). Round N
+    # comes from $SPARK_GRAFT_ROUND when set (ADVICE r04: within-round
+    # recaptures label themselves explicitly instead of stealing the next
+    # round's slot); fallback = one past the highest recorded
+    # BENCH_r{N}.json (the driver writes that artifact AFTER bench runs, so
+    # during round N only rounds < N exist) — warning when it replaces a
+    # file some earlier run already wrote.
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(here)
-        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-    ]
-    out = os.path.join(here, f"BENCH_FULL_r{(max(rounds, default=0) + 1):02d}.json")
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round:
+        rnd = int(env_round)
+    else:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        rnd = max(rounds, default=0) + 1
+    out = os.path.join(here, f"BENCH_FULL_r{rnd:02d}.json")
+    if os.path.exists(out) and not env_round:
+        print(
+            f"bench: replacing existing {os.path.basename(out)} (inferred "
+            "round; set SPARK_GRAFT_ROUND to label recaptures explicitly)",
+            file=sys.stderr,
+        )
     with open(out, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -238,6 +329,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "full_total": round(sum(v for v in full.values() if v > 0), 4),
                 "n_full": len(full),
+                "calibration": cal_info,
+                "load": load_info,
             }
         )
     )
