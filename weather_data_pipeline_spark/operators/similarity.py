@@ -386,7 +386,22 @@ def lsh_bucket_topk(
     Two-phase scoring like cosine_topk: norms are precomputed once per
     vector, the in-bucket ranking uses the cheap double fold, and only the
     k survivors per query get the exact decimal cosine (3 decimal folds per
-    PAIR would dominate the whole job)."""
+    PAIR would dominate the whole job).
+
+    Parallelism is PINNED through the two fan-out hazards (round-5 profiling
+    — the per-pair cosine was running in 3 tasks at sf3.0, 32 cores idle):
+    (a) a small-file corpus scan spreads over the cluster before the
+    HOF-heavy bucket assignment (no-op at 100 TB where the scan already has
+    plenty of splits — gated on the actual partition count); (b) the bucket
+    join's output is ~occupancy× larger than its inputs, and AQE sizes
+    post-shuffle partitions on INPUT bytes, so the expensive per-pair stage
+    inherits a handful of coalesced partitions — an explicit repartition on
+    query_id (the distribution the top-k window needs anyway, so no second
+    exchange) fans the work back out."""
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
     with_b = _with_norm(add_lsh_bucket(emb, vec_col, n_planes), vec_col, "_n2")
     a = with_b.select(
         F.col(id_col).alias("query_id"),
@@ -400,7 +415,11 @@ def lsh_bucket_topk(
         F.col("_n2").alias("nn"),
         "lsh_bucket",
     )
-    pairs = a.join(b, "lsh_bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    pairs = (
+        a.join(b, "lsh_bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .repartition(par, F.col("query_id"))
+    )
     fast = pairs.withColumn(
         "_fast_sim",
         _dot_double(F.col("qv"), F.col("nv"))
