@@ -174,6 +174,12 @@ def main() -> None:
     ap.add_argument(
         "--out", default=os.path.join(_REPO, "BENCH_SCALING.json")
     )
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="update the selected queries inside an existing --out file "
+        "(keeping everyone else's fits) instead of replacing it wholesale",
+    )
     args = ap.parse_args()
     if args.sf3:
         SCALES.append(
@@ -231,6 +237,7 @@ def main() -> None:
             entry["exponent"] = round(
                 sum((x - mx) * (y - my) for x, y in pts) / denom, 3
             )
+        entry["fit_points"] = len(pts)
         results[name] = entry
         print(
             f"{name:45s} {fam:16s} "
@@ -238,6 +245,13 @@ def main() -> None:
             + f" e={entry.get('exponent')}",
             flush=True,
         )
+
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as fh:
+            prior = json.load(fh)
+        merged = prior.get("queries", {})
+        merged.update(results)
+        results = merged
 
     fams: dict[str, list[float]] = {}
     for e in results.values():
