@@ -168,6 +168,73 @@ def _free_ckpt(spark: SparkSession, ids: list[int]) -> None:
             rdd.unpersist(False)
 
 
+# propagation burst length between contractions: long enough that easy
+# graphs (near-dup cliques, diameter <= ~3, and pointer-jumped chains)
+# converge at level 0 with zero contraction overhead, short enough that a
+# crawling min triggers contraction instead of a 40-round tail
+_LEVEL_ROUNDS = 8
+
+
+def _min_label_rounds(
+    und: DataFrame, rounds: int, init=None
+) -> tuple[DataFrame, list[int], bool, int, int]:
+    """Min-label propagation + pointer jump over a SYMMETRIC edge frame for
+    at most `rounds` supersteps, optionally resuming from `init` =
+    (labels, label_ids) of a previous burst. Returns (labels, label_ids,
+    converged, rounds_used, last_n_changed); `labels` is an eagerly
+    checkpointed (node, label, _chg) frame covering every node of `und`.
+
+    Per round: one join (neighbor messages) + one min-agg + the jump join,
+    all keyed on node ids. The convergence signal rides INSIDE the
+    checkpointed frame as a per-node changed flag (one extra byte per row):
+    the old-vs-new comparison executes during the checkpoint's own
+    materialization job, and the convergence count is a trivial scan of the
+    checkpointed blocks instead of a second join+shuffle job per round
+    (round-5 profiling: the count join cost as much as the round itself).
+    Correctness invariant, preserved by both steps: label(u) only ever
+    decreases and is always the id of a node in u's component."""
+    spark = und.sparkSession
+    if init is not None:
+        labels, label_ids = init
+    else:
+        labels, label_ids = _ckpt_tracked(
+            und.select(F.col("s").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
+    n_changed = -1
+    for rnd in range(rounds):
+        cur = labels.select("node", "label")
+        msgs = und.join(cur, und.s == cur.node).select(
+            F.col("d").alias("node"), "label"
+        )
+        prop = cur.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        # pointer jump: follow the label one hop (labels are node ids, and
+        # every node has a label row, so the join hits unless label==node)
+        jump = cur.select(
+            F.col("node").alias("label"), F.col("label").alias("_ll")
+        )
+        old = cur.select("node", F.col("label").alias("_old"))
+        new_labels, new_ids = _ckpt_tracked(
+            prop.join(jump, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .join(old, "node")
+            .select("node", "label", (F.col("label") != F.col("_old")).alias("_chg"))
+        )
+        n_changed = new_labels.where(F.col("_chg")).count()
+        # the changed-flag join was the last reader of the OLD labels
+        _free_ckpt(spark, label_ids)
+        labels, label_ids = new_labels, new_ids
+        if n_changed == 0:
+            return labels, label_ids, True, rnd + 1, 0
+    return labels, label_ids, False, rounds, n_changed
+
+
 def connected_components(
     edges: DataFrame, src: str = "s", dst: str = "d", max_iter: int = 100
 ) -> DataFrame:
@@ -175,22 +242,29 @@ def connected_components(
 
     `edges` is treated as undirected (each pair is doubled internally);
     `component` is the minimum node id in the component — deterministic.
-    Raises RuntimeError if propagation hasn't converged after max_iter
-    supersteps.
+    Raises RuntimeError if the total superstep budget (`max_iter`) is
+    exhausted before convergence.
 
-    Each superstep is neighbor min-propagation PLUS a pointer jump
-    (label ← label-of-label): on path/tree graphs the jump doubles the
-    effective propagation distance per round (a 150-hop chain converges in
-    8 rounds instead of 150); on adversarial id-orderings it still
-    shortcuts but not to a strict log bound (the sf1.0 semantic-dedup
-    graph, diameter > 25, converges in 48 cheap rounds — measured).
-    max_iter=100 covers that with margin; rounds are FLAT-cost because
-    every checkpoint is origin-stripped (see _strip_plan_origin — without
-    it, the jump's self-join makes per-round driver time double).
-    Correctness invariant, preserved by both steps: label(u) only ever
-    decreases and is always the id of a node in u's component, so the
-    unique fixpoint labels every node with the component minimum.
-    """
+    MULTILEVEL CONTRACTION (round 5): min-label propagation + pointer jump
+    converges fast on most graphs, but on real candidate graphs with
+    adversarial id orderings the min can crawl — the sf1.0 semantic-dedup
+    graph took 49 rounds, with a ~20-round tail moving <10 labels each
+    (measured; extra jumps per round did NOT shorten it, because the jump
+    only shortcuts within already-discovered label trees). So propagation
+    runs in capped bursts of `_LEVEL_ROUNDS`; if a burst doesn't converge,
+    the label forest is CONTRACTED — one join per endpoint maps every edge
+    to (label(s), label(d)), cross-tree edges are deduplicated — and the
+    loop recurses on the super-node graph, which shrinks at least
+    tree-fold per level. Final labels compose back down through the level
+    maps (min of mins = the same unique fixpoint, so the result is
+    bit-identical to single-level propagation and the recursive-CTE
+    oracles). Worst case O(log n) levels × capped rounds instead of O(n)
+    crawl — the difference between 40 rounds and an unbounded job on a
+    100 TB pathological graph.
+
+    Rounds are FLAT-cost because every checkpoint is origin-stripped (see
+    _strip_plan_origin — without it, the jump's self-join makes per-round
+    driver time double)."""
     # double the edges via explode — ONE scan of the (possibly expensive to
     # derive) edge input, unlike a self-union which would compute it twice
     und = _ckpt_untracked(
@@ -204,41 +278,77 @@ def connected_components(
         ).select("e.s", "e.d")
     )
     spark = edges.sparkSession
-    labels, label_ids = _ckpt_tracked(
-        und.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
-    for _ in range(max_iter):
-        msgs = und.join(labels, und.s == labels.node).select(
-            F.col("d").alias("node"), "label"
+    budget = max_iter
+    level_maps: list[tuple[DataFrame, list[int]]] = []  # (labels, ids) per level
+    und_ids: list[int] = []  # tracked ids of CONTRACTED und frames (level>0)
+    carry = None  # resume state for an extra burst on the same level
+    bursts_this_level = 0
+    while True:
+        rounds = min(_LEVEL_ROUNDS, budget)
+        labels, label_ids, converged, used, last_chg = _min_label_rounds(
+            und, rounds, carry
         )
-        prop = labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        # pointer jump: follow the label one hop (labels are node ids, and
-        # every node has a label row, so the join hits unless label==node)
-        jump = labels.select(
-            F.col("node").alias("label"), F.col("label").alias("_ll")
-        )
-        new_labels, new_ids = _ckpt_tracked(
-            prop.join(jump, "label", "left").select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
-                    "label"
-                ),
+        carry = None
+        bursts_this_level += 1
+        budget -= used
+        if converged:
+            break
+        if budget <= 0:
+            _free_ckpt(spark, label_ids)
+            for _, ids in level_maps:
+                _free_ckpt(spark, ids)
+            _free_ckpt(spark, und_ids)
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} rounds"
             )
+        # adaptive trigger: a burst that ends still moving MANY labels is a
+        # fast-converging graph one or two rounds short (contraction would
+        # cost more than it saves — two whole-edge-set joins); a burst that
+        # ends moving a FEW is the crawl. One extra burst max per level so
+        # the O(log n)-level guarantee survives adversarial decay shapes.
+        if bursts_this_level < 2:
+            n_nodes = labels.count()  # scan of the checkpoint — cheap
+            if last_chg > max(32, n_nodes // 20):
+                carry = (labels, label_ids)
+                continue
+        bursts_this_level = 0
+        # contract: map both endpoints through the current labels and keep
+        # deduplicated cross-tree edges; und is symmetric, so the contracted
+        # frame is symmetric too (no re-doubling)
+        lab_s = labels.select(F.col("node").alias("s"), F.col("label").alias("_ls"))
+        lab_d = labels.select(F.col("node").alias("d"), F.col("label").alias("_ld"))
+        cund, cund_ids = _ckpt_tracked(
+            und.join(lab_s, "s")
+            .join(lab_d, "d")
+            .where(F.col("_ls") != F.col("_ld"))
+            .select(F.col("_ls").alias("s"), F.col("_ld").alias("d"))
+            .distinct()
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+        # the contraction join was the last reader of the previous level's
+        # und (level-0 und is untracked/session-scoped, ids empty)
+        _free_ckpt(spark, und_ids)
+        und, und_ids = cund, cund_ids
+        level_maps.append((labels, label_ids))
+    # compose back down: every level's label is a node id one level up; a
+    # label with no cross-tree edge never reached the next level and keeps
+    # its value through the left join + coalesce
+    final = labels.select("node", "label")
+    for lv_labels, _ in reversed(level_maps):
+        up = final.select(F.col("node").alias("label"), F.col("label").alias("_up"))
+        final = (
+            lv_labels.select("node", "label")
+            .join(up, "label", "left")
+            .select("node", F.coalesce(F.col("_up"), F.col("label")).alias("label"))
         )
-        # the convergence count was the last reader of the OLD labels
+    if level_maps:
+        # eager checkpoint materializes the composition before the level
+        # maps it reads are freed
+        final, _final_ids = _ckpt_tracked(final)
         _free_ckpt(spark, label_ids)
-        labels, label_ids = new_labels, new_ids
-        if n_changed == 0:
-            return labels.select("node", F.col("label").alias("component"))
-    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+        for _, ids in level_maps:
+            _free_ckpt(spark, ids)
+        _free_ckpt(spark, und_ids)
+    return final.select("node", F.col("label").alias("component"))
 
 
 def component_sizes(cc: DataFrame) -> DataFrame:

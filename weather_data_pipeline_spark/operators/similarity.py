@@ -861,9 +861,20 @@ def semantic_dedup_keep_list(
     oracle-able. Scale shape: candidates are linear (explode to
     (table, bucket) keys + equi-join, no all-pairs), components converge in
     O(cluster diameter) BSP rounds, and the final keep decision is two
-    dimension-sized joins."""
+    dimension-sized joins.
+
+    Parallelism is pinned through the two fan-out hazards (round-5
+    profiling, same trap as lsh_bucket_topk): a small-file corpus scan
+    spreads before the 16-hyperplane bucket assignment, and the candidate
+    set repartitions on id_a before edge verification — the per-pair
+    fast+exact cosine folds otherwise inherit the TINY exploded-key join's
+    AQE-coalesced partitioning (single-digit tasks for the most expensive
+    stage of the query)."""
     from .graph import connected_components
 
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
     tb = _with_norm(emb, vec_col, "_n2").withColumns(
         multi_table_bucket_cols(vec_col, n_tables, planes_per_table)
     )
@@ -892,6 +903,7 @@ def semantic_dedup_keep_list(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+        .repartition(par, F.col("id_a"))
     )
     look_a = tb.select(
         F.col(id_col).alias("id_a"),
