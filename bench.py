@@ -47,6 +47,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # a driver timeout and lose the output entirely; unvisited queries are
 # reported in `not_benched`, never silently dropped
 FULL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+# extra wall allowance, AFTER the full pass, for re-drawing outlier readings
+# (single-shot timings that look like contention spikes — see the
+# re-measurement block in main)
+RETRY_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "60"))
 _T_START = time.perf_counter()
 
 # Calibration anchor: q1_pricing_summary best-of-3 on an IDLE host at sf0.1
@@ -245,6 +249,41 @@ def main() -> None:
             full[name] = round(_run_once(spark, name), 4)
         except Exception:
             full[name] = -1.0  # errored; visible, not silently dropped
+
+    # Outlier re-measurement: a single-shot reading is one draw against
+    # ambient load, and two rounds of artifacts carried multi-second
+    # contention spikes that a warm re-run refutes (cosine_near_dup: 18.5 s
+    # single-shot vs 1.6-3.9 s on every controlled re-measure, r4+r5). Any
+    # reading >3x its family median (and >2 s) gets ONE more draw, min
+    # kept; ml_train is exempt (training cost is genuinely the reading).
+    # Both draws are recorded so the artifact shows what was corrected.
+    fam_vals: dict[str, list[float]] = {}
+    for name, dt in full.items():
+        if dt > 0:
+            fam_vals.setdefault(family(name), []).append(dt)
+    fam_median = {
+        f: sorted(v)[len(v) // 2] for f, v in fam_vals.items()
+    }
+    suspects = sorted(
+        (
+            (dt, name)
+            for name, dt in full.items()
+            if family(name) != "ml_train"
+            and dt > max(2.0, 3 * fam_median[family(name)])
+        ),
+        reverse=True,
+    )
+    remeasured: dict[str, list[float]] = {}
+    retry_deadline = time.perf_counter() + RETRY_BUDGET
+    for dt, name in suspects:
+        if time.perf_counter() + dt > retry_deadline:
+            continue  # a re-draw we can't afford; keep the raw reading
+        try:
+            again = round(_run_once(spark, name), 4)
+        except Exception:
+            continue
+        remeasured[name] = [dt, again]
+        full[name] = min(dt, again)
     families: dict[str, dict] = {}
     for name, dt in full.items():
         if dt < 0:
@@ -275,6 +314,7 @@ def main() -> None:
         "full_total": round(sum(v for v in full.values() if v > 0), 4),
         "n_full": len(full),
         "not_benched": not_benched,
+        "remeasured": remeasured,
         "sf": sf_val,
         "calibration": cal_info,
         "load": load_info,
