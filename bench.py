@@ -268,8 +268,12 @@ def main() -> None:
         (
             (dt, name)
             for name, dt in full.items()
-            if family(name) != "ml_train"
-            and dt > max(2.0, 3 * fam_median[family(name)])
+            # dt > 0 also covers the family-wide-error case: a family whose
+            # every reading errored (-1.0) never enters fam_median, and a
+            # KeyError here would lose the whole run's artifact (ADVICE r05)
+            if dt > 0
+            and family(name) != "ml_train"
+            and dt > max(2.0, 3 * fam_median.get(family(name), float("inf")))
         ),
         reverse=True,
     )

@@ -101,12 +101,18 @@ def test_ml_cache_evict_skips_foreign_context_ids(spark, sf_dir):
         _ml_feats,
     )
 
+    import threading
+
     victim, victim_ids = _ckpt_tracked(spark.range(10))
     assert set(victim_ids) <= _persistent_rdd_ids(spark)
     _FEATS_CACHE.clear()
-    # entry shape: (df, ids, owning applicationId) — a foreign app id with
-    # ids that COLLIDE with the live victim's
-    _FEATS_CACHE[("stale-key",)] = (None, list(victim_ids), "app-STALE")
+    # cache maps thread_ident -> (key, entry); entry shape is
+    # (df, ids, owning applicationId) — plant a foreign app id with ids that
+    # COLLIDE with the live victim's, under THIS thread so eviction sees it
+    _FEATS_CACHE[threading.get_ident()] = (
+        ("stale-key",),
+        (None, list(victim_ids), "app-STALE"),
+    )
     _ml_feats(spark, sf_dir).count()  # evicts the planted entry
     assert set(victim_ids) <= _persistent_rdd_ids(spark), (
         "evict freed ids owned by a foreign context (id-collision hazard)"

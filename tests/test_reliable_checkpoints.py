@@ -114,6 +114,99 @@ def test_reliable_pagerank_and_kcore_match_local(spark, tmp_path):
     assert kc_rel == kc_local
 
 
+def _lossy_ckpts(spark, monkeypatch):
+    """Patch BOTH checkpoint helpers to nuke every persisted block right
+    after each checkpoint materializes — total executor-storage loss after
+    every stage of the operator, the worst case an hours-long corpus build
+    can meet. similarity.py imports the helpers per-call from graph, so
+    patching the graph module attributes covers _ckpt_cand and
+    _block_pair_grid too."""
+    orig_t, orig_u = graph._ckpt_tracked, graph._ckpt_untracked
+
+    def lossy_t(df):
+        out = orig_t(df)
+        _nuke_all_blocks(spark)
+        return out
+
+    def lossy_u(df):
+        out = orig_u(df)
+        _nuke_all_blocks(spark)
+        return out
+
+    monkeypatch.setattr(graph, "_ckpt_tracked", lossy_t)
+    monkeypatch.setattr(graph, "_ckpt_untracked", lossy_u)
+
+
+def test_reliable_semantic_dedup_survives_total_block_loss(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r05 next #3: `semantic_dedup_keep_list` is exactly the
+    hours-long corpus-build stage the reliable opt-in exists for (LSH
+    candidates → exact cosine edges → BSP connected components). Simulate
+    total block loss after every checkpoint: the local path must die, the
+    reliable path must complete bit-identical to the unperturbed run."""
+    from weather_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_keep_list,
+    )
+    from weather_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expected = sorted(
+        tuple(r) for r in semantic_dedup_keep_list(emb, threshold=0.4).collect()
+    )
+    _nuke_all_blocks(spark)
+    _lossy_ckpts(spark, monkeypatch)
+
+    with pytest.raises(Exception):
+        semantic_dedup_keep_list(emb, threshold=0.4).count()
+
+    with graph.reliable_checkpoints(spark, str(tmp_path / "ckpt_sem")):
+        got = sorted(
+            tuple(r)
+            for r in semantic_dedup_keep_list(emb, threshold=0.4).collect()
+        )
+    assert got == expected
+    _nuke_all_blocks(spark)
+
+
+def test_reliable_block_pair_grid_survives_total_block_loss(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Same scenario for the exact block-pair-grid operators
+    (`_block_pair_grid` + `_ckpt_cand` sites): cosine_near_dup_pairs and
+    hard_negatives. Local path dies under post-checkpoint block loss (the
+    candidate checkpoint's truncated lineage cannot replay the matmul);
+    reliable path completes bit-identical."""
+    from weather_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        hard_negatives,
+    )
+    from weather_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exp_pairs = sorted(
+        tuple(r) for r in cosine_near_dup_pairs(emb, 0.4, block_rows=64).collect()
+    )
+    exp_hn = sorted(tuple(r) for r in hard_negatives(emb, block_rows=64).collect())
+    _nuke_all_blocks(spark)
+    _lossy_ckpts(spark, monkeypatch)
+
+    with pytest.raises(Exception):
+        cosine_near_dup_pairs(emb, 0.4, block_rows=64).count()
+
+    with graph.reliable_checkpoints(spark, str(tmp_path / "ckpt_grid")):
+        got_pairs = sorted(
+            tuple(r)
+            for r in cosine_near_dup_pairs(emb, 0.4, block_rows=64).collect()
+        )
+        got_hn = sorted(
+            tuple(r) for r in hard_negatives(emb, block_rows=64).collect()
+        )
+    assert got_pairs == exp_pairs
+    assert got_hn == exp_hn
+    _nuke_all_blocks(spark)
+
+
 def test_reliable_env_var_opt_in(spark, tmp_path, monkeypatch):
     """$SPARK_GRAFT_RELIABLE_CKPT_DIR enables the mode globally — the knob a
     cluster submit script sets without touching call sites."""
@@ -124,4 +217,4 @@ def test_reliable_env_var_opt_in(spark, tmp_path, monkeypatch):
     out, ids = graph._ckpt_tracked(spark.range(10))
     assert ids == [] and out.count() == 10
     monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CKPT_DIR")
-    assert not graph._RELIABLE["on"]
+    assert not getattr(graph._RELIABLE, "on", False)

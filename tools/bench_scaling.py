@@ -253,9 +253,21 @@ def main() -> None:
         merged.update(results)
         results = merged
 
+    # family summaries only fold in entries fitted on THIS run's scale set:
+    # --merge can carry older-schema entries (no expected_superlinear key)
+    # or prior 3-point fits whose exponents aren't comparable to the current
+    # 4-point fits (ADVICE r05) — those stay in `queries` but are excluded
+    # here and listed under `excluded_from_family_summary`.
+    cur_fit_points = len(SCALES)
+    excluded: list[str] = []
     fams: dict[str, list[float]] = {}
-    for e in results.values():
-        if "exponent" in e and not e["expected_superlinear"]:
+    for name, e in results.items():
+        if "exponent" not in e:
+            continue
+        if e.get("fit_points") != cur_fit_points:
+            excluded.append(name)
+            continue
+        if not e.get("expected_superlinear"):
             fams.setdefault(e["family"], []).append(e["exponent"])
     fam_summary = {
         f: {
@@ -277,6 +289,7 @@ def main() -> None:
         "repeat": args.repeat,
         "queries": results,
         "families": fam_summary,
+        "excluded_from_family_summary": sorted(excluded),
     }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)

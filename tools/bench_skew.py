@@ -1,0 +1,200 @@
+"""Skewed-replica bench (VERDICT r05 next #1): measure the heavy-family
+representatives on a UNIFORM sf-replica and on its Zipf-SKEWED twin (equal
+row counts, values remapped — see scale_replicate.py --skew), and record
+per-stage task-time p50/p99 from the Spark event log so a wall-clock
+regression can be attributed to a straggler partition, not guessed at.
+
+Uniform replicas validate the scale CURVE; skew is the classic killer of
+exactly the shapes this engine leans on — entity-key windows (one user owns
+20 % of events), bucket joins (one hot MinHash/LSH bucket), and gram
+aggregations (one stopword-heavy token). Any query whose skewed runtime is
+> 3x its uniform runtime at equal rows is a fix target (salting /
+degree-orientation / AQE verification), not a shrug.
+
+Usage:
+    python tools/scale_replicate.py --out scaledata/sf1.0 --factor 10
+    python tools/scale_replicate.py --out scaledata/sf1.0_skew --factor 10 --skew
+    python tools/bench_skew.py --uniform scaledata/sf1.0 \
+        --skew scaledata/sf1.0_skew --out BENCH_SKEW.json
+
+Per-stage task stats come from the event log (spark.eventLog.enabled): each
+query runs inside its own job group; JobStart events map job-group ->
+stage ids, TaskEnd events carry per-task durations. This uses only the
+PUBLIC event-log JSON schema, no listener plumbing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPRESENTATIVES = [
+    # entity-key windows: one user owns 20% of events -> one hot partition
+    "lag_events",
+    "rolling_mean_events",
+    "latest_event_per_user",
+    # groupBy agg: hot user_id group (map-side combine should absorb it)
+    "group_summary_events",
+    # bucketized interval self-join: hot user's sessions
+    "session_overlap_pairs_events",
+    # gram/shingle aggregations + bucket joins: hot token -> hot buckets
+    "minhash_lsh_candidates_documents",
+    "bigram_lm_documents",
+    "tfidf_cosine_pairs_documents",
+    "passage_dedup_documents",
+    # BSP graph loops over the near-dup graph: hot token inflates one
+    # component; embeddings carry a 5% one-direction near-dup cluster
+    "neardup_components_documents",
+    "pagerank_neardup_documents",
+    "semantic_dedup_keep_list_embeddings",
+]
+
+
+def _pct(sorted_vals: list[float], q: float) -> float:
+    if not sorted_vals:
+        return 0.0
+    k = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[k]
+
+
+def _stage_stats(event_log_path: str) -> dict[str, dict[int, dict]]:
+    """event log -> {job_group: {stage_id: {n,p50,p99,max,sum (sec)}}}."""
+    group_stages: dict[str, set[int]] = {}
+    stage_tasks: dict[int, list[float]] = {}
+    with open(event_log_path) as fh:
+        for line in fh:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:  # truncated tail line
+                continue
+            kind = ev.get("Event")
+            if kind == "SparkListenerJobStart":
+                grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+                if grp:
+                    ids = {
+                        si["Stage ID"] for si in ev.get("Stage Infos", [])
+                    }
+                    group_stages.setdefault(grp, set()).update(ids)
+            elif kind == "SparkListenerTaskEnd":
+                info = ev.get("Task Info") or {}
+                dur = (info.get("Finish Time", 0) - info.get("Launch Time", 0)) / 1e3
+                if dur >= 0:
+                    stage_tasks.setdefault(ev.get("Stage ID"), []).append(dur)
+    out: dict[str, dict[int, dict]] = {}
+    for grp, stages in group_stages.items():
+        per = {}
+        for sid in sorted(stages):
+            tasks = sorted(stage_tasks.get(sid, []))
+            if not tasks:
+                continue  # skipped stage (reused exchange)
+            per[sid] = {
+                "n_tasks": len(tasks),
+                "p50_sec": round(_pct(tasks, 0.50), 3),
+                "p99_sec": round(_pct(tasks, 0.99), 3),
+                "max_sec": round(tasks[-1], 3),
+                "sum_sec": round(sum(tasks), 3),
+            }
+        out[grp] = per
+    return out
+
+
+def _top_stages(per_stage: dict[int, dict], k: int = 4) -> list[dict]:
+    ranked = sorted(
+        per_stage.items(), key=lambda kv: kv[1]["sum_sec"], reverse=True
+    )
+    return [{"stage": sid, **st} for sid, st in ranked[:k]]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--uniform", default="scaledata/sf1.0")
+    ap.add_argument("--skew", default="scaledata/sf1.0_skew")
+    ap.add_argument("--out", default="BENCH_SKEW.json")
+    ap.add_argument("--queries", nargs="*", default=REPRESENTATIVES)
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    evdir = "/tmp/spark-graft-eventlog"
+    os.makedirs(evdir, exist_ok=True)
+    for old in glob.glob(f"{evdir}/*"):
+        os.remove(old)
+
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+    from weather_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        "bench-skew",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+        },
+    )
+    sc = spark.sparkContext
+
+    wall: dict[str, dict[str, float]] = {}
+    for name in args.queries:
+        wall[name] = {}
+        for label, d in (("uniform", args.uniform), ("skew", args.skew)):
+            best = float("inf")
+            for r in range(args.repeat):
+                grp = f"{name}@{label}#{r}"
+                sc.setJobGroup(grp, grp)
+                t0 = time.perf_counter()
+                try:
+                    REGISTRY[name].spark(spark, d).count()
+                    best = min(best, time.perf_counter() - t0)
+                except Exception as exc:  # noqa: BLE001 — recorded, not fatal
+                    print(f"{name}@{label}: ERROR {exc}", flush=True)
+                    best = -1.0
+                    break
+                finally:
+                    sc.clearJobGroup()
+            wall[name][label] = round(best, 3)
+        u, s = wall[name]["uniform"], wall[name]["skew"]
+        ratio = round(s / u, 2) if u > 0 and s > 0 else None
+        print(f"{name:45s} uniform={u:8.3f}s skew={s:8.3f}s ratio={ratio}", flush=True)
+
+    app_id = sc.applicationId
+    spark.stop()
+    time.sleep(2)  # let the event-log file flush/rename
+
+    logs = sorted(glob.glob(f"{evdir}/{app_id}*"), key=os.path.getmtime)
+    stats = _stage_stats(logs[-1]) if logs else {}
+
+    results = {}
+    for name in args.queries:
+        u, s = wall[name].get("uniform", -1), wall[name].get("skew", -1)
+        entry = {
+            "uniform_sec": u,
+            "skew_sec": s,
+            "ratio": round(s / u, 2) if u and u > 0 and s > 0 else None,
+            "stages_uniform": _top_stages(stats.get(f"{name}@uniform#0", {})),
+            "stages_skew": _top_stages(stats.get(f"{name}@skew#0", {})),
+        }
+        results[name] = entry
+    flagged = sorted(
+        n for n, e in results.items() if e["ratio"] is not None and e["ratio"] > 3
+    )
+    out = {
+        "metric": "skew_resilience",
+        "uniform_dir": args.uniform,
+        "skew_dir": args.skew,
+        "repeat": args.repeat,
+        "queries": results,
+        "flagged_over_3x": flagged,
+        "load": {"ncpus": os.cpu_count(), "loadavg_start": list(os.getloadavg())},
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({"flagged_over_3x": flagged}))
+
+
+if __name__ == "__main__":
+    main()

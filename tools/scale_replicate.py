@@ -127,7 +127,93 @@ def _transform_embeddings(tbl: pa.Table, i: int) -> pa.Table:
     return tbl
 
 
-def replicate(src: str, out: str, factor: int) -> None:
+# --- Zipf-skew injection (VERDICT r05 next #1) ------------------------------
+# Uniform replicas validate the scale CURVE; real 100 TB corpora are
+# Zipf-skewed, and skew is the classic killer of entity-key windows, bucket
+# joins and gram aggregations. The --skew mode remaps VALUES on the
+# concatenated replica — never adds or drops rows — so a skewed run is
+# comparable to its uniform twin at EQUAL row counts:
+#   - events: one hot user owns 20 % of all events (event_id % 5 == 0),
+#     concentrating every user-partitioned window and groupBy key;
+#   - documents: one hot source owns 80 % of documents (doc_id % 5 != 0);
+#   - documents: a stopword-heavy token distribution — in half the docs
+#     every 3rd token becomes one hot token, so shingle/gram/bucket keys get
+#     a Zipf head (hot MinHash buckets, hot bigrams, hot tf-idf terms);
+#   - embeddings: 5 % of vectors (vec_id % 20 == 0) collapse to tiny
+#     perturbations of one direction — one giant near-dup cluster for the
+#     semantic-dedup LSH buckets and the connected-components loops.
+HOT_USER = 999_999_999
+HOT_SOURCE = "src_hot"
+HOT_TOKEN = "zq"
+
+
+def _skew_events(tbl: pa.Table) -> pa.Table:
+    eid = np.asarray(tbl.column("event_id").to_numpy(zero_copy_only=False))
+    uid = np.asarray(tbl.column("user_id").to_numpy(zero_copy_only=False)).copy()
+    uid[eid % 5 == 0] = HOT_USER
+    idx = tbl.schema.get_field_index("user_id")
+    return tbl.set_column(
+        idx, tbl.schema.field("user_id"), pa.array(uid, type=pa.int64())
+    )
+
+
+def _skew_documents(tbl: pa.Table) -> pa.Table:
+    did = np.asarray(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+    src = np.asarray(tbl.column("source").to_pylist(), dtype=object)
+    src[did % 5 != 0] = HOT_SOURCE
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("source"),
+        tbl.schema.field("source"),
+        pa.array(list(src), type=pa.string()),
+    )
+    texts = tbl.column("text").to_pylist()
+    new = []
+    for d, t in zip(did, texts):
+        if t is None or d % 2 != 0:
+            new.append(t)
+            continue
+        toks = t.split(" ")
+        for j in range(0, len(toks), 3):
+            toks[j] = HOT_TOKEN
+        new.append(" ".join(toks))
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("text"),
+        tbl.schema.field("text"),
+        pa.array(new, type=pa.string()),
+    )
+    return tbl.set_column(
+        tbl.schema.get_field_index("n_chars"),
+        tbl.schema.field("n_chars"),
+        pa.array([None if t is None else len(t) for t in new], type=pa.int64()),
+    )
+
+
+def _skew_embeddings(tbl: pa.Table) -> pa.Table:
+    vid = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False))
+    vecs = tbl.column("embedding").to_pylist()
+    dim = len(next(v for v in vecs if v is not None))
+    rng = np.random.default_rng(240815)
+    base = rng.standard_normal(dim).astype(np.float32)
+    base /= np.linalg.norm(base)
+    hot = vid % 20 == 0
+    for k in np.nonzero(hot)[0]:
+        noise = rng.standard_normal(dim).astype(np.float32) * 1e-3
+        vecs[int(k)] = list(base + noise)
+    return tbl.set_column(
+        tbl.schema.get_field_index("embedding"),
+        tbl.schema.field("embedding"),
+        pa.array(vecs, type=tbl.schema.field("embedding").type),
+    )
+
+
+_SKEW = {
+    "events": _skew_events,
+    "documents": _skew_documents,
+    "embeddings": _skew_embeddings,
+}
+
+
+def replicate(src: str, out: str, factor: int, skew: bool = False) -> None:
     os.makedirs(out, exist_ok=True)
     for t in FIXED:
         pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{out}/{t}.parquet")
@@ -145,6 +231,10 @@ def replicate(src: str, out: str, factor: int) -> None:
                 rep = _transform_embeddings(rep, i)
             parts.append(rep)
         full = pa.concat_tables(parts)
+        if skew and t in _SKEW:
+            n_before = full.num_rows
+            full = _SKEW[t](full)
+            assert full.num_rows == n_before  # values only, never rows
         pq.write_table(full, f"{out}/{t}.parquet", row_group_size=200_000)
         print(f"{out}/{t}.parquet: {full.num_rows} rows")
 
@@ -154,8 +244,15 @@ def main() -> None:
     ap.add_argument("--src", default=SRC_DEFAULT)
     ap.add_argument("--out", required=True)
     ap.add_argument("--factor", type=int, required=True, help="replica count")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="inject Zipf-hot keys (hot user/source/token, one near-dup "
+        "embedding cluster) after replication; row counts stay equal to "
+        "the uniform replica so runtimes are comparable",
+    )
     args = ap.parse_args()
-    replicate(args.src, args.out, args.factor)
+    replicate(args.src, args.out, args.factor, skew=args.skew)
 
 
 if __name__ == "__main__":
