@@ -264,6 +264,14 @@ def main() -> None:
     fam_median = {
         f: sorted(v)[len(v) // 2] for f, v in fam_vals.items()
     }
+    # similarity re-draws at >2x (not >3x): both r4->r5 "regressions" in
+    # this family (pca 1.68->2.87 s, hard_negatives 1.70->2.50 s) sat in
+    # the 1.5-3x band and were adjudicated as ambient noise by controlled
+    # best-of-3 (0.90 s / 1.77 s) — the block-grid/MLlib-fit queries here
+    # are the most contention-sensitive in the registry
+    def _redraw_factor(fam: str) -> float:
+        return 2.0 if fam == "similarity" else 3.0
+
     suspects = sorted(
         (
             (dt, name)
@@ -273,7 +281,12 @@ def main() -> None:
             # KeyError here would lose the whole run's artifact (ADVICE r05)
             if dt > 0
             and family(name) != "ml_train"
-            and dt > max(2.0, 3 * fam_median.get(family(name), float("inf")))
+            and dt
+            > max(
+                2.0,
+                _redraw_factor(family(name))
+                * fam_median.get(family(name), float("inf")),
+            )
         ),
         reverse=True,
     )

@@ -29,6 +29,7 @@ import argparse
 import glob
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -63,29 +64,45 @@ def _pct(sorted_vals: list[float], q: float) -> float:
     return sorted_vals[k]
 
 
-def _stage_stats(event_log_path: str) -> dict[str, dict[int, dict]]:
-    """event log -> {job_group: {stage_id: {n,p50,p99,max,sum (sec)}}}."""
+def _iter_events(files: list[str]):
+    import io
+    import subprocess
+
+    for path in files:
+        if path.endswith(".zstd"):
+            # Spark's rolling event log compresses with zstd by default;
+            # stream-decompress via the CLI (no zstd module guaranteed)
+            proc = subprocess.Popen(
+                ["zstd", "-dc", path], stdout=subprocess.PIPE
+            )
+            assert proc.stdout is not None
+            yield from io.TextIOWrapper(proc.stdout, encoding="utf-8")
+            proc.wait()
+        else:
+            with open(path) as fh:
+                yield from fh
+
+
+def _stage_stats(files: list[str]) -> dict[str, dict[int, dict]]:
+    """event log file(s) -> {job_group: {stage_id: {n,p50,p99,max,sum}}}."""
     group_stages: dict[str, set[int]] = {}
     stage_tasks: dict[int, list[float]] = {}
-    with open(event_log_path) as fh:
-        for line in fh:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:  # truncated tail line
-                continue
-            kind = ev.get("Event")
-            if kind == "SparkListenerJobStart":
-                grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
-                if grp:
-                    ids = {
-                        si["Stage ID"] for si in ev.get("Stage Infos", [])
-                    }
-                    group_stages.setdefault(grp, set()).update(ids)
-            elif kind == "SparkListenerTaskEnd":
-                info = ev.get("Task Info") or {}
-                dur = (info.get("Finish Time", 0) - info.get("Launch Time", 0)) / 1e3
-                if dur >= 0:
-                    stage_tasks.setdefault(ev.get("Stage ID"), []).append(dur)
+    for line in _iter_events(files):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:  # truncated tail line
+            continue
+        kind = ev.get("Event")
+        if kind == "SparkListenerJobStart":
+            grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+            if grp:
+                ids = {si["Stage ID"] for si in ev.get("Stage Infos", [])}
+                group_stages.setdefault(grp, set()).update(ids)
+        elif kind == "SparkListenerTaskEnd":
+            info = ev.get("Task Info") or {}
+            dur = (info.get("Finish Time", 0) - info.get("Launch Time", 0)) / 1e3
+            if dur >= 0:
+                stage_tasks.setdefault(ev.get("Stage ID"), []).append(dur)
     out: dict[str, dict[int, dict]] = {}
     for grp, stages in group_stages.items():
         per = {}
@@ -118,12 +135,20 @@ def main() -> None:
     ap.add_argument("--out", default="BENCH_SKEW.json")
     ap.add_argument("--queries", nargs="*", default=REPRESENTATIVES)
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="fold results into an existing --out file (per-query entries "
+        "replace same-named priors) — used to measure different queries at "
+        "different scale pairs, e.g. tfidf_cosine at sf0.3",
+    )
     args = ap.parse_args()
 
     evdir = "/tmp/spark-graft-eventlog"
     os.makedirs(evdir, exist_ok=True)
     for old in glob.glob(f"{evdir}/*"):
-        os.remove(old)
+        # Spark 4 writes v2 event logs as a DIRECTORY of rolled files
+        shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
 
     from weather_data_pipeline_spark.plans.queries import REGISTRY
     from weather_data_pipeline_spark.session import get_spark
@@ -154,7 +179,8 @@ def main() -> None:
                     best = -1.0
                     break
                 finally:
-                    sc.clearJobGroup()
+                    # SparkContext.clearJobGroup is gone in PySpark 4.x
+                    sc.setLocalProperty("spark.jobGroup.id", None)
             wall[name][label] = round(best, 3)
         u, s = wall[name]["uniform"], wall[name]["skew"]
         ratio = round(s / u, 2) if u > 0 and s > 0 else None
@@ -164,8 +190,14 @@ def main() -> None:
     spark.stop()
     time.sleep(2)  # let the event-log file flush/rename
 
-    logs = sorted(glob.glob(f"{evdir}/{app_id}*"), key=os.path.getmtime)
-    stats = _stage_stats(logs[-1]) if logs else {}
+    paths = sorted(glob.glob(f"{evdir}/*{app_id}*"), key=os.path.getmtime)
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):  # v2 layout: events_* rolled files inside
+            files += sorted(glob.glob(f"{p}/events*"), key=lambda f: int(f.rsplit("/events_", 1)[1].split("_")[0]))
+        else:
+            files.append(p)
+    stats = _stage_stats(files) if files else {}
 
     results = {}
     for name in args.queries:
@@ -174,10 +206,16 @@ def main() -> None:
             "uniform_sec": u,
             "skew_sec": s,
             "ratio": round(s / u, 2) if u and u > 0 and s > 0 else None,
+            "dirs": [args.uniform, args.skew],
             "stages_uniform": _top_stages(stats.get(f"{name}@uniform#0", {})),
             "stages_skew": _top_stages(stats.get(f"{name}@skew#0", {})),
         }
         results[name] = entry
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as fh:
+            prior = json.load(fh).get("queries", {})
+        prior.update(results)
+        results = prior
     flagged = sorted(
         n for n, e in results.items() if e["ratio"] is not None and e["ratio"] > 3
     )

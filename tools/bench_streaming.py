@@ -1,0 +1,174 @@
+"""Streaming throughput bench (VERDICT r05 next #5): sustained records/sec
+and per-batch latency for the two stateful streaming shapes, measured from
+the engine's own progress telemetry — not just availableNow drain time.
+
+The registry's streaming queries are benched as one-shot drains, which
+hides the number a 100 TB ingest actually cares about: how many rows/sec a
+micro-batch pipeline sustains and what the batch-duration distribution
+looks like once state (window aggregates / join buffers) is warm.
+
+Method: split the events table into N parquet files of ~M rows, stream the
+directory with maxFilesPerTrigger=1 (so availableNow processes N distinct
+micro-batches, exercising state handoff between batches), sink to noop, and
+read per-batch numInputRows / triggerExecution out of
+StreamingQuery.recentProgress. Reports, per pipeline:
+  - rows_per_sec_wall:   total rows / wall-clock of the whole run
+  - rows_per_sec_busy:   total rows / sum of per-batch trigger durations
+  - batch_ms p50/p99/max over all batches with input rows
+
+Usage:
+    python tools/bench_streaming.py [--src /root/testdata/sf0.1] \
+        [--n-files 20] [--out BENCH_STREAMING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _pct(sorted_vals: list[float], q: float) -> float:
+    if not sorted_vals:
+        return 0.0
+    k = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[k]
+
+
+def _split_events(spark, src: str, out_dir: str, n_files: int) -> int:
+    """Write the events table as n_files parquet files ordered by ts, so the
+    stream's file order roughly follows event time (kind to watermarks, like
+    a real time-partitioned ingest)."""
+    from weather_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, src, "events")
+    n = ev.count()
+    (
+        ev.orderBy("ts")
+        .repartitionByRange(n_files, "ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return n
+
+
+def _drain(spark, stream_df, output_mode: str) -> dict:
+    """Run to completion on a noop sink; return progress stats."""
+    t0 = time.perf_counter()
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("noop")
+        .option("checkpointLocation", f"/tmp/bench-streaming-ckpt-{time.time_ns()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    rows, busy_ms, batch_ms = 0, 0.0, []
+    for p in q.recentProgress:
+        n = p.get("numInputRows", 0) or 0
+        dur = (p.get("durationMs") or {}).get("triggerExecution", 0) or 0
+        if n > 0:
+            rows += n
+            busy_ms += dur
+            batch_ms.append(float(dur))
+    batch_ms.sort()
+    return {
+        "rows": rows,
+        "n_batches": len(batch_ms),
+        "wall_sec": round(wall, 3),
+        "rows_per_sec_wall": round(rows / wall, 1) if wall > 0 else None,
+        "rows_per_sec_busy": round(rows / (busy_ms / 1e3), 1) if busy_ms else None,
+        "batch_ms_p50": round(_pct(batch_ms, 0.50), 1),
+        "batch_ms_p99": round(_pct(batch_ms, 0.99), 1),
+        "batch_ms_max": round(batch_ms[-1], 1) if batch_ms else None,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--src", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--n-files", type=int, default=20)
+    ap.add_argument("--out", default="BENCH_STREAMING.json")
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+
+    from weather_data_pipeline_spark.session import get_spark
+    from weather_data_pipeline_spark.streaming import jobs as SJ
+
+    spark = get_spark("bench-streaming")
+    feed = "/tmp/bench-streaming-feed"
+    shutil.rmtree(feed, ignore_errors=True)
+    total = _split_events(spark, args.src, feed, args.n_files)
+    print(f"feed: {total} rows in {args.n_files} files", flush=True)
+
+    def feed_stream():
+        # same schema/NTZ handling as streaming.jobs.events_stream, but over
+        # the split feed dir with one file per micro-batch
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = (
+            spark.readStream.schema(SJ.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    results: dict[str, dict] = {}
+
+    # 1) watermarked tumbling-window aggregation (hourly_agg)
+    agg = SJ.hourly_agg_stream(feed_stream())
+    results["hourly_agg"] = _drain(spark, agg, "update")
+    print("hourly_agg:", json.dumps(results["hourly_agg"]), flush=True)
+
+    # 2) watermarked stream-stream interval join (view->purchase attribution)
+    ev = feed_stream()
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    results["stream_stream_join"] = _drain(spark, joined, "append")
+    print("stream_stream_join:", json.dumps(results["stream_stream_join"]), flush=True)
+
+    out = {
+        "metric": "streaming_throughput",
+        "src": args.src,
+        "n_files": args.n_files,
+        "total_rows": total,
+        "pipelines": results,
+        "load": {"ncpus": os.cpu_count(), "loadavg_start": list(os.getloadavg())},
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({k: v["rows_per_sec_wall"] for k, v in results.items()}))
+    shutil.rmtree(feed, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,23 @@ def _reliable_on(spark: SparkSession) -> bool:
     return False
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Balance + widen a loop-INPUT frame's partitioning before it is
+    checkpointed. Edge frames typically arrive from a candidate join whose
+    output AQE coalesced on INPUT bytes — at sf1.0 the near-dup edge set
+    landed in 2 partitions with one holding ~all rows (r6 skew bench: the
+    checkpoint-scan stage read p50 16 ms / max 10.7 s over 2 tasks, ~45 %
+    of pagerank's wall) — and every BSP round re-reads that imbalance.
+    One explicit round-robin exchange here fixes all subsequent rounds:
+    AQE never coalesces an explicit repartition, and the loop joins
+    shuffle anyway so the extra exchange replaces (not adds to) the first
+    round's skewed map side. The plan-side getNumPartitions() is NOT a
+    usable guard — it reports the pre-AQE count, which is why the earlier
+    conditional version never fired."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _ckpt_untracked(df: DataFrame) -> DataFrame:
     """Materialize-once for PRE-LOOP frames (the doubled edge list, the
     triangle join input): these live for the whole operator call, so their
@@ -273,14 +290,16 @@ def connected_components(
     # double the edges via explode — ONE scan of the (possibly expensive to
     # derive) edge input, unlike a self-union which would compute it twice
     und = _ckpt_untracked(
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
-                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
-                )
-            ).alias("e")
-        ).select("e.s", "e.d")
+        _spread(
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                        F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                    )
+                ).alias("e")
+            ).select("e.s", "e.d")
+        )
     )
     spark = edges.sparkSession
     budget = max_iter
@@ -397,17 +416,21 @@ def pagerank(
     if undirected:
         # explode-double rather than self-union: one scan of the edge input
         ed, pre_ids = _ckpt_tracked(
-            edges.select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
-                        F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
-                    )
-                ).alias("e")
-            ).select("e.s", "e.d")
+            _spread(
+                edges.select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                            F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                        )
+                    ).alias("e")
+                ).select("e.s", "e.d")
+            )
         )
     else:
-        ed, pre_ids = _ckpt_tracked(edges.selectExpr(f"{src} AS s", f"{dst} AS d"))
+        ed, pre_ids = _ckpt_tracked(
+            _spread(edges.selectExpr(f"{src} AS s", f"{dst} AS d"))
+        )
     nodes, node_ids = _ckpt_tracked(
         ed.select(F.explode(F.array("s", "d")).alias("node")).distinct()
     )
@@ -421,7 +444,7 @@ def pagerank(
     # carry out-degree ON the edge rows: one small self-agg + join now, and
     # the iteration loop needs a single join instead of two
     ed, ed_ids = _ckpt_tracked(
-        ed.join(ed.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s")
+        _spread(ed.join(ed.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s"))
     )
     _free_ckpt(spark, pre_ids)  # nodes + deg-join were its last readers
     ranks, rank_ids = _ckpt_tracked(nodes.withColumn("rank", F.lit(1.0 / n_nodes)))
@@ -530,7 +553,7 @@ def k_core(
     """
     spark = edges.sparkSession
     e, e_ids = _ckpt_tracked(
-        edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+        _spread(edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")))
     )
     n_edges = e.count()
     # max_rounds peel rounds + 1 confirmation round: a graph whose peel

@@ -55,6 +55,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Widen a small-file SCAN before an expensive per-row map stage
+    (tokenize/shingle/gram explode). The fixture tables are one parquet
+    row-group, so the scan is ONE split no matter how large the corpus
+    grows — at sf1.0 the shingle stage of the near-dup edge derivation ran
+    12 s on a single task while 31 cores idled (r6 skew bench). The
+    getNumPartitions() guard is accurate for scans (file splits are known
+    at plan time, no AQE involved) and makes this a no-op on a real
+    multi-split corpus; the exchanged bytes are the raw column values —
+    trivial next to the explode they feed."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # Current fixtures store events.ts as µs TIMESTAMP_NTZ (CAST is then an
 # identity); the CTE also normalizes the legacy ns-fixture case where both
 # engines truncate to µs (sources/tables.py). Prepend to every events oracle
@@ -2126,7 +2142,10 @@ def shingle_jaccard_pairs_documents(spark, sf_dir):
     # stay rare even on a small vocabulary
     from ..operators.text import shingle_set
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the one-row-group scan before the shingle map: this edge
+    # derivation feeds every CC/pagerank/k-core/triangle query, and its
+    # tokenize+explode ran as a 12 s single task at sf1.0 (r6 skew bench)
+    docs = _spread_scan(spark, _t(spark, sf_dir, "documents"))
     base = docs.select(
         F.col("doc_id").alias("id"),
         F.col("lang").alias("blk"),
@@ -3135,14 +3154,12 @@ def decontaminate_3gram_documents(spark, sf_dir):
     # on gram (eval side aggregated to distinct grams and — being a
     # benchmark, i.e. tiny vs the corpus — broadcast) → per-doc count.
     # At 100 TB the train side never shuffles: explode + broadcast-semi.
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    # spread the one-row-group fixture scan before the 3-gram explode —
-    # same scan-side fan-out starvation as bigram_lm (e=0.85 over 30x was
-    # one map task doing the whole tokenize+explode); no-op on a real
-    # multi-split corpus
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # spread the one-row-group scan before the 3-gram explode — same
+    # scan-side fan-out starvation as bigram_lm (e=0.85 over 30x was one
+    # map task doing the whole tokenize+explode)
+    d = _spread_scan(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     grams = d.withColumn("w", w).where(F.size("w") >= 3).select(
         "doc_id",
@@ -3914,17 +3931,12 @@ def bigram_lm_documents(spark, sf_dir):
     # map-side (no shuffle until the count agg, which combines partially);
     # the conditional denominator is a window over the ALREADY-aggregated
     # (w1, w2) counts, so the explosion never re-shuffles.
-    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
-    # the fixture corpus is ONE parquet row-group -> one scan split: spread
-    # the (cheap) text rows across the cluster BEFORE the ~token-count-x
-    # bigram explode + partial agg, or that map stage runs on a single task
-    # no matter how large the corpus grows (round-6 profiling: the measured
-    # e=0.86 over 30x was this scan-side fan-out starvation, not vocab
-    # growth; a real 100 TB corpus has thousands of splits and never needs
-    # the exchange — getNumPartitions() >= par short-circuits it there)
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # spread the one-row-group scan before the ~token-count-x bigram
+    # explode + partial agg (round-6 profiling: the measured e=0.86 over
+    # 30x was scan-side fan-out starvation, not vocab growth)
+    d = _spread_scan(
+        spark, _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    )
     d = d.select(F.split(F.trim(F.lower("text")), r"\s+").alias("w")).where(
         F.size("w") >= 2
     )
@@ -8454,6 +8466,15 @@ def session_overlap_pairs_events(spark, sf_dir):
         F.col("en").alias("en_b"),
         "bucket",
     )
+    # the bucket join's INPUT is session-count-sized but its OUTPUT is
+    # quadratic in bucket occupancy: AQE coalesces the join's partitions on
+    # input bytes (8 tasks carrying 108 s of pair generation at sf1.0 —
+    # r6 skew bench), so pin the fan-out parallelism with an explicit
+    # bucket-keyed repartition (AQE never coalesces an explicit
+    # repartition; the join reuses the exchange, so this replaces — not
+    # adds to — the join's own shuffle)
+    par = spark.sparkContext.defaultParallelism
+    a, b = a.repartition(par, "bucket"), b.repartition(par, "bucket")
     # emit-once: a pair sharing k buckets would otherwise appear k times
     # and need a shuffle-heavy 8-column distinct; instead keep the pair
     # ONLY in the bucket containing its overlap start — each qualifying
