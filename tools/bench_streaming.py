@@ -119,41 +119,59 @@ def main() -> None:
         )
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
+    def hourly_agg():
+        return SJ.hourly_agg_stream(feed_stream()), "update"
+
+    def stream_stream_join():
+        # watermarked stream-stream interval join (view->purchase attribution)
+        ev = feed_stream()
+        views = (
+            ev.where(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "1 hour")
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        return joined, "append"
+
+    # Per-batch cost at small batch sizes is dominated by the state-store
+    # commit + shuffle fan-out, which scale with the PARTITION count, not
+    # the row count — so the same pipeline is measured at two shuffle-
+    # partition settings. A streaming query's state partitioning is fixed
+    # at first checkpoint: this is a deploy-time knob, sized to sustained
+    # batch volume (local 5k-row batches want ~8; a 100 TB ingest with
+    # GB-scale batches wants hundreds+).
     results: dict[str, dict] = {}
-
-    # 1) watermarked tumbling-window aggregation (hourly_agg)
-    agg = SJ.hourly_agg_stream(feed_stream())
-    results["hourly_agg"] = _drain(spark, agg, "update")
-    print("hourly_agg:", json.dumps(results["hourly_agg"]), flush=True)
-
-    # 2) watermarked stream-stream interval join (view->purchase attribution)
-    ev = feed_stream()
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .select(
-            "user_id",
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "1 hour")
-    )
-    purchases = (
-        ev.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    joined = views.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-    )
-    results["stream_stream_join"] = _drain(spark, joined, "append")
-    print("stream_stream_join:", json.dumps(results["stream_stream_join"]), flush=True)
+    for sp in (int(spark.conf.get("spark.sql.shuffle.partitions")), 8):
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+        for label, build in (
+            ("hourly_agg", hourly_agg),
+            ("stream_stream_join", stream_stream_join),
+        ):
+            df, mode = build()
+            key = f"{label}@sp{sp}"
+            results[key] = _drain(spark, df, mode)
+            print(f"{key}:", json.dumps(results[key]), flush=True)
 
     out = {
         "metric": "streaming_throughput",

@@ -213,11 +213,21 @@ _SKEW = {
 }
 
 
-def replicate(src: str, out: str, factor: int, skew: bool = False) -> None:
+def replicate(
+    src: str,
+    out: str,
+    factor: int,
+    skew: bool = False,
+    tables: list[str] | None = None,
+) -> None:
     os.makedirs(out, exist_ok=True)
     for t in FIXED:
+        if tables and t not in tables:
+            continue
         pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{out}/{t}.parquet")
     for t, keymap in KEYED.items():
+        if tables and t not in tables:
+            continue
         base = pq.read_table(f"{src}/{t}.parquet")
         # strip pandas metadata; Spark doesn't need it and replicas would
         # carry a stale copy
@@ -251,8 +261,20 @@ def main() -> None:
         "embedding cluster) after replication; row counts stay equal to "
         "the uniform replica so runtimes are comparable",
     )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to replicate (default: all) "
+        "— e.g. a documents-only sf10 for the flagship soak",
+    )
     args = ap.parse_args()
-    replicate(args.src, args.out, args.factor, skew=args.skew)
+    replicate(
+        args.src,
+        args.out,
+        args.factor,
+        skew=args.skew,
+        tables=args.tables.split(",") if args.tables else None,
+    )
 
 
 if __name__ == "__main__":
