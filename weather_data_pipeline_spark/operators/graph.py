@@ -73,21 +73,38 @@ def _reliable_on(spark: SparkSession) -> bool:
     return False
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Balance + widen a loop-INPUT frame's partitioning before it is
-    checkpointed. Edge frames typically arrive from a candidate join whose
-    output AQE coalesced on INPUT bytes — at sf1.0 the near-dup edge set
-    landed in 2 partitions with one holding ~all rows (r6 skew bench: the
-    checkpoint-scan stage read p50 16 ms / max 10.7 s over 2 tasks, ~45 %
-    of pagerank's wall) — and every BSP round re-reads that imbalance.
-    One explicit round-robin exchange here fixes all subsequent rounds:
-    AQE never coalesces an explicit repartition, and the loop joins
-    shuffle anyway so the extra exchange replaces (not adds to) the first
-    round's skewed map side. The plan-side getNumPartitions() is NOT a
-    usable guard — it reports the pre-AQE count, which is why the earlier
-    conditional version never fired."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+# Below this many rows per available slot, a loop-input re-spread is pure
+# overhead: the per-round joins on a small edge set finish in one task wave
+# anyway, and (measured, r6) an UNCONDITIONAL spread cost pagerank_neardup
+# 6.7 s -> 8.4 s warm at sf0.1 — 10 rounds of 32 near-empty scan tasks.
+_SPREAD_MIN_ROWS_PER_SLOT = 1024
+
+
+def _spread_ckpt(out: DataFrame, ids: list) -> tuple:
+    """Adaptively re-spread an already-MATERIALIZED loop-input checkpoint.
+
+    Edge frames arrive from candidate joins whose output AQE coalesced on
+    input bytes — at sf1.0 the near-dup edge frame landed in 2 partitions
+    with ~all rows in one (r6 skew bench: every superstep's scan read
+    p50 16 ms / max 10.7 s over 2 tasks) — and every BSP round re-reads
+    that imbalance. Plan-side partition counts are unusable as a guard
+    (they report the pre-AQE number), so the decision is taken AFTER the
+    eager checkpoint, where both the partition count and a row count are
+    real and cheap: re-spread only when the RDD is narrower than the
+    cluster AND holds enough rows per slot for balance to beat the
+    per-task overhead it adds. When the re-spread fires, the narrow
+    original's blocks are freed — peak pinned storage is briefly 2x the
+    edge set, in exactly the scale regime where an every-round straggler
+    costs far more."""
+    spark = out.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() >= par:
+        return out, ids
+    if out.count() < par * _SPREAD_MIN_ROWS_PER_SLOT:
+        return out, ids
+    out2, ids2 = _ckpt_tracked(out.repartition(par))
+    _free_ckpt(spark, ids)
+    return out2, ids2
 
 
 def _ckpt_untracked(df: DataFrame) -> DataFrame:
@@ -288,9 +305,11 @@ def connected_components(
     _strip_plan_origin — without it, the jump's self-join makes per-round
     driver time double)."""
     # double the edges via explode — ONE scan of the (possibly expensive to
-    # derive) edge input, unlike a self-union which would compute it twice
-    und = _ckpt_untracked(
-        _spread(
+    # derive) edge input, unlike a self-union which would compute it twice;
+    # tracked (r6) so the adaptive re-spread can free a narrow original and
+    # the operator can free the level-0 frame on every exit path
+    und, und_ids = _spread_ckpt(
+        *_ckpt_tracked(
             edges.select(
                 F.explode(
                     F.array(
@@ -304,7 +323,6 @@ def connected_components(
     spark = edges.sparkSession
     budget = max_iter
     level_maps: list[tuple[DataFrame, list[int]]] = []  # (labels, ids) per level
-    und_ids: list[int] = []  # tracked ids of CONTRACTED und frames (level>0)
     carry = None  # resume state for an extra burst on the same level
     bursts_this_level = 0
     while True:
@@ -372,6 +390,10 @@ def connected_components(
         for _, ids in level_maps:
             _free_ckpt(spark, ids)
         _free_ckpt(spark, und_ids)
+    else:
+        # converged at level 0: labels are checkpointed, und has no reader
+        # left — free the (now tracked, r6) level-0 edge frame too
+        _free_ckpt(spark, und_ids)
     return final.select("node", F.col("label").alias("component"))
 
 
@@ -415,8 +437,8 @@ def pagerank(
     spark = edges.sparkSession
     if undirected:
         # explode-double rather than self-union: one scan of the edge input
-        ed, pre_ids = _ckpt_tracked(
-            _spread(
+        ed, pre_ids = _spread_ckpt(
+            *_ckpt_tracked(
                 edges.select(
                     F.explode(
                         F.array(
@@ -428,8 +450,8 @@ def pagerank(
             )
         )
     else:
-        ed, pre_ids = _ckpt_tracked(
-            _spread(edges.selectExpr(f"{src} AS s", f"{dst} AS d"))
+        ed, pre_ids = _spread_ckpt(
+            *_ckpt_tracked(edges.selectExpr(f"{src} AS s", f"{dst} AS d"))
         )
     nodes, node_ids = _ckpt_tracked(
         ed.select(F.explode(F.array("s", "d")).alias("node")).distinct()
@@ -443,8 +465,10 @@ def pagerank(
         return spark.createDataFrame([], "node long, rank double")
     # carry out-degree ON the edge rows: one small self-agg + join now, and
     # the iteration loop needs a single join instead of two
-    ed, ed_ids = _ckpt_tracked(
-        _spread(ed.join(ed.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s"))
+    ed, ed_ids = _spread_ckpt(
+        *_ckpt_tracked(
+            ed.join(ed.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s")
+        )
     )
     _free_ckpt(spark, pre_ids)  # nodes + deg-join were its last readers
     ranks, rank_ids = _ckpt_tracked(nodes.withColumn("rank", F.lit(1.0 / n_nodes)))
@@ -552,8 +576,8 @@ def k_core(
     fixpoint within `max_rounds` so callers never get a half-peeled answer.
     """
     spark = edges.sparkSession
-    e, e_ids = _ckpt_tracked(
-        _spread(edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")))
+    e, e_ids = _spread_ckpt(
+        *_ckpt_tracked(edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")))
     )
     n_edges = e.count()
     # max_rounds peel rounds + 1 confirmation round: a graph whose peel
