@@ -185,10 +185,14 @@ def main() -> None:
     warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().count()
 
-    # fixed calibration query FIRST (best-of-3): one number that captures how
-    # slow THIS host is right now, so every other timing can be normalized
+    # fixed calibration query FIRST (best-of-5): one number that captures how
+    # slow THIS host is right now, so every other timing can be normalized.
+    # Five draws, not three (r6): whole-stage codegen for this query keeps
+    # improving through ~run 4 of a fresh JVM (measured 0.79/0.75/0.60/0.58
+    # after the cold draw), and an UNDER-warmed calibration overstates the
+    # host correction for the fully-warm readings that follow it.
     calibration = round(
-        min(_run_once(spark, CALIBRATION_QUERY) for _ in range(3)), 4
+        min(_run_once(spark, CALIBRATION_QUERY) for _ in range(5)), 4
     )
     at_default_sf = os.path.realpath(SF_DIR) == os.path.realpath(
         "/root/testdata/sf0.1"
