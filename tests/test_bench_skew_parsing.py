@@ -1,0 +1,79 @@
+"""Event-log parsing behind the skew bench's per-stage task stats
+(tools/bench_skew.py). The straggler analysis (p50 vs p99/max per stage) is
+what turns a wall-clock regression into an attributable fix — a silent
+parsing break would leave BENCH_SKEW.json with empty stage blocks and the
+analysis would degrade to guessing. Pinned on a synthetic log: job-group →
+stage mapping, per-stage percentiles, skipped-stage omission, zstd files."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from bench_skew import _stage_stats, _top_stages  # noqa: E402
+
+
+def _ev(kind: str, **kw) -> str:
+    return json.dumps({"Event": kind, **kw})
+
+
+def _write_log(path: Path) -> None:
+    lines = [
+        _ev(
+            "SparkListenerJobStart",
+            Properties={"spark.jobGroup.id": "q1@uniform#0"},
+            **{"Stage Infos": [{"Stage ID": 0}, {"Stage ID": 1}]},
+        ),
+        # stage 0: balanced 2-task stage (100 ms each)
+        _ev("SparkListenerTaskEnd", **{"Stage ID": 0, "Task Info": {"Launch Time": 1000, "Finish Time": 1100}}),
+        _ev("SparkListenerTaskEnd", **{"Stage ID": 0, "Task Info": {"Launch Time": 1000, "Finish Time": 1100}}),
+        # stage 1: straggler (10 ms, 10 ms, 5 s)
+        _ev("SparkListenerTaskEnd", **{"Stage ID": 1, "Task Info": {"Launch Time": 2000, "Finish Time": 2010}}),
+        _ev("SparkListenerTaskEnd", **{"Stage ID": 1, "Task Info": {"Launch Time": 2000, "Finish Time": 2010}}),
+        _ev("SparkListenerTaskEnd", **{"Stage ID": 1, "Task Info": {"Launch Time": 2000, "Finish Time": 7000}}),
+        # a second group whose only stage is SKIPPED (no TaskEnd events)
+        _ev(
+            "SparkListenerJobStart",
+            Properties={"spark.jobGroup.id": "q2@skew#0"},
+            **{"Stage Infos": [{"Stage ID": 7}]},
+        ),
+        # group-less job (no properties) must be ignored, not crash
+        _ev("SparkListenerJobStart", **{"Stage Infos": [{"Stage ID": 9}]}),
+        "not json at all",  # truncated tail line
+    ]
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_stage_stats_and_top_stages(tmp_path):
+    log = tmp_path / "events_1_local-123"
+    _write_log(log)
+    stats = _stage_stats([str(log)])
+
+    q1 = stats["q1@uniform#0"]
+    assert set(q1) == {0, 1}
+    assert q1[0]["n_tasks"] == 2 and q1[0]["p50_sec"] == 0.1
+    s1 = q1[1]
+    assert s1["n_tasks"] == 3
+    assert s1["p50_sec"] == 0.01  # the straggler shows in max/p99, not p50
+    assert s1["max_sec"] == 5.0 and s1["p99_sec"] == 5.0
+
+    # skipped stages (reused exchange) are omitted, not zero-filled
+    assert stats["q2@skew#0"] == {}
+
+    top = _top_stages(q1, k=1)
+    assert top[0]["stage"] == 1  # ranked by total task time
+
+
+def test_stage_stats_reads_zstd(tmp_path):
+    """Spark 4's rolling event log compresses with zstd; the parser
+    stream-decompresses via the CLI."""
+    plain = tmp_path / "raw"
+    _write_log(plain)
+    z = tmp_path / "events_1_local-123.zstd"
+    subprocess.run(["zstd", "-q", str(plain), "-o", str(z)], check=True)
+    stats = _stage_stats([str(z)])
+    assert stats["q1@uniform#0"][1]["max_sec"] == 5.0

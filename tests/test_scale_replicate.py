@@ -106,3 +106,78 @@ def test_embedding_orthogonal_transform(rep_dir):
         assert np.linalg.norm(vr[a + off]) == pytest.approx(
             np.linalg.norm(vb[a]), abs=1e-9
         )
+
+
+# --- round 6: --skew invariants ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("repskew") / "sf2x_skew"
+    replicate(SRC, str(out), 2, skew=True)
+    return str(out)
+
+
+def test_skew_changes_values_never_rows(rep_dir, skew_dir):
+    """The skewed twin must be comparable to the uniform replica at EQUAL
+    row counts — the --skew transforms remap values only."""
+    for t in [
+        "customer",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+        "region",
+        "nation",
+    ]:
+        u = pq.read_metadata(f"{rep_dir}/{t}.parquet").num_rows
+        s = pq.read_metadata(f"{skew_dir}/{t}.parquet").num_rows
+        assert s == u, f"{t}: skew changed row count {u} -> {s}"
+
+
+def test_skew_hot_fractions(skew_dir):
+    """The designed Zipf heads: one user owns 20% of events, one source 80%
+    of documents, one direction ~5% of embeddings (near-identical cluster)."""
+    from scale_replicate import HOT_SOURCE, HOT_USER
+
+    ev = pq.read_table(f"{skew_dir}/events.parquet", columns=["user_id"])
+    uid = np.asarray(ev["user_id"].to_pylist())
+    assert abs((uid == HOT_USER).mean() - 0.20) < 0.01
+
+    doc = pq.read_table(f"{skew_dir}/documents.parquet", columns=["source"])
+    src = np.asarray(doc["source"].to_pylist(), dtype=object)
+    assert abs((src == HOT_SOURCE).mean() - 0.80) < 0.01
+
+    emb = pq.read_table(f"{skew_dir}/embeddings.parquet")
+    vecs = {
+        i: np.array(v, dtype=np.float64)
+        for i, v in zip(emb["vec_id"].to_pylist(), emb["embedding"].to_pylist())
+    }
+    hot = [v for i, v in vecs.items() if i % 20 == 0]
+    assert len(hot) >= 2
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # every hot pair is a near-duplicate (one direction + 1e-3 noise)
+    for i in range(min(5, len(hot) - 1)):
+        assert cos(hot[i], hot[i + 1]) > 0.99
+
+
+def test_skew_stopword_head(skew_dir):
+    """Half the docs get every 3rd token replaced by the hot token — the
+    token distribution must have a Zipf head on it."""
+    from collections import Counter
+
+    from scale_replicate import HOT_TOKEN
+
+    doc = pq.read_table(f"{skew_dir}/documents.parquet", columns=["text"])
+    c: Counter = Counter()
+    for t in doc["text"].to_pylist():
+        if t:
+            c.update(t.split(" "))
+    total = sum(c.values())
+    top, n_top = c.most_common(1)[0]
+    assert top == HOT_TOKEN
+    assert n_top / total > 0.10  # ~1/6 of all tokens in expectation
