@@ -47,8 +47,14 @@ REPRESENTATIVES = [
     # gram/shingle aggregations + bucket joins: hot token -> hot buckets
     "minhash_lsh_candidates_documents",
     "bigram_lm_documents",
-    "tfidf_cosine_pairs_documents",
     "passage_dedup_documents",
+    # NOT in the default list: tfidf_cosine_pairs_documents. Its RELATIVE
+    # df cap (df <= 0.1*n) is right for real corpora but pathological on
+    # bijected replicas at sf>=1.0 (per-word df stays fixed while n grows,
+    # so the cap admits near-stopwords and the posting join explodes —
+    # SCALE.md "Replica-design caveat"). Measure it at the sf0.3 pair:
+    #   bench_skew.py --uniform scaledata/sf0.3 --skew scaledata/sf0.3_skew \
+    #     --merge --queries tfidf_cosine_pairs_documents
     # BSP graph loops over the near-dup graph: hot token inflates one
     # component; embeddings carry a 5% one-direction near-dup cluster
     "neardup_components_documents",
