@@ -19,10 +19,11 @@ plan, which executes every operator.
 Load-proofing (VERDICT r04 #1 — two consecutive rounds lost signal to
 ambient host load): the artifact records loadavg + cpu count at start and
 end, an idle gate WARNS (or refuses under $SPARK_GRAFT_BENCH_STRICT=1) when
-the host is already busy, a fixed calibration query runs best-of-3 first so
-every timing can be read both raw and calibration-normalized, and the
-headline set is best-of-3 (median-free min, like before, but with one more
-draw against transient spikes). The round label comes from $SPARK_GRAFT_ROUND
+the host is already busy, a pinned 3-query calibration set (protocol
+"v2-3query-warm-bo5", each query warm best-of-5, summed — see
+CALIBRATION_PROTOCOL below) runs first so every timing can be read both raw
+and calibration-normalized, and the headline set is best-of-3 (median-free
+min, like before, but with one more draw against transient spikes). The round label comes from $SPARK_GRAFT_ROUND
 when set (ADVICE r04: within-round recaptures must label themselves
 explicitly); the max(BENCH_r*)+1 inference stays as the driver fallback and
 warns when it replaces an existing BENCH_FULL file.
@@ -53,15 +54,34 @@ FULL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
 RETRY_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "60"))
 _T_START = time.perf_counter()
 
-# Calibration anchor: q1_pricing_summary best-of-3 on an IDLE host at sf0.1
-# (local[32], this container class). Timings normalize as
-# raw * (REFERENCE_CALIBRATION_SEC / measured_calibration) — a host running
-# 30 % slow inflates the calibration by the same ~30 %, so normalized
-# numbers stay round-over-round comparable even when ambient load isn't.
-# Only meaningful at the default sf0.1; other SFs record the measurement but
-# skip normalization.
+# Calibration protocol v2 — PINNED as of round 7 (VERDICT r06 #3: the
+# anchor recipe changed semantics mid-series, r1-r5 cold-ish q1 best-of-3
+# vs r6 warm q1 best-of-5, making `full_normalized` non-comparable across
+# rounds). The permanent recipe:
+#   - a 3-query set (scan-agg-join + window + text scan) instead of a
+#     single query, damping single-query JIT variance;
+#   - each query WARM best-of-5 after the JVM warm-up block (q1's codegen
+#     keeps improving through ~run 4 of a fresh JVM);
+#   - calibration scalar = SUM of the three bests; normalization scale =
+#     REFERENCE_CALIBRATION_SEC / measured sum.
+# Timings normalize as raw * scale — a host running 30 % slow inflates the
+# calibration sum by the same ~30 %, so normalized numbers stay
+# round-over-round comparable even when ambient load isn't. Only meaningful
+# at the default sf0.1; other SFs record the measurement but skip
+# normalization. cal_info names the protocol version so cross-round series
+# can be filtered to like-for-like (r1-r5 = "q1-coldish-bo3", r6 =
+# "q1-warm-bo5", r7+ = "v2-3query-warm-bo5").
+CALIBRATION_PROTOCOL = "v2-3query-warm-bo5"
+CALIBRATION_QUERIES = [
+    "q1_pricing_summary",  # scan + group agg (codegen-heavy)
+    "rolling_mean_events",  # window exec over one exchange
+    "token_stats_documents",  # wide text scan, HOF-heavy projection
+]
+# reference sum measured idle, warm, round 7 (see BASELINE.md §calibration):
+# q1 0.485 + rolling_mean 0.230 + token_stats 0.229
+REFERENCE_CALIBRATION_SEC = 0.944
+# kept for backward reading of r1-r6 artifacts; no longer used to normalize
 CALIBRATION_QUERY = "q1_pricing_summary"
-REFERENCE_CALIBRATION_SEC = 0.50  # measured best-of-5, idle, round 5
 # idle gate: 1-min loadavg per cpu above this at START means another
 # workload is already running and every number will be inflated
 IDLE_LOAD_PER_CPU = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.25"))
@@ -185,15 +205,20 @@ def main() -> None:
     warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().count()
 
-    # fixed calibration query FIRST (best-of-5): one number that captures how
-    # slow THIS host is right now, so every other timing can be normalized.
-    # Five draws, not three (r6): whole-stage codegen for this query keeps
-    # improving through ~run 4 of a fresh JVM (measured 0.79/0.75/0.60/0.58
-    # after the cold draw), and an UNDER-warmed calibration overstates the
-    # host correction for the fully-warm readings that follow it.
-    calibration = round(
-        min(_run_once(spark, CALIBRATION_QUERY) for _ in range(5)), 4
-    )
+    # calibration set FIRST (protocol v2, pinned r7 — see the block comment
+    # at CALIBRATION_PROTOCOL): three diverse queries, each warm best-of-5,
+    # summed into one number that captures how slow THIS host is right now,
+    # so every other timing can be normalized. Five draws per query:
+    # whole-stage codegen keeps improving through ~run 4 of a fresh JVM
+    # (q1 measured 0.79/0.75/0.60/0.58 after the cold draw), and an
+    # UNDER-warmed calibration overstates the host correction for the
+    # fully-warm readings that follow it.
+    cal_per_query = {
+        name: round(min(_run_once(spark, name) for _ in range(5)), 4)
+        for name in CALIBRATION_QUERIES
+        if name in REGISTRY
+    }
+    calibration = round(sum(cal_per_query.values()), 4)
     at_default_sf = os.path.realpath(SF_DIR) == os.path.realpath(
         "/root/testdata/sf0.1"
     )
@@ -203,7 +228,8 @@ def main() -> None:
         else None
     )
     cal_info = {
-        "query": CALIBRATION_QUERY,
+        "protocol": CALIBRATION_PROTOCOL,
+        "queries": cal_per_query,
         "sec": calibration,
         "reference_sec": REFERENCE_CALIBRATION_SEC if at_default_sf else None,
         "scale": cal_scale,  # multiply raw timings by this to normalize
@@ -215,7 +241,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in REGISTRY]
     for name in names:
-        best = calibration if name == CALIBRATION_QUERY else min(
+        best = cal_per_query[name] if name in cal_per_query else min(
             _run_once(spark, name) for _ in range(3)
         )
         timings[name] = round(best, 4)
@@ -294,14 +320,27 @@ def main() -> None:
         ),
         reverse=True,
     )
+    # Spend RETRY_BUDGET on the single largest suspect first (the reading
+    # most likely to distort a family total), then the REST smallest-first:
+    # small re-draws are cheap and the old largest-first order let a dozen
+    # big suspects starve a legitimate small one out of its re-draw
+    # (VERDICT r06 #2: cms_heavy_hitters triggered but was never re-drawn).
+    # Suspects that still fall past the budget are RECORDED in
+    # redraw_skipped so "adjudicated clean" and "never adjudicated" are
+    # distinguishable in the artifact.
+    if len(suspects) > 1:
+        suspects = [suspects[0]] + sorted(suspects[1:])
     remeasured: dict[str, list[float]] = {}
+    redraw_skipped: list[str] = []
     retry_deadline = time.perf_counter() + RETRY_BUDGET
     for dt, name in suspects:
         if time.perf_counter() + dt > retry_deadline:
-            continue  # a re-draw we can't afford; keep the raw reading
+            redraw_skipped.append(name)  # can't afford; raw reading kept
+            continue
         try:
             again = round(_run_once(spark, name), 4)
         except Exception:
+            redraw_skipped.append(name)
             continue
         remeasured[name] = [dt, again]
         full[name] = min(dt, again)
@@ -336,6 +375,7 @@ def main() -> None:
         "n_full": len(full),
         "not_benched": not_benched,
         "remeasured": remeasured,
+        "redraw_skipped": redraw_skipped,
         "sf": sf_val,
         "calibration": cal_info,
         "load": load_info,

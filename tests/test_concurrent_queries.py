@@ -131,3 +131,85 @@ def test_ml_cache_is_per_thread(spark, sf_dir):
     assert counts == [expected, expected]
     # cleanup: free both threads' entries so the shared session stays lean
     _FEATS_CACHE.clear()
+
+
+def test_one_entry_cache_shares_same_key_single_build():
+    """ADVICE r06 rework: concurrent SAME-KEY callers must share one build
+    (one stored value, no duplicate training) and builds must not hold the
+    global cache lock (a slow build blocks only same-key callers)."""
+    import time
+
+    from weather_data_pipeline_spark.plans.queries import _one_entry_cache
+
+    cache_a: dict = {}
+    cache_b: dict = {}
+    builds = {"a": 0, "b": 0}
+    started = threading.Event()
+
+    def build_slow():
+        builds["a"] += 1
+        started.set()
+        time.sleep(0.5)
+        return "A"
+
+    def build_fast():
+        builds["b"] += 1
+        return "B"
+
+    results: list = []
+    t_slow = [
+        threading.Thread(
+            target=lambda: results.append(
+                _one_entry_cache(cache_a, ("k",), build_slow)
+            )
+        )
+        for _ in range(3)
+    ]
+    for t in t_slow:
+        t.start()
+    started.wait(timeout=10)
+    # while the slow build holds ONLY its per-key lock, an unrelated cache
+    # must be immediately serviceable from this thread
+    t0 = time.perf_counter()
+    assert _one_entry_cache(cache_b, ("other",), build_fast) == "B"
+    assert time.perf_counter() - t0 < 0.4, "unrelated cache blocked by build"
+    for t in t_slow:
+        t.join(timeout=30)
+    assert results == ["A", "A", "A"]
+    assert builds == {"a": 1, "b": 1}, "same-key callers must share ONE build"
+
+
+def test_one_entry_cache_evicts_only_when_last_lease_drops():
+    """Two live threads lease one key; one switches keys — the shared value
+    must survive (the other still consumes it). When the LAST lease moves,
+    the value is evicted exactly once. Dead threads' leases are pruned."""
+    from weather_data_pipeline_spark.plans.queries import _one_entry_cache
+
+    cache: dict = {}
+    evicted: list = []
+    gate_built = threading.Barrier(3)
+    gate_switch = threading.Event()
+    gate_done = threading.Barrier(3)
+
+    def worker(do_switch: bool):
+        assert _one_entry_cache(cache, ("k1",), lambda: "V1", evicted.append) == "V1"
+        gate_built.wait(timeout=30)
+        gate_switch.wait(timeout=30)
+        if do_switch:
+            _one_entry_cache(cache, ("k2",), lambda: "V2", evicted.append)
+        gate_done.wait(timeout=30)
+
+    ts = [threading.Thread(target=worker, args=(i == 0,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    gate_built.wait(timeout=30)
+    gate_switch.set()
+    gate_done.wait(timeout=30)
+    for t in ts:
+        t.join(timeout=30)
+    # thread 0 switched to k2 but thread 1 still leases k1: nothing evicted
+    assert evicted == [], "evicted a value another live thread still leases"
+    # both workers are dead now: the next call on any key prunes their
+    # leases and frees BOTH their values
+    assert _one_entry_cache(cache, ("k3",), lambda: "V3", evicted.append) == "V3"
+    assert sorted(evicted) == ["V1", "V2"], "dead threads' entries must free"

@@ -106,13 +106,21 @@ def test_ml_cache_evict_skips_foreign_context_ids(spark, sf_dir):
     victim, victim_ids = _ckpt_tracked(spark.range(10))
     assert set(victim_ids) <= _persistent_rdd_ids(spark)
     _FEATS_CACHE.clear()
-    # cache maps thread_ident -> (key, entry); entry shape is
-    # (df, ids, owning applicationId) — plant a foreign app id with ids that
-    # COLLIDE with the live victim's, under THIS thread so eviction sees it
-    _FEATS_CACHE[threading.get_ident()] = (
-        ("stale-key",),
-        (None, list(victim_ids), "app-STALE"),
-    )
+    # cache structure (r7): _entries maps key -> {lock, users, built,
+    # value}; _leases maps thread_ident -> key; value shape is (df, ids,
+    # owning applicationId) — plant a foreign app id with ids that COLLIDE
+    # with the live victim's, leased by THIS thread so the key switch in
+    # _ml_feats drops the last lease and runs eviction
+    tid = threading.get_ident()
+    _FEATS_CACHE["_leases"] = {tid: ("stale-key",)}
+    _FEATS_CACHE["_entries"] = {
+        ("stale-key",): {
+            "lock": threading.Lock(),
+            "users": {tid},
+            "built": True,
+            "value": (None, list(victim_ids), "app-STALE"),
+        }
+    }
     _ml_feats(spark, sf_dir).count()  # evicts the planted entry
     assert set(victim_ids) <= _persistent_rdd_ids(spark), (
         "evict freed ids owned by a foreign context (id-collision hazard)"

@@ -74,9 +74,16 @@ def test_feature_pipeline_no_unbounded_following(spark, sf_dir):
     assert "unboundedfollowing$()" not in plan.lower().replace(" ", "")
 
 
-def test_broadcast_under_threshold_for_vocab_joins(spark, sf_dir):
+def test_label_encode_apply_is_join_free(spark, sf_dir):
+    # E1 apply is a map-literal projection over a driver-collected vocab
+    # (bounded like standardize()'s stats row): no join of any kind and no
+    # exchange on the fact side — the lookup fuses into the scan's codegen
+    # stage (r7: the old per-column broadcast-join shape cost the feature
+    # pipeline three extra AQE stage materializations)
     df = REGISTRY["label_encode_event_type"].spark(spark, sf_dir)
-    assert "BroadcastHashJoin" in plan_of(df)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_band_join_broadcast_nested_loop(spark, sf_dir):

@@ -70,20 +70,53 @@ def _pct(sorted_vals: list[float], q: float) -> float:
     return sorted_vals[k]
 
 
-def _iter_events(files: list[str]):
+def _zstd_lines(path: str):
+    """Stream-decompress a .zstd event-log file, trying in order: the zstd
+    CLI (resolved via shutil.which, NOT a bare name — VERDICT r06 #1: the
+    CLI lives only under miniconda on this box and a bare-PATH shell got
+    FileNotFoundError), the `zstandard` module, then pyarrow's
+    CompressedInputStream. Raises RuntimeError naming all three if none is
+    available, so the caller sees a decode-capability problem rather than a
+    confusing empty-stats result."""
     import io
+    import shutil as _sh
     import subprocess
 
+    cli = _sh.which("zstd")
+    if cli:
+        proc = subprocess.Popen([cli, "-dc", path], stdout=subprocess.PIPE)
+        assert proc.stdout is not None
+        yield from io.TextIOWrapper(proc.stdout, encoding="utf-8")
+        proc.wait()
+        return
+    try:
+        import zstandard
+
+        with open(path, "rb") as raw:
+            reader = zstandard.ZstdDecompressor().stream_reader(raw)
+            yield from io.TextIOWrapper(reader, encoding="utf-8")
+        return
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        with pa.CompressedInputStream(pa.OSFile(path, "rb"), "zstd") as stream:
+            yield from io.TextIOWrapper(stream, encoding="utf-8")
+        return
+    except ImportError:
+        pass
+    raise RuntimeError(
+        f"cannot decompress {path}: no zstd CLI on PATH, no zstandard "
+        "module, no pyarrow"
+    )
+
+
+def _iter_events(files: list[str]):
     for path in files:
         if path.endswith(".zstd"):
-            # Spark's rolling event log compresses with zstd by default;
-            # stream-decompress via the CLI (no zstd module guaranteed)
-            proc = subprocess.Popen(
-                ["zstd", "-dc", path], stdout=subprocess.PIPE
-            )
-            assert proc.stdout is not None
-            yield from io.TextIOWrapper(proc.stdout, encoding="utf-8")
-            proc.wait()
+            # Spark's rolling event log compresses with zstd by default
+            yield from _zstd_lines(path)
         else:
             with open(path) as fh:
                 yield from fh
@@ -169,25 +202,32 @@ def main() -> None:
     sc = spark.sparkContext
 
     wall: dict[str, dict[str, float]] = {}
+    best_run: dict[str, dict[str, int]] = {}  # which repeat produced the min
     for name in args.queries:
         wall[name] = {}
+        best_run[name] = {}
         for label, d in (("uniform", args.uniform), ("skew", args.skew)):
             best = float("inf")
+            best_r = -1
             for r in range(args.repeat):
                 grp = f"{name}@{label}#{r}"
                 sc.setJobGroup(grp, grp)
                 t0 = time.perf_counter()
                 try:
                     REGISTRY[name].spark(spark, d).count()
-                    best = min(best, time.perf_counter() - t0)
+                    took = time.perf_counter() - t0
+                    if took < best:
+                        best, best_r = took, r
                 except Exception as exc:  # noqa: BLE001 — recorded, not fatal
+                    # keep an earlier successful timing (ADVICE r06: a
+                    # later-repeat error must not overwrite a good best)
                     print(f"{name}@{label}: ERROR {exc}", flush=True)
-                    best = -1.0
                     break
                 finally:
                     # SparkContext.clearJobGroup is gone in PySpark 4.x
                     sc.setLocalProperty("spark.jobGroup.id", None)
-            wall[name][label] = round(best, 3)
+            wall[name][label] = round(best, 3) if best_r >= 0 else -1.0
+            best_run[name][label] = best_r
         u, s = wall[name]["uniform"], wall[name]["skew"]
         ratio = round(s / u, 2) if u > 0 and s > 0 else None
         print(f"{name:45s} uniform={u:8.3f}s skew={s:8.3f}s ratio={ratio}", flush=True)
@@ -213,8 +253,16 @@ def main() -> None:
             "skew_sec": s,
             "ratio": round(s / u, 2) if u and u > 0 and s > 0 else None,
             "dirs": [args.uniform, args.skew],
-            "stages_uniform": _top_stages(stats.get(f"{name}@uniform#0", {})),
-            "stages_skew": _top_stages(stats.get(f"{name}@skew#0", {})),
+            # stage stats come from the SAME repeat that produced the
+            # reported wall minimum (ADVICE r06: run #0's straggler profile
+            # can describe a cold run unrelated to the best timing)
+            "best_run": best_run[name],
+            "stages_uniform": _top_stages(
+                stats.get(f"{name}@uniform#{best_run[name].get('uniform', 0)}", {})
+            ),
+            "stages_skew": _top_stages(
+                stats.get(f"{name}@skew#{best_run[name].get('skew', 0)}", {})
+            ),
         }
         results[name] = entry
     if args.merge and os.path.exists(args.out):

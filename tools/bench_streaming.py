@@ -57,8 +57,16 @@ def _split_events(spark, src: str, out_dir: str, n_files: int) -> int:
     return n
 
 
-def _drain(spark, stream_df, output_mode: str) -> dict:
-    """Run to completion on a noop sink; return progress stats."""
+def _drain(spark, stream_df, output_mode: str, expected_rows: int) -> dict:
+    """Run to completion on a noop sink; return progress stats.
+
+    Completeness guard (ADVICE r06): recentProgress is capped at
+    spark.sql.streaming.numRecentProgressUpdates entries — the session conf
+    raises it well above the file count, and `complete` records whether the
+    summed numInputRows actually covered the whole feed, so a silent
+    undercount can never masquerade as a throughput reading (wall covers
+    the full run; rows from a truncated buffer would bias rows_per_sec_wall
+    low)."""
     t0 = time.perf_counter()
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -78,8 +86,17 @@ def _drain(spark, stream_df, output_mode: str) -> dict:
             busy_ms += dur
             batch_ms.append(float(dur))
     batch_ms.sort()
+    complete = rows == expected_rows
+    if not complete:
+        print(
+            f"WARNING: progress rows {rows} != feed rows {expected_rows} — "
+            "recentProgress truncated? raise numRecentProgressUpdates",
+            flush=True,
+        )
     return {
         "rows": rows,
+        "expected_rows": expected_rows,
+        "complete": complete,
         "n_batches": len(batch_ms),
         "wall_sec": round(wall, 3),
         "rows_per_sec_wall": round(rows / wall, 1) if wall > 0 else None,
@@ -102,7 +119,17 @@ def main() -> None:
     from weather_data_pipeline_spark.session import get_spark
     from weather_data_pipeline_spark.streaming import jobs as SJ
 
-    spark = get_spark("bench-streaming")
+    # recentProgress caps at numRecentProgressUpdates (default 100) entries;
+    # a run with more micro-batches than that silently undercounts rows
+    # (ADVICE r06) — raise it far above any file count this bench uses
+    spark = get_spark(
+        "bench-streaming",
+        extra_conf={
+            "spark.sql.streaming.numRecentProgressUpdates": str(
+                max(1024, 4 * args.n_files)
+            )
+        },
+    )
     feed = "/tmp/bench-streaming-feed"
     shutil.rmtree(feed, ignore_errors=True)
     total = _split_events(spark, args.src, feed, args.n_files)
@@ -156,22 +183,38 @@ def main() -> None:
 
     # Per-batch cost at small batch sizes is dominated by the state-store
     # commit + shuffle fan-out, which scale with the PARTITION count, not
-    # the row count — so the same pipeline is measured at two shuffle-
-    # partition settings. A streaming query's state partitioning is fixed
-    # at first checkpoint: this is a deploy-time knob, sized to sustained
-    # batch volume (local 5k-row batches want ~8; a 100 TB ingest with
-    # GB-scale batches wants hundreds+).
+    # the row count — so each pipeline is measured at two shuffle-partition
+    # settings AND two batch sizes (VERDICT r06 next #6: the ~5 k-row sweep
+    # alone showed sp8 ≈ 2.4× sp32 but not where the curve crosses; a
+    # ~50 k-row-batch pair shows whether wider state partitioning pays once
+    # batches carry real volume). State partitioning is fixed at first
+    # checkpoint — a deploy-time knob, now exposed as
+    # streaming.jobs.state_partitions(spark, n).
+    from weather_data_pipeline_spark.streaming.jobs import state_partitions
+
+    big_files = max(2, total // 50_000)
+    feeds = [(feed, args.n_files)]
+    if big_files < args.n_files:  # skip when the feed can't make bigger batches
+        feed_big = "/tmp/bench-streaming-feed-big"
+        shutil.rmtree(feed_big, ignore_errors=True)
+        _split_events(spark, args.src, feed_big, big_files)
+        feeds.append((feed_big, big_files))
+
     results: dict[str, dict] = {}
-    for sp in (int(spark.conf.get("spark.sql.shuffle.partitions")), 8):
-        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
-        for label, build in (
-            ("hourly_agg", hourly_agg),
-            ("stream_stream_join", stream_stream_join),
-        ):
-            df, mode = build()
-            key = f"{label}@sp{sp}"
-            results[key] = _drain(spark, df, mode)
-            print(f"{key}:", json.dumps(results[key]), flush=True)
+    default_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for feed_dir, nf in feeds:
+        rpb = total // nf  # approx rows per micro-batch
+        for sp in (default_sp, 8):
+            with state_partitions(spark, sp):
+                for label, build in (
+                    ("hourly_agg", hourly_agg),
+                    ("stream_stream_join", stream_stream_join),
+                ):
+                    feed = feed_dir  # feed_stream() closes over `feed`
+                    df, mode = build()
+                    key = f"{label}@sp{sp}@b{rpb}"
+                    results[key] = _drain(spark, df, mode, total)
+                    print(f"{key}:", json.dumps(results[key]), flush=True)
 
     out = {
         "metric": "streaming_throughput",
@@ -185,7 +228,8 @@ def main() -> None:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(json.dumps({k: v["rows_per_sec_wall"] for k, v in results.items()}))
-    shutil.rmtree(feed, ignore_errors=True)
+    for feed_dir, _ in feeds:
+        shutil.rmtree(feed_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

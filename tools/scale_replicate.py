@@ -147,7 +147,7 @@ HOT_SOURCE = "src_hot"
 HOT_TOKEN = "zq"
 
 
-def _skew_events(tbl: pa.Table) -> pa.Table:
+def _skew_events(tbl: pa.Table, part: int = 0) -> pa.Table:
     eid = np.asarray(tbl.column("event_id").to_numpy(zero_copy_only=False))
     uid = np.asarray(tbl.column("user_id").to_numpy(zero_copy_only=False)).copy()
     uid[eid % 5 == 0] = HOT_USER
@@ -157,7 +157,7 @@ def _skew_events(tbl: pa.Table) -> pa.Table:
     )
 
 
-def _skew_documents(tbl: pa.Table) -> pa.Table:
+def _skew_documents(tbl: pa.Table, part: int = 0) -> pa.Table:
     did = np.asarray(tbl.column("doc_id").to_numpy(zero_copy_only=False))
     src = np.asarray(tbl.column("source").to_pylist(), dtype=object)
     src[did % 5 != 0] = HOT_SOURCE
@@ -188,12 +188,17 @@ def _skew_documents(tbl: pa.Table) -> pa.Table:
     )
 
 
-def _skew_embeddings(tbl: pa.Table) -> pa.Table:
+def _skew_embeddings(tbl: pa.Table, part: int = 0) -> pa.Table:
     vid = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False))
     vecs = tbl.column("embedding").to_pylist()
-    dim = len(next(v for v in vecs if v is not None))
-    rng = np.random.default_rng(240815)
-    base = rng.standard_normal(dim).astype(np.float32)
+    dim = next((len(v) for v in vecs if v is not None), 0)
+    if dim == 0:  # all-null embedding column: nothing to skew (ADVICE r06 —
+        return tbl  # the old next() raised a bare StopIteration here)
+    # seeded per PART so per-part application (bounded memory) produces the
+    # same values regardless of how the replica is chunked; the hot-cluster
+    # base direction stays part-independent (same seed for `base` below)
+    rng = np.random.default_rng(240815 + 7919 * part)
+    base = np.random.default_rng(240815).standard_normal(dim).astype(np.float32)
     base /= np.linalg.norm(base)
     hot = vid % 20 == 0
     for k in np.nonzero(hot)[0]:
@@ -239,12 +244,17 @@ def replicate(
                 rep = _transform_documents(rep, i)
             elif t == "embeddings":
                 rep = _transform_embeddings(rep, i)
+            # skew applied PER PART (ADVICE r06): the text/embedding skew
+            # rewrites materialize python lists of the column, so whole-
+            # concatenation application was a factor-x memory cliff; every
+            # skew transform is row-local (id % k), so part-wise application
+            # produces the same values at one part's footprint
+            if skew and t in _SKEW:
+                n_before = rep.num_rows
+                rep = _SKEW[t](rep, i)
+                assert rep.num_rows == n_before  # values only, never rows
             parts.append(rep)
         full = pa.concat_tables(parts)
-        if skew and t in _SKEW:
-            n_before = full.num_rows
-            full = _SKEW[t](full)
-            assert full.num_rows == n_before  # values only, never rows
         pq.write_table(full, f"{out}/{t}.parquet", row_group_size=200_000)
         print(f"{out}/{t}.parquet: {full.num_rows} rows")
 

@@ -52,7 +52,14 @@ def reliable_checkpoints(spark: SparkSession, checkpoint_dir: str):
     dir at HDFS/S3 and set `spark.cleaner.referenceTracking.cleanCheckpoints
     =true` so checkpoint files are GC'd with their RDDs; `_free_ckpt` has
     nothing to unpersist in this mode (no executor blocks are pinned).
-    Alternatively set $SPARK_GRAFT_RELIABLE_CKPT_DIR to enable globally."""
+
+    THREAD-SCOPED contract (ADVICE r06): the opt-in is `threading.local` —
+    it covers work running on THIS thread only. A driver that enables it
+    here and then fans the corpus build out to WORKER threads inside the
+    `with` block gets plain (non-fault-tolerant) localCheckpoint on those
+    threads, silently. Multi-threaded drivers must instead set
+    $SPARK_GRAFT_RELIABLE_CKPT_DIR, which stays PROCESS-GLOBAL by design
+    (cluster-wide durability policy) and is honored on every thread."""
     spark.sparkContext.setCheckpointDir(checkpoint_dir)
     prev = getattr(_RELIABLE, "on", False)
     _RELIABLE.on = True

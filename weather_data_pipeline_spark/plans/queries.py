@@ -1423,33 +1423,87 @@ def streaming_hourly_agg(spark, sf_dir):
 _SUITE_CACHE: dict = {}
 
 
-# RLock, not Lock: _trained_suite's build() nests into _ml_feats' cache
+# guards cache DICT STRUCTURE only — builds run outside it, under a
+# per-key lock (ADVICE r06: _trained_suite's build() runs minutes of MLlib
+# training, and holding the global lock across it blocked every thread
+# touching ANY of the three ML caches). RLock kept for defensive reentrancy
+# (on_evict hooks run under it).
 _CACHE_LOCK = threading.RLock()
 
 
 def _one_entry_cache(cache: dict, key, build, on_evict=None):
-    """At most ONE entry per CALLING THREAD, cache maps
-    thread_ident -> (key, value). Per-thread keying + the lock make the
-    harness caches safe under CONCURRENT registry queries on one shared
-    session (VERDICT r05 wrong #1): eviction only ever frees an entry owned
-    by the calling thread, so another thread's in-flight query can never
-    have its checkpointed feature frame unpersisted mid-consumption.
-    Builds serialize on the process lock — concurrent same-key threads wait
-    for (then rebuild after) each other rather than double-training
-    unboundedly; a multi-tenant serving layer should hold trained suites in
-    ml/registry.py, not this harness cache. Dead threads' entries linger
-    until the next same-thread-id key change — bounded by pool size, and
-    the eviction hooks free executor blocks on every key switch exactly as
-    before (test_ml_cache_lifecycle)."""
+    """Shared key-based cache with per-key build locks and per-thread
+    leases (ADVICE r06 rework of the per-thread-keyed r6 design).
+
+    Structure: ``cache["_entries"]`` maps key -> {lock, users, built,
+    value}; ``cache["_leases"]`` maps thread_ident -> its current key.
+
+    Guarantees, pinned by tests (test_no_cache_leak,
+    test_concurrent_queries):
+    - SAME-KEY SHARING: concurrent threads asking for one key get ONE
+      build (the rest wait on that key's lock), one stored value — no
+      N-threads × storage duplication and no duplicate training.
+    - NO GLOBAL BLOCKING: the process-wide lock guards only dict edits;
+      a minutes-long MLlib build blocks ONLY same-key callers.
+    - SAFE EVICTION: a value is freed (on_evict) only when NO live thread
+      holds a lease on it — a thread switching keys releases its lease,
+      and entries leased only by DEAD threads are pruned on every call,
+      so pool-thread churn can't pin frames indefinitely.
+    - Eviction hooks still fire on every last-lease drop, freeing the
+      evicted frame's checkpoint blocks (test_ml_cache_lifecycle).
+    A multi-tenant serving layer should hold trained suites in
+    ml/registry.py, not this harness cache."""
     tid = threading.get_ident()
     with _CACHE_LOCK:
-        ent = cache.get(tid)
-        if ent is not None and ent[0] == key:
-            return ent[1]
-        if ent is not None and on_evict is not None:
-            on_evict(ent[1])
-        val = build()
-        cache[tid] = (key, val)
+        leases = cache.setdefault("_leases", {})
+        entries = cache.setdefault("_entries", {})
+
+        def _drop(k):
+            ent = entries.pop(k)
+            if on_evict is not None and ent["built"]:
+                on_evict(ent["value"])
+
+        prev = leases.get(tid)
+        if prev is not None and prev != key and prev in entries:
+            entries[prev]["users"].discard(tid)
+            if not entries[prev]["users"]:
+                _drop(prev)
+        # prune leases/entries held only by dead pool threads
+        live = {t.ident for t in threading.enumerate()}
+        for dead in [t for t in leases if t not in live]:
+            del leases[dead]
+        for k in list(entries):
+            entries[k]["users"] &= live
+            if not entries[k]["users"]:
+                _drop(k)
+        ent = entries.get(key)
+        if ent is None:
+            ent = {
+                "lock": threading.Lock(),
+                "users": set(),
+                "built": False,
+                "value": None,
+            }
+            entries[key] = ent
+        ent["users"].add(tid)
+        leases[tid] = key
+    # build (or wait for the builder) OUTSIDE the global lock; the lease
+    # taken above keeps the entry alive until this thread switches keys
+    with ent["lock"]:
+        if ent["built"]:
+            return ent["value"]
+        try:
+            val = build()
+        except BaseException:
+            with _CACHE_LOCK:
+                ent["users"].discard(tid)
+                if leases.get(tid) == key:
+                    del leases[tid]
+                if entries.get(key) is ent and not ent["users"]:
+                    del entries[key]  # unbuilt: nothing to evict
+            raise
+        ent["value"] = val
+        ent["built"] = True
         return val
 
 
