@@ -147,7 +147,8 @@ def main() -> None:
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
     def hourly_agg():
-        return SJ.hourly_agg_stream(feed_stream()), "update"
+        # one source read: expected progress rows = feed rows
+        return SJ.hourly_agg_stream(feed_stream()), "update", 1
 
     def stream_stream_join():
         # watermarked stream-stream interval join (view->purchase attribution)
@@ -179,7 +180,9 @@ def main() -> None:
                 <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
             ),
         )
-        return joined, "append"
+        # the two watermarked branches each read the file source, so the
+        # query's numInputRows totals TWICE the feed rows
+        return joined, "append", 2
 
     # Per-batch cost at small batch sizes is dominated by the state-store
     # commit + shuffle fan-out, which scale with the PARTITION count, not
@@ -211,9 +214,9 @@ def main() -> None:
                     ("stream_stream_join", stream_stream_join),
                 ):
                     feed = feed_dir  # feed_stream() closes over `feed`
-                    df, mode = build()
+                    df, mode, n_sources = build()
                     key = f"{label}@sp{sp}@b{rpb}"
-                    results[key] = _drain(spark, df, mode, total)
+                    results[key] = _drain(spark, df, mode, total * n_sources)
                     print(f"{key}:", json.dumps(results[key]), flush=True)
 
     out = {
