@@ -194,3 +194,38 @@ def test_single_city_constant_category(spark, sf_dir):
     out = FP.full_feature_pipeline(base)
     assert out.select("weather_main_encoded").distinct().count() == 1
     assert out.count() > 0
+
+
+def test_label_encode_semantics_sorted_codes_unseen_and_all_null(spark):
+    """E1 sklearn-parity contract on the r7 single-scan map-literal path:
+    codes follow SORTED distinct order (string cast), nulls and unseen
+    values map to -1, an all-null column yields -1 everywhere (empty
+    vocab branch), and multi-column fit shares one scan without
+    cross-contaminating vocabularies."""
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators import encoding as E
+
+    df = spark.createDataFrame(
+        [("b", None, 10), ("a", None, 20), ("c", None, 10), (None, None, 30)],
+        "cat string, allnull string, num int",
+    )
+    out = E.label_encode(df, ["cat", "allnull"]).orderBy("num", "cat")
+    rows = {(r["cat"], r["num"]): (r["cat_encoded"], r["allnull_encoded"])
+            for r in out.collect()}
+    # sorted distinct of cat = [a, b, c] -> codes 0,1,2; null cat -> -1
+    assert rows[("b", 10)] == (1, -1)
+    assert rows[("c", 10)] == (2, -1)
+    assert rows[("a", 20)] == (0, -1)
+    assert rows[(None, 30)] == (-1, -1)
+
+    # unseen at transform: fit on df, apply to a frame with a new value
+    vocab = E.fit_label_encoding_multi(df, ["cat"])
+    v = {r["_k"]: r["_code"] for r in vocab.collect()}
+    assert v == {"a": 0, "b": 1, "c": 2}
+    other = spark.createDataFrame([("zz",), ("a",)], "cat string")
+    enc = E.apply_label_encoding(
+        other, E.fit_label_encoding(df, "cat"), "cat"
+    )
+    got = {r["cat"]: r["cat_encoded"] for r in enc.collect()}
+    assert got == {"zz": -1, "a": 0}
