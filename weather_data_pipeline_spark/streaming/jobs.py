@@ -102,25 +102,63 @@ def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
-def run_stream_to_batch(agg: DataFrame, spark: SparkSession) -> DataFrame:
+def auto_state_partitions(spark: SparkSession, n_input_rows: int) -> int:
+    """Size the state-store partition count to the input volume:
+    ``min(session default, max(8, rows // 25_000))``.
+
+    The rule only ever DOWNSIZES below the session default, and only when
+    the stream is too small to amortize per-partition state-store commits —
+    the measured phenomenon (BENCH_STREAMING.json + the attribution query:
+    a 200 k-row drain runs 7.7 s at 32 state partitions vs 2.5 s at 8; the
+    optimum on this box is ≥ ~25 k rows per partition). At real cluster
+    volume ``rows // 25_000`` exceeds any sane default, so the default —
+    sized to the cluster's cores — wins and parallelism is never capped."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(default, max(8, n_input_rows // 25_000))
+
+
+def run_stream_to_batch(
+    agg: DataFrame, spark: SparkSession, n_input_rows: int | None = None
+) -> DataFrame:
     """Drive a (bounded) streaming aggregation to completion and return the
     result as a batch DataFrame via a memory sink. `complete` output mode so
-    every window is emitted regardless of watermark progress."""
+    every window is emitted regardless of watermark progress. When the
+    caller knows the bounded input's row count, state partitions are sized
+    by :func:`auto_state_partitions` (state partitioning freezes at the
+    first checkpoint, so it must be decided here, before ``start()``)."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+
+    def _start():
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    if n_input_rows is not None:
+        with state_partitions(spark, auto_state_partitions(spark, n_input_rows)):
+            q = _start()
+    else:
+        q = _start()
     q.awaitTermination()
     return spark.table(name)
 
 
+def _events_rows(sf_dir: str) -> int:
+    from ..sources.tables import parquet_row_count
+
+    return parquet_row_count(sf_dir, "events")
+
+
 def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: stream → watermark → tumbling agg → memory table."""
-    return run_stream_to_batch(hourly_agg_stream(events_stream(spark, sf_dir)), spark)
+    return run_stream_to_batch(
+        hourly_agg_stream(events_stream(spark, sf_dir)),
+        spark,
+        n_input_rows=_events_rows(sf_dir),
+    )
 
 
 def stream_upsert_events(
@@ -163,7 +201,11 @@ def sliding_agg_stream(events: DataFrame, watermark: str = "4 hours") -> DataFra
 
 
 def streaming_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_stream_to_batch(sliding_agg_stream(events_stream(spark, sf_dir)), spark)
+    return run_stream_to_batch(
+        sliding_agg_stream(events_stream(spark, sf_dir)),
+        spark,
+        n_input_rows=_events_rows(sf_dir),
+    )
 
 
 def stateful_user_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,13 +239,16 @@ def stateful_user_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     name = f"stateful_out_{_uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_partitions(
+        spark, auto_state_partitions(spark, _events_rows(sf_dir))
+    ):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     # update-mode memory sink may hold several rows per user (one per batch);
     # keep the final state per user
@@ -242,20 +287,37 @@ def session_agg_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_stream_to_batch(session_agg_stream(events_stream(spark, sf_dir)), spark)
-
-
-def run_stream_to_batch_append(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Drive a bounded stream in `append` mode (required for stream-stream
-    joins, where `complete` is unsupported) and return the emitted rows."""
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return run_stream_to_batch(
+        session_agg_stream(events_stream(spark, sf_dir)),
+        spark,
+        n_input_rows=_events_rows(sf_dir),
     )
+
+
+def run_stream_to_batch_append(
+    df: DataFrame, spark: SparkSession, n_input_rows: int | None = None
+) -> DataFrame:
+    """Drive a bounded stream in `append` mode (required for stream-stream
+    joins, where `complete` is unsupported) and return the emitted rows.
+    `n_input_rows` sizes state partitions via :func:`auto_state_partitions`
+    (measured 3×: the 200 k-row attribution drain reads 7.7 s at 32 state
+    partitions, 2.5 s at 8)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+
+    def _start():
+        return (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    if n_input_rows is not None:
+        with state_partitions(spark, auto_state_partitions(spark, n_input_rows)):
+            q = _start()
+    else:
+        q = _start()
     q.awaitTermination()
     return spark.table(name)
 
@@ -446,5 +508,7 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     baseline = baseline_value_props(load_table(spark, sf_dir, "events"))
     return run_stream_to_batch(
-        psi_drift_stream(events_stream(spark, sf_dir), baseline), spark
+        psi_drift_stream(events_stream(spark, sf_dir), baseline),
+        spark,
+        n_input_rows=_events_rows(sf_dir),
     )
