@@ -399,13 +399,16 @@ def tws_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
         name = f"tws_out_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
+        with state_partitions(
+            spark, auto_state_partitions(spark, _events_rows(sf_dir))
+        ):
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
     finally:
         if prev_provider is None:
