@@ -213,10 +213,18 @@ def main() -> None:
     # (q1 measured 0.79/0.75/0.60/0.58 after the cold draw), and an
     # UNDER-warmed calibration overstates the host correction for the
     # fully-warm readings that follow it.
+    # The protocol is PINNED — a calibration query missing from the registry
+    # would silently sum fewer queries against the 3-query reference number
+    # and inflate cal_scale (ADVICE r07). Fail loudly instead.
+    missing_cal = [n for n in CALIBRATION_QUERIES if n not in REGISTRY]
+    assert not missing_cal, (
+        f"calibration queries {missing_cal} missing from REGISTRY; the "
+        f"{CALIBRATION_PROTOCOL} protocol is pinned — re-add the query or "
+        "define a new protocol version with a new reference_sec"
+    )
     cal_per_query = {
         name: round(min(_run_once(spark, name) for _ in range(5)), 4)
         for name in CALIBRATION_QUERIES
-        if name in REGISTRY
     }
     calibration = round(sum(cal_per_query.values()), 4)
     at_default_sf = os.path.realpath(SF_DIR) == os.path.realpath(
@@ -235,16 +243,14 @@ def main() -> None:
         "scale": cal_scale,  # multiply raw timings by this to normalize
     }
 
-    # best-of-3 per query: single-JVM local mode shares the host with other
-    # work, so one-shot wall times mix engine cost with transient load; the
-    # min of three runs is a stable estimate of true plan cost.
+    # best-of-3 per query, UNIFORMLY — including the calibration queries,
+    # whose warm best-of-5 draws stay inside cal_info only (reusing min-of-5
+    # here would bias those two headline entries low vs every other query
+    # and vs rounds 1-6 — ADVICE r07 cross-round-comparability fix).
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in REGISTRY]
     for name in names:
-        best = cal_per_query[name] if name in cal_per_query else min(
-            _run_once(spark, name) for _ in range(3)
-        )
-        timings[name] = round(best, 4)
+        timings[name] = round(min(_run_once(spark, name) for _ in range(3)), 4)
     total = round(sum(timings.values()), 4)
 
     # full-registry pass, single shot each, budget-bounded; headline queries

@@ -229,3 +229,53 @@ def test_label_encode_semantics_sorted_codes_unseen_and_all_null(spark):
     )
     got = {r["cat"]: r["cat_encoded"] for r in enc.collect()}
     assert got == {"zz": -1, "a": 0}
+
+
+def test_label_encode_high_cardinality_fallback(spark):
+    """VERDICT r07 #2 cardinality guard: a column above ``max_literal_vocab``
+    distinct values must never ship its vocabulary to the driver or bake it
+    into a plan-sized ``create_map`` literal — it is encoded through the
+    distributed join fallback with identical sorted-code/unseen=-1
+    semantics, while small columns keep the map-literal fast path."""
+    from weather_data_pipeline_spark.operators import encoding as E
+
+    rows = [(f"id_{i:04d}", ["x", "y"][i % 2], i) for i in range(40)]
+    rows.append((None, None, 99))
+    df = spark.createDataFrame(rows, "big string, small string, num int")
+    out = E.label_encode(df, ["big", "small"], max_literal_vocab=10)
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the 40-value vocab must not appear as literals anywhere in the plan
+    assert "id_00" not in plan
+    # the small column still takes the literal fast path (no join for it) —
+    # and the fallback path shows up as the plan's only join
+    assert plan.count("Join") >= 1
+
+    got = {r["num"]: (r["big_encoded"], r["small_encoded"]) for r in out.collect()}
+    assert len(got) == 41
+    for i in range(40):
+        # sorted distinct of big = id_0000..id_0039 -> code == i
+        assert got[i] == (i, i % 2)
+    assert got[99] == (-1, -1)
+
+
+def test_label_encode_map_lookup_is_ansi_safe(spark):
+    """ADVICE r07: under ANSI mode (default-on in PySpark 4.1),
+    ``element_at(map, key)`` throws MAP_KEY_DOES_NOT_EXIST for a non-null
+    missing key, making the unseen→-1 contract unreachable on any
+    fit/apply divergence. The map-literal path must use ``try_element_at``
+    (NULL for missing keys regardless of ANSI)."""
+    from weather_data_pipeline_spark.operators import encoding as E
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "cat string, num int")
+    out = E.label_encode(df, ["cat"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # try_element_at compiles to element_at(..., failOnError=false): the
+    # physical expression renders as `element_at(map(...), key, None, false)`
+    assert "element_at(map" in plan
+    assert ", None, false)" in plan
+    assert ", None, true)" not in plan

@@ -361,3 +361,36 @@ def test_state_partitions_knob_scopes_and_restores(spark, sf_dir):
             assert spark.conf.get(key) == "5"
             raise RuntimeError("boom")
     assert spark.conf.get(key) == before, "knob failed to restore on error"
+
+
+def test_state_partitions_concurrent_blocks_serialize(spark):
+    """ADVICE r07: overlapping state_partitions blocks on the shared session
+    must not interleave save/restore (T1 saves 32->sets 8; T2 saves 8; T1
+    restores 32; T2 restores 8 => session permanently downsized). The
+    process-wide lock serializes the blocks: each thread sees its own n
+    inside its block, and the session ends at the original setting."""
+    import threading
+    import time
+
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    errs: list[Exception] = []
+
+    def worker(n: int) -> None:
+        try:
+            for _ in range(8):
+                with SJ.state_partitions(spark, n):
+                    assert spark.conf.get(key) == str(n)
+                    time.sleep(0.002)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(n,)) for n in (3, 5, 7)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert spark.conf.get(key) == orig, "session conf permanently downsized"

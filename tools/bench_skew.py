@@ -86,8 +86,21 @@ def _zstd_lines(path: str):
     if cli:
         proc = subprocess.Popen([cli, "-dc", path], stdout=subprocess.PIPE)
         assert proc.stdout is not None
-        yield from io.TextIOWrapper(proc.stdout, encoding="utf-8")
-        proc.wait()
+        try:
+            yield from io.TextIOWrapper(proc.stdout, encoding="utf-8")
+        except BaseException:
+            # abandoned mid-iteration (caller broke out early / errored):
+            # don't leave a zstd process writing into a dead pipe
+            proc.kill()
+            proc.wait()
+            raise
+        # a corrupt .zstd file must be an error, not silently truncated
+        # stage stats (same fail-loud contract as the no-decompressor case)
+        if proc.wait() != 0:
+            raise RuntimeError(
+                f"zstd -dc exited {proc.returncode} decompressing {path}: "
+                "corrupt or truncated event-log file"
+            )
         return
     try:
         import zstandard
@@ -173,7 +186,10 @@ def main() -> None:
     ap.add_argument("--skew", default="scaledata/sf1.0_skew")
     ap.add_argument("--out", default="BENCH_SKEW.json")
     ap.add_argument("--queries", nargs="*", default=REPRESENTATIVES)
-    ap.add_argument("--repeat", type=int, default=1)
+    # best-of-3 per SIDE (VERDICT r07 next #6): the uniform twin is bound by
+    # the scheduling floor and noisy at repeat 1-2 — its draw-to-draw spread
+    # moved the headline pagerank skew ratio 1.44->1.91 across rounds
+    ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument(
         "--merge",
         action="store_true",
@@ -182,6 +198,21 @@ def main() -> None:
         "different scale pairs, e.g. tfidf_cosine at sf0.3",
     )
     args = ap.parse_args()
+
+    # same idle gate as bench.py: skew ratios from a loaded box are noise
+    # (the r7 artifact was captured at loadavg 10/32 and its loadavg_start
+    # was sampled AFTER the runs — both fixed here)
+    load_start = os.getloadavg()
+    ncpus = os.cpu_count() or 1
+    idle_at_start = load_start[0] / ncpus <= float(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.25")
+    )
+    if not idle_at_start:
+        print(
+            f"bench_skew: host NOT idle (loadavg {load_start[0]:.2f} on "
+            f"{ncpus} cpus) — ratios will be noisy",
+            file=sys.stderr,
+        )
 
     evdir = "/tmp/spark-graft-eventlog"
     os.makedirs(evdir, exist_ok=True)
@@ -280,7 +311,12 @@ def main() -> None:
         "repeat": args.repeat,
         "queries": results,
         "flagged_over_3x": flagged,
-        "load": {"ncpus": os.cpu_count(), "loadavg_start": list(os.getloadavg())},
+        "load": {
+            "ncpus": ncpus,
+            "loadavg_start": [round(v, 2) for v in load_start],
+            "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+            "idle_at_start": idle_at_start,
+        },
     }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)

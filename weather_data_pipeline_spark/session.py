@@ -60,6 +60,16 @@ def get_spark(
     if not os.environ.get("SPARK_MASTER") and "MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
 
+    # Diagnostics hook (VERDICT r07 next #4): SPARK_GRAFT_GC_LOG=<path>
+    # turns on unified JVM GC logging for the local driver JVM so wall-time
+    # outliers can be correlated with collector pauses. No effect unless set.
+    gc_log = os.environ.get("SPARK_GRAFT_GC_LOG")
+    if gc_log:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xlog:gc*:file={gc_log}:time,uptime",
+        )
+
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 

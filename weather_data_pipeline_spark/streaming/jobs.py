@@ -15,6 +15,7 @@ the same plan shape a Kafka-fed cluster deployment would run.
 
 from __future__ import annotations
 
+import threading
 import uuid
 from contextlib import contextmanager
 
@@ -37,6 +38,10 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
+# serializes every state_partitions block (see the docstring's race note)
+_STATE_PARTITIONS_LOCK = threading.Lock()
+
+
 @contextmanager
 def state_partitions(spark: SparkSession, n: int):
     """Size the state-store partition count for streaming queries STARTED
@@ -52,14 +57,27 @@ def state_partitions(spark: SparkSession, n: int):
     sustained batches want partition counts sized to batch volume
     (hundreds+ for a GB-scale-batch 100 TB ingest). Restores the previous
     session setting on exit; batch queries planned inside the block also
-    see the override, so keep the block tight around the stream start."""
+    see the override, so keep the block tight around the stream start.
+
+    Thread safety (ADVICE r07): ``spark.sql.shuffle.partitions`` is
+    session-global, and the repo's pinned contract is concurrent registry
+    queries on ONE shared session — two overlapping blocks could interleave
+    save/restore (T1 saves 32→sets 8; T2 saves 8; T1 restores 32; T2
+    restores 8) and leave the session permanently downsized. A process-wide
+    lock serializes save→set→body→restore; ``start()`` for an
+    ``availableNow`` query only plans and launches (the micro-batches run
+    async), so the critical section is milliseconds. Batch queries planned
+    on OTHER threads during that window can still see the override — that
+    residual race is inherent to a session-global conf and is why the block
+    must stay tight around ``start()``."""
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+    with _STATE_PARTITIONS_LOCK:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
