@@ -279,3 +279,19 @@ def test_label_encode_map_lookup_is_ansi_safe(spark):
     assert "element_at(map" in plan
     assert ", None, false)" in plan
     assert ", None, true)" not in plan
+
+
+def test_fit_label_encoding_scalable_rank_matches_sorted_order(spark):
+    """The fit's global dense rank is computed as range-partition +
+    within-slice rank + per-partition offsets (no single-partition global
+    window — that task would be the straggler for the 100k+-distinct
+    fallback columns). Codes must still be exactly sorted-order 0..n-1
+    over distinct non-null values, independent of input partitioning."""
+    from weather_data_pipeline_spark.operators import encoding as E
+
+    vals = [f"v{i:03d}" for i in range(200)]
+    rows = [(v,) for v in reversed(vals)] + [(None,), ("v000",), ("v150",)]
+    df = spark.createDataFrame(rows, "cat string").repartition(8)
+    fit = E.fit_label_encoding(df, "cat")
+    got = {r["cat"]: r["cat_encoded"] for r in fit.collect()}
+    assert got == {v: i for i, v in enumerate(vals)}

@@ -234,9 +234,11 @@ def main() -> None:
 
     wall: dict[str, dict[str, float]] = {}
     best_run: dict[str, dict[str, int]] = {}  # which repeat produced the min
+    draws: dict[str, dict[str, list[float]]] = {}  # every repeat's wall time
     for name in args.queries:
         wall[name] = {}
         best_run[name] = {}
+        draws[name] = {"uniform": [], "skew": []}
         for label, d in (("uniform", args.uniform), ("skew", args.skew)):
             best = float("inf")
             best_r = -1
@@ -247,6 +249,7 @@ def main() -> None:
                 try:
                     REGISTRY[name].spark(spark, d).count()
                     took = time.perf_counter() - t0
+                    draws[name][label].append(round(took, 3))
                     if took < best:
                         best, best_r = took, r
                 except Exception as exc:  # noqa: BLE001 — recorded, not fatal
@@ -279,10 +282,26 @@ def main() -> None:
     results = {}
     for name in args.queries:
         u, s = wall[name].get("uniform", -1), wall[name].get("skew", -1)
+        du, ds = draws[name]["uniform"], draws[name]["skew"]
         entry = {
             "uniform_sec": u,
             "skew_sec": s,
             "ratio": round(s / u, 2) if u and u > 0 and s > 0 else None,
+            # every draw, both sides (r8): draw 0 is COLD on the uniform
+            # side (it runs first and pays the scan/page-cache/codegen
+            # cost the skew side then inherits — lag_events measured 4.76 s
+            # cold vs 0.39/0.43 warm), so warm_ratio sums draws 1..N-1 per
+            # side; warm draws are stable to ~2% CV even on the BSP graph
+            # queries, where best/best paired a noisy pair of minima and
+            # moved the headline ratio 1.44-1.91 across rounds. `ratio`
+            # (best/best) stays the historical series.
+            "draws_uniform": du,
+            "draws_skew": ds,
+            "warm_ratio": (
+                round(sum(ds[1:]) / sum(du[1:]), 2)
+                if len(du) > 1 and len(ds) > 1 and sum(du[1:]) > 0
+                else None
+            ),
             "dirs": [args.uniform, args.skew],
             # stage stats come from the SAME repeat that produced the
             # reported wall minimum (ADVICE r06: run #0's straggler profile
@@ -296,9 +315,15 @@ def main() -> None:
             ),
         }
         results[name] = entry
+    prior_load = None
     if args.merge and os.path.exists(args.out):
         with open(args.out) as fh:
-            prior = json.load(fh).get("queries", {})
+            prior_doc = json.load(fh)
+        prior = prior_doc.get("queries", {})
+        # a merge run starts while the main capture's load is still
+        # decaying — keep the MAIN capture's load as the artifact's
+        # headline and record this segment's separately
+        prior_load = prior_doc.get("load")
         prior.update(results)
         results = prior
     flagged = sorted(
@@ -318,6 +343,9 @@ def main() -> None:
             "idle_at_start": idle_at_start,
         },
     }
+    if prior_load is not None:
+        out["merge_segment_load"] = out["load"]
+        out["load"] = prior_load
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")

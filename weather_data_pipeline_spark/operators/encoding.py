@@ -23,14 +23,57 @@ from pyspark.sql import functions as F
 
 def fit_label_encoding(df: DataFrame, col: str) -> DataFrame:
     """Fit: sorted distinct non-null values → dense codes 0..n−1 (sklearn
-    LabelEncoder assigns codes in sorted order)."""
-    w = Window.orderBy(col)
-    return (
+    LabelEncoder assigns codes in sorted order).
+
+    The global rank is computed WITHOUT a single-partition window (a
+    ``Window.orderBy`` with no partition key funnels the whole vocabulary
+    through one task — fine for bounded categoricals, a straggler for the
+    100k+-distinct columns this is now the designated fallback for, see
+    :func:`label_encode`): range-repartition the distinct values so
+    partition i holds a contiguous sorted slice, rank within each slice,
+    then add per-partition offsets (one bounded row per partition,
+    collected driver-side like :func:`standardize`'s stats row). The
+    range-partitioned vocab is materialized ONCE (``localCheckpoint``)
+    before the counts collect — range boundaries come from reservoir
+    sampling of a shuffle read, which is NOT re-execution-deterministic,
+    so the offsets job and the rank job must read the same partitions."""
+    vocab = (
         df.select(F.col(col).cast("string").alias(col))
         .where(F.col(col).isNotNull())
         .distinct()
-        .withColumn(f"{col}_encoded", F.row_number().over(w) - 1)
+        .repartitionByRange(F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
+    # one row per partition — bounded by the partition count, never by n
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in vocab.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        off = F.coalesce(
+            F.try_element_at(
+                F.create_map(
+                    *[
+                        x
+                        for p, o in sorted(offsets.items())
+                        for x in (F.lit(p), F.lit(o))
+                    ]
+                ),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        )
+    else:  # empty vocab: no partitions produced rows
+        off = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(col)
+    return vocab.withColumn(
+        f"{col}_encoded", F.row_number().over(w) - 1 + off
+    ).drop("_pid")
 
 
 def apply_label_encoding(
