@@ -99,3 +99,40 @@ def test_canary_count_min_sketch_jvm_roundtrip(spark):
         "CountMinSketch.estimateCount under-counted — serialization format "
         "of the count_min_sketch aggregate changed"
     )
+
+
+def test_canary_checkpoint_id_from_analyzed_plan(spark):
+    """graph._ckpt_tracked (r8) reads the pinned RDD id DIRECTLY off the
+    checkpointed Dataset — `queryExecution().analyzed()` must be the
+    LogicalRDD wrapping exactly the RDD localCheckpoint persisted. (The old
+    getPersistentRDDs diff raced under concurrent registry queries: two
+    simultaneous checkpoints could each sweep the other thread's id into
+    their diff and later free a live checkpoint.) If this canary fails,
+    _ckpt_tracked falls back to LEAKING blocks for the session (empty id
+    list + RuntimeWarning) — safe but unbounded for BSP loops; find the new
+    way to identify the persisted RDD."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    df = spark.range(9).selectExpr("id", "id * 3 AS y").localCheckpoint(
+        eager=True
+    )
+    diff = [
+        i for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        if i not in before
+    ]
+    plan = df._jdf.queryExecution().analyzed()
+    assert "LogicalRDD" in plan.getClass().getName(), (
+        "private API drift: a localCheckpointed Dataset's analyzed plan is "
+        f"no longer LogicalRDD (got {plan.getClass().getName()}) — "
+        "graph._ckpt_tracked is leaking checkpoint blocks"
+    )
+    direct = plan.rdd().id()
+    assert [direct] == diff, (
+        f"LogicalRDD.rdd().id() = {direct} no longer matches the persisted "
+        f"id(s) {diff} — graph._ckpt_tracked would free the wrong RDD"
+    )
+    assert df.count() == 9
+    jmap = sc._jsc.getPersistentRDDs()
+    rdd = jmap.get(direct)
+    if rdd is not None:
+        rdd.unpersist(False)

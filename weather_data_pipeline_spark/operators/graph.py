@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _STRIP_WARNED = False
+_CKPT_ID_WARNED = False
 
 # --- checkpoint mode (VERDICT r04 #2) ---------------------------------------
 # `localCheckpoint` pins blocks in EXECUTOR storage: fast (no FS round-trip)
@@ -177,14 +178,25 @@ def _strip_plan_origin(df: DataFrame) -> DataFrame:
 
 
 def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
-    """`localCheckpoint(eager=True)` + the RDD ids it pinned, so iterative
+    """`localCheckpoint(eager=True)` + the RDD id it pinned, so iterative
     loops can FREE a round's blocks once the next round is materialized —
     otherwise every superstep's edge/label set stays pinned in executor
-    storage for the whole session (max_rounds+1 copies). The id diff is
-    taken around the eager checkpoint; loops run single-threaded on the
-    driver so no interleaved checkpoint can slip into the window. The
-    returned frame is origin-stripped (see _strip_plan_origin) so
-    loop-internal self-joins can't compound per-round driver cost.
+    storage for the whole session (max_rounds+1 copies). The returned frame
+    is origin-stripped (see _strip_plan_origin) so loop-internal self-joins
+    can't compound per-round driver cost.
+
+    The pinned id is read DIRECTLY off the checkpointed Dataset — its
+    analyzed plan is the `LogicalRDD` wrapping exactly the RDD that
+    `localCheckpoint` persisted. The previous implementation diffed
+    `getPersistentRDDs` around the checkpoint, which races under the
+    concurrent-registry contract (r8: two threads checkpointing
+    simultaneously could each sweep the OTHER thread's freshly-pinned id
+    into their diff; the later `_free_ckpt` then unpersisted a live
+    checkpoint mid-query — the flaky CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in
+    test_concurrent_queries). If the private plan API ever drifts, the
+    fallback is to LEAK the blocks for the session (empty id list) rather
+    than free a guessed id that might belong to another query; the canary
+    in test_private_api_canaries fails loudly on such a drift.
 
     Under the `reliable_checkpoints` opt-in the materialization is a
     fault-tolerant `Dataset.checkpoint` instead: data lands in checkpoint-dir
@@ -193,14 +205,23 @@ def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
     ContextCleaner when `cleanCheckpoints=true`)."""
     if _reliable_on(df.sparkSession):
         return _strip_plan_origin(df.checkpoint(eager=True)), []
-    sc = df.sparkSession.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     out = df.localCheckpoint(eager=True)
-    ids = [
-        i
-        for i in sc._jsc.getPersistentRDDs().keySet().toArray()
-        if i not in before
-    ]
+    try:
+        ids = [out._jdf.queryExecution().analyzed().rdd().id()]
+    except Exception:  # API drift: leak instead of freeing a guessed id
+        global _CKPT_ID_WARNED
+        if not _CKPT_ID_WARNED:
+            _CKPT_ID_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "localCheckpoint id extraction failed "
+                "(queryExecution().analyzed().rdd().id()); checkpoint "
+                "blocks will stay pinned for the session",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        ids = []
     return _strip_plan_origin(out), ids
 
 
