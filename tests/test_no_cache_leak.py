@@ -207,3 +207,40 @@ def test_hard_negatives_count_then_collect_does_not_redo_matmul(spark, sf_dir):
     plan = hn._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan
     assert "mapInPandas" not in plan.lower().replace(" ", "")
+
+
+def test_ckpt_cand_prunes_dead_thread_entries(spark, sf_dir):
+    """r8: a worker thread that ran a `_ckpt_cand`-routed operator and
+    exited must not pin its candidate blocks forever — the next call of
+    ANY `_ckpt_cand` operator (from any thread) frees entries whose owning
+    thread is gone. Without pruning, a pooled server with thread churn
+    leaks one candidate set per (operator, dead thread)."""
+    import threading
+
+    from weather_data_pipeline_spark.operators import similarity as S
+    from weather_data_pipeline_spark.plans.queries import REGISTRY
+
+    def run():
+        REGISTRY["cosine_near_dup_embeddings"].spark(spark, sf_dir).count()
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    dead_key = ("cosine_near_dup_pairs", t.ident)
+    with S._PREV_CAND_LOCK:
+        assert dead_key in S._PREV_CAND, "worker entry should exist pre-prune"
+        _, dead_ids = S._PREV_CAND[dead_key]
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert any(jmap.get(i) is not None for i in dead_ids), (
+        "dead thread's candidate blocks should still be pinned before the "
+        "next call triggers pruning"
+    )
+
+    # any _ckpt_cand call from a live thread prunes the dead entry
+    REGISTRY["cosine_near_dup_embeddings"].spark(spark, sf_dir).count()
+    with S._PREV_CAND_LOCK:
+        assert dead_key not in S._PREV_CAND, "dead-thread entry not pruned"
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert all(jmap.get(i) is None for i in dead_ids), (
+        "dead thread's candidate blocks were not unpersisted"
+    )

@@ -195,10 +195,18 @@ def _ckpt_cand(op: str, df: DataFrame) -> DataFrame:
     storage is then bounded at ONE candidate set per (operator, thread) for
     the session, instead of growing one set per call. Contract: an
     operator's returned frame is valid until the NEXT call of the SAME
-    operator FROM THE SAME THREAD (the registry, bench and driver all
-    consume results before re-invoking — the same single-entry rationale as
-    the ML caches, plans/queries.py:1395); concurrent threads never evict
-    each other.
+    operator FROM THE SAME THREAD — and at most until the creating thread
+    EXITS (the registry, bench and driver all consume results before
+    re-invoking — the same single-entry rationale as the ML caches,
+    plans/queries.py:1395); concurrent threads never evict each other.
+
+    Dead-thread pruning (r8, same policy the ML caches got in r7): each
+    call also frees entries whose owning thread no longer exists —
+    otherwise a pooled server with thread churn pins one candidate set per
+    (operator, dead thread) forever. A frame built on a worker thread must
+    therefore be consumed before that thread exits; hand-offs of the LAZY
+    frame across a thread's death were already outside the documented
+    contract.
 
     The previous entry is popped only AFTER the new checkpoint job succeeds
     (ADVICE r05): if _ckpt_tracked throws, the prior candidate's ids stay
@@ -217,8 +225,16 @@ def _ckpt_cand(op: str, df: DataFrame) -> DataFrame:
     with _PREV_CAND_LOCK:
         prev = _PREV_CAND.pop(key, None)
         _PREV_CAND[key] = (app, ids)
+        live = {t.ident for t in threading.enumerate()}
+        stale = [
+            (k, _PREV_CAND.pop(k))
+            for k in [k for k in _PREV_CAND if k[1] not in live]
+        ]
     if prev is not None and prev[0] == app:
         _free_ckpt(spark, prev[1])
+    for _k, (prev_app, prev_ids) in stale:
+        if prev_app == app:  # same id-collision guard as the normal evict
+            _free_ckpt(spark, prev_ids)
     return out
 
 
