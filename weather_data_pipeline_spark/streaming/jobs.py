@@ -38,8 +38,34 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-# serializes every state_partitions block (see the docstring's race note)
-_STATE_PARTITIONS_LOCK = threading.Lock()
+# serializes every scoped session-conf override (state_partitions and the
+# tws state-store provider) — reentrant so the provider block can nest a
+# state_partitions block on the same thread
+_SESSION_CONF_LOCK = threading.RLock()
+
+
+@contextmanager
+def _session_conf(spark: SparkSession, key: str, value: str):
+    """Scoped session-conf override with the same thread-safety contract as
+    :func:`state_partitions` (which it backs): save→set→body→restore runs
+    under a process-wide reentrant lock so overlapping overrides on the
+    shared session can never interleave their save/restore and corrupt the
+    session's steady-state value. A streaming query clones the session
+    state at ``start()``, so the block only needs to cover planning +
+    ``start()`` — never ``awaitTermination()``."""
+    with _SESSION_CONF_LOCK:
+        try:
+            prev = spark.conf.get(key)
+        except Exception:  # unset key with no default
+            prev = None
+        spark.conf.set(key, value)
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 @contextmanager
@@ -70,14 +96,8 @@ def state_partitions(spark: SparkSession, n: int):
     on OTHER threads during that window can still see the override — that
     residual race is inherent to a session-global conf and is why the block
     must stay tight around ``start()``."""
-    key = "spark.sql.shuffle.partitions"
-    with _STATE_PARTITIONS_LOCK:
-        prev = spark.conf.get(key)
-        spark.conf.set(key, str(n))
-        try:
-            yield
-        finally:
-            spark.conf.set(key, prev)
+    with _session_conf(spark, "spark.sql.shuffle.partitions", str(n)):
+        yield
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,14 +420,18 @@ def tws_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
 
     ev = events_stream(spark, sf_dir).select("user_id", "event_type")
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
+    # scoped + locked like every other session-conf override (r8: the
+    # previous save/set/try-finally-restore had the same interleave race
+    # state_partitions had, and held the override through the whole drain —
+    # the query clones session state at start(), so restoring right after
+    # start() is safe and the lock window stays milliseconds)
+    name = f"tws_out_{uuid.uuid4().hex[:8]}"
+    with _session_conf(
+        spark,
+        "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
-    )
-    try:
+    ):
         out = ev.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=TypeCounts(),
             outputStructType=(
@@ -416,7 +440,6 @@ def tws_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        name = f"tws_out_{uuid.uuid4().hex[:8]}"
         with state_partitions(
             spark, auto_state_partitions(spark, _events_rows(sf_dir))
         ):
@@ -427,12 +450,7 @@ def tws_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-        q.awaitTermination()
-    finally:
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
+    q.awaitTermination()
     # update-mode sink holds one emission per (user, batch); counts are
     # monotone, so the final state per (user, type) is the max row
     w = Window.partitionBy("user_id", "event_type").orderBy(
