@@ -213,3 +213,38 @@ def test_one_entry_cache_evicts_only_when_last_lease_drops():
     # leases and frees BOTH their values
     assert _one_entry_cache(cache, ("k3",), lambda: "V3", evicted.append) == "V3"
     assert sorted(evicted) == ["V1", "V2"], "dead threads' entries must free"
+
+
+def test_concurrent_bsp_graph_loops_do_not_free_each_other(spark, sf_dir):
+    """r8 regression net for the _ckpt_tracked id race: two ITERATIVE BSP
+    queries run simultaneously, each freeing its per-round checkpoints via
+    _free_ckpt as it goes. With the old getPersistentRDDs-diff tracking, a
+    round's diff could sweep the OTHER loop's freshly-pinned checkpoint id
+    and the next per-round free would kill it mid-superstep
+    (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The id now comes off the
+    checkpointed plan directly, so interleaved loops must be safe and
+    bit-identical to their sequential baselines."""
+    names = ["neardup_components_documents", "pagerank_neardup_documents"]
+    baseline = {n: _rows(REGISTRY[n].spark(spark, sf_dir)) for n in names}
+
+    results: dict[str, list] = {}
+    errors: list[tuple[str, BaseException]] = []
+    barrier = threading.Barrier(len(names))
+
+    def run(name: str):
+        try:
+            barrier.wait(timeout=120)
+            results[name] = _rows(REGISTRY[name].spark(spark, sf_dir))
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errors.append((name, exc))
+
+    threads = [
+        threading.Thread(target=run, args=(n,), daemon=True) for n in names
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, f"concurrent BSP loops failed: {errors}"
+    for name in names:
+        assert results[name] == baseline[name], f"{name} diverged"
