@@ -52,3 +52,30 @@ def test_real_decode_is_explicit_stub():
         pytest.skip("PIL present; stub path not applicable")
     with pytest.raises(NotImplementedError):
         MM.decode_real(b"bytes", "image")
+
+
+def test_sample_frames_zero_and_null_frame_videos_drop_not_throw(spark, sf_dir):
+    """r8 guard: sequence(0, n_frames-1, step) THROWS for n_frames=0 under
+    a positive step — a truncated/corrupt video row must contribute zero
+    sampled frames, not fail the job; null n_frames likewise drops."""
+    media = MM.synth_media_table(spark, sf_dir)
+    schema = media.schema
+    broken = spark.createDataFrame(
+        [
+            ("vid_zero", bytearray(b"x"), {"kind": "video", "n_frames": 0}),
+            ("vid_null", bytearray(b"x"), {"kind": "video", "n_frames": None}),
+            ("vid_ok", bytearray(b"x"), {"kind": "video", "n_frames": 25}),
+        ],
+        "doc_id string, payload binary, meta map<string,string>",
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("meta.kind").alias("kind"),
+            F.col("meta.n_frames").cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    frames = MM.sample_frames(broken, every_n=10)
+    got = {r.doc_id: r.frame_idx for r in frames.collect()}
+    assert "vid_zero" not in got and "vid_null" not in got
+    assert frames.where(F.col("doc_id") == "vid_ok").count() == 3  # 0,10,20

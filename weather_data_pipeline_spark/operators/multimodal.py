@@ -137,9 +137,16 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling plumbing for video rows: emits one row per sampled
-    frame index (explode is JVM-side; no Python needed for the fan-out)."""
-    frames = F.sequence(
-        F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
+    frame index (explode is JVM-side; no Python needed for the fan-out).
+
+    Zero-frame guard (r8): `sequence(0, n_frames-1, every_n)` THROWS for
+    n_frames = 0 (positive step with start > stop) — a truncated/corrupt
+    video row at ingest scale must yield no sampled frames, not fail the
+    whole job. Null n_frames rows likewise drop (sequence of NULL → NULL,
+    and explode of NULL emits nothing)."""
+    frames = F.when(
+        F.col("meta.n_frames") >= 1,
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)),
     )
     return (
         df.where(F.col("meta.kind") == "video")
