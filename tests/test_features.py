@@ -261,6 +261,25 @@ def test_label_encode_high_cardinality_fallback(spark):
     assert got[99] == (-1, -1)
 
 
+def test_label_encode_assume_bounded_wrong_assertion_still_driver_safe(spark):
+    """``assume_bounded=True`` skips the cardinality census (the feature
+    pipeline's single-scan fast path) — but a WRONG boundedness assertion
+    must still never ship an over-cap vocabulary to the driver or bake it
+    into the plan: the executor-side size check nulls the array and the
+    column degrades to the distributed join fallback."""
+    from weather_data_pipeline_spark.operators import encoding as E
+
+    rows = [(f"id_{i:04d}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "big string")
+    out = E.label_encode(df, ["big"], max_literal_vocab=10, assume_bounded=True)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "id_00" not in plan
+    codes = sorted(r["big_encoded"] for r in out.collect())
+    assert codes == list(range(40))
+
+
 def test_label_encode_map_lookup_is_ansi_safe(spark):
     """ADVICE r07: under ANSI mode (default-on in PySpark 4.1),
     ``element_at(map, key)`` throws MAP_KEY_DOES_NOT_EXIST for a non-null

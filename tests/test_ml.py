@@ -101,6 +101,23 @@ def test_m13_plot_feed_queries(spark, sf_dir):
     assert imps == sorted(imps, reverse=True)
 
 
+def test_parallel_fits_match_sequential(spark, feats):
+    """train_regressors fits on driver threads (CrossValidator-style
+    parallelism); metrics must be bit-identical to sequential fits — fixed
+    seeds, one cached partitioning, result order pinned to suite order."""
+    train, test = SP.temporal_split(feats.limit(800), "timestamp", 0.2)
+    cols = M.feature_columns(train)
+    seq = M.train_regressors(train, test, cols=cols, fast=True, parallelism=1)
+    par = M.train_regressors(train, test, cols=cols, fast=True, parallelism=3)
+    assert [m.name for m in seq] == [m.name for m in par]
+    for a, b in zip(seq, par):
+        for k, v in a.metrics.items():
+            if isinstance(v, str):
+                assert b.metrics[k] == v
+            else:
+                assert b.metrics[k] == v, (a.name, k, v, b.metrics[k])
+
+
 def test_xgboost_fallback_decision_on_record(spark, trained_suite):
     """M5 parity decision (VERDICT r01 #7): the reference trains XGBoost;
     this environment has no xgboost wheel, so the suite must contain the

@@ -145,6 +145,7 @@ def label_encode(
     cols: Sequence[str],
     unseen: int = -1,
     max_literal_vocab: int = MAX_LITERAL_VOCAB,
+    assume_bounded: bool = False,
 ) -> DataFrame:
     """Fit-and-apply on the same frame (the reference fits once per pipeline
     run and reuses; callers wanting reuse should fit separately).
@@ -161,27 +162,53 @@ def label_encode(
     Cardinality guard (VERDICT r07 #2): a column with more than
     ``max_literal_vocab`` distinct values (user_id-shaped) would OOM the
     driver collect or explode the Catalyst plan with a 100k+-entry map
-    literal. Such a column's sorted vocab array is nulled out EXECUTOR-side
-    (never shipped to the driver) and the column is encoded through the
+    literal. Columns are classified by a map-side HLL census
+    (``approx_count_distinct``, one cheap pass) BEFORE any vocabulary array
+    exists — size-checking the ``collect_set`` output instead would already
+    have materialized an over-cap column's full array in one executor
+    aggregation buffer, i.e. the guard would fire only after the memory it
+    guards against was spent. Over-cap columns are encoded through the
     distributed :func:`fit_label_encoding` → :func:`apply_label_encoding`
-    broadcast-join path instead — same sorted-order/unseen=-1 semantics,
-    no plan-sized literal. Lookups use ``try_element_at`` (NULL for a
-    missing key under ANSI mode, where ``element_at`` would throw
-    MAP_KEY_DOES_NOT_EXIST and make the documented unseen→−1 contract
-    unreachable on any fit/apply divergence — ADVICE r07)."""
+    join path — same sorted-order/unseen=-1 semantics, no plan-sized
+    literal. The ±5 % sketch error is benign at the boundary: a misread
+    column either falls back (still correct, join path) or collects a
+    ~cap-sized array (MBs); a second, executor-side size check keeps even
+    a pathologically undercounted column's array off the driver. Lookups
+    use ``try_element_at`` (NULL for a missing key under ANSI mode, where
+    ``element_at`` would throw MAP_KEY_DOES_NOT_EXIST and make the
+    documented unseen→−1 contract unreachable on any fit/apply divergence
+    — ADVICE r07).
+
+    ``assume_bounded=True`` skips the census pass: the CALLER asserts every
+    column is a schema-bounded categorical (an enum-like weather condition,
+    not an id) — used by the feature pipeline, whose three categoricals are
+    bounded by construction, so its fit stays one scan. The executor-side
+    size check still nulls an over-cap array before the driver collect, so
+    a wrong assertion degrades to the join fallback after one oversized
+    aggregation buffer rather than ever shipping the vocab to the driver."""
     if not cols:
         return df
-    fitted = _fit_vocab_arrays(df, cols).select(
-        "_col",
-        F.size("_ks").alias("_n"),
-        # over-cap vocab: keep the count, drop the payload executor-side so
-        # a user_id-shaped column never ships its values to the driver
-        F.when(F.size("_ks") <= max_literal_vocab, F.col("_ks")).alias("_ks"),
-    )
-    by_col = {r["_col"]: (r["_n"], r["_ks"]) for r in fitted.collect()}
+    if assume_bounded:
+        census = {c: 0 for c in cols}
+    else:
+        census = df.agg(
+            *[F.approx_count_distinct(F.col(c).cast("string")).alias(c) for c in cols]
+        ).first()
+    lit_cols = [c for c in cols if census[c] <= max_literal_vocab]
+    big_cols: list[str] = [c for c in cols if census[c] > max_literal_vocab]
+    by_col: dict = {}
+    if lit_cols:
+        fitted = _fit_vocab_arrays(df, lit_cols).select(
+            "_col",
+            F.size("_ks").alias("_n"),
+            # second-layer driver guard: if the sketch undercounted, the
+            # executor already built the array, but it must not reach the
+            # driver — null the payload, keep the count, fall back below
+            F.when(F.size("_ks") <= max_literal_vocab, F.col("_ks")).alias("_ks"),
+        )
+        by_col = {r["_col"]: (r["_n"], r["_ks"]) for r in fitted.collect()}
     exprs = {}
-    big_cols: list[str] = []
-    for c in cols:
+    for c in lit_cols:
         n, vocab = by_col.get(c, (0, None))
         if vocab is not None:
             m = F.create_map(

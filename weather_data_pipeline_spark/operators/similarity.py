@@ -653,8 +653,16 @@ def pq_encode(
         base.unpersist()
         return out
     k = min(k, n_avail)
-    models = [
-        KMeans(
+    # the m subspace codebooks are independent fits over the SAME cached
+    # frame — train them on driver threads (CrossValidator-style
+    # parallelism; each fit is seeded, so results are order-independent).
+    # Populate the cache in ONE pass first: otherwise the m first-pass jobs
+    # race to compute the same uncached partitions concurrently.
+    base.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_sub(j: int):
+        return KMeans(
             k=k,
             seed=seed + j,
             maxIter=10,
@@ -662,8 +670,9 @@ def pq_encode(
             predictionCol=f"code_{j}",
             initMode="k-means||",
         ).fit(base)
-        for j in range(m)
-    ]
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        models = list(ex.map(_fit_sub, range(m)))
     df = base
     err_terms = []
     for j, model in enumerate(models):
@@ -769,16 +778,23 @@ def ivf_pq_adc_topk(
             for j in range(m)
         ],
     ).cache()
-    pq_models = [
-        KMeans(
+    # independent per-subspace fits over one cached frame — driver-thread
+    # parallel, same rationale (and same seeding) as pq_encode's codebooks;
+    # one cache-populating pass first so the fits don't race-compute it
+    base.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_pq(j: int):
+        return KMeans(
             k=n_codes,
             seed=seed + 1 + j,
             maxIter=10,
             featuresCol=f"_sub{j}",
             predictionCol=f"code_{j}",
         ).fit(base)
-        for j in range(m)
-    ]
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        pq_models = list(ex.map(_fit_pq, range(m)))
     codebooks = [np.array(mod.clusterCenters()) for mod in pq_models]
     coded = base
     for mod in pq_models:

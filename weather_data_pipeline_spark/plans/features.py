@@ -92,9 +92,12 @@ def handle_missing_values(df: DataFrame) -> DataFrame:
 
 
 def encode_categoricals(df: DataFrame) -> DataFrame:
-    """E1 label encoding with unseen→−1 (reference `data_processor.py:206-226`)."""
+    """E1 label encoding with unseen→−1 (reference `data_processor.py:206-226`).
+    ``assume_bounded``: these three columns are schema-bounded categoricals
+    (weather condition enums + a 4-value time-of-day bin), so the fit skips
+    the cardinality census and stays a single scan."""
     present = [c for c in CATEGORICAL_COLS if c in df.columns]
-    return E.label_encode(df, present)
+    return E.label_encode(df, present, assume_bounded=True)
 
 
 def add_targets(df: DataFrame, horizon: int = 24) -> DataFrame:
