@@ -114,10 +114,9 @@ def add_targets(df: DataFrame, horizon: int = 24) -> DataFrame:
     return out
 
 
-def full_feature_pipeline(df: DataFrame, horizon: int = 24) -> DataFrame:
-    """The reference's end-to-end `process_pipeline` as one lazy plan.
-    Input: a weather-shaped table (WEATHER_TABLE_SCHEMA columns).
-    Output: ~70 columns, rows with null target dropped."""
+def _repaired_features(df: DataFrame) -> DataFrame:
+    """Stages time-features → … → missing-value repair (everything before
+    categorical encoding), shared by the two pipeline entry points below."""
     out = scalar.add_time_features(df, "timestamp")
     out = add_lag_features(out)
     out = add_rolling_features(out)
@@ -129,8 +128,29 @@ def full_feature_pipeline(df: DataFrame, horizon: int = 24) -> DataFrame:
     out = scalar.add_interactions(
         out, [(a, b) for a, b in INTERACTIONS if a in out.columns and b in out.columns]
     )
-    out = handle_missing_values(out)
+    return handle_missing_values(out)
+
+
+def full_feature_pipeline(df: DataFrame, horizon: int = 24) -> DataFrame:
+    """The reference's end-to-end `process_pipeline` as one lazy plan.
+    Input: a weather-shaped table (WEATHER_TABLE_SCHEMA columns).
+    Output: ~70 columns, rows with null target dropped."""
+    out = _repaired_features(df)
     out = encode_categoricals(out)
+    out = add_targets(out, horizon)
+    return out.where(F.col("temperature_future").isNotNull())
+
+
+def training_feature_pipeline_unencoded(df: DataFrame, horizon: int = 24) -> DataFrame:
+    """``full_feature_pipeline`` minus categorical encoding — for callers
+    that cap AND materialize the frame first and then encode the bounded
+    result: the label-encode vocab fit (an eager job) then scans the
+    materialized cap instead of re-running the whole window pipeline over
+    the full table. Encoding neither feeds nor reads target construction,
+    so values match ``full_feature_pipeline`` whenever every category
+    appears inside the cap (encoded columns land after the targets instead
+    of before them)."""
+    out = _repaired_features(df)
     out = add_targets(out, horizon)
     return out.where(F.col("temperature_future").isNotNull())
 

@@ -1520,12 +1520,18 @@ def _ml_feats(spark, sf_dir):
 
     def build():
         df, ids = _ckpt_tracked(
-            FP.full_feature_pipeline(FP.events_as_weather(spark, sf_dir))
+            FP.training_feature_pipeline_unencoded(FP.events_as_weather(spark, sf_dir))
             .limit(4000)
             # limit() collapses to one partition; rebalance so tree fits
             # parallelize without per-task overhead swamping 4k rows
             .repartition(8)
         )
+        # encode AFTER the checkpoint: the label-encode vocab fit is an
+        # eager job, and fitting on the materialized 4000-row cap costs one
+        # tiny scan instead of a second full run of the window pipeline
+        # (same codes as encoding pre-cap whenever every category appears
+        # in the cap — true for the bounded event_type-derived categoricals)
+        df = FP.encode_categoricals(df)
         # the owning context's applicationId rides along so eviction can
         # tell whether the ids still mean anything (ADVICE r04): after a
         # session restart RDD ids restart from 0, and freeing a stale id
