@@ -167,6 +167,25 @@ def family(name: str) -> str:
     return "agg_quality"  # aggs, quality checks, set ops, pivots, sketches
 
 
+# Queries whose first call builds (or rides) a session-materialized shared
+# frame (_neardup_cc / _corpus_manifest / _doc_signals in plans/queries.py):
+# the single-shot reading IS the honest cost — the first consumer pays the
+# shared build, later consumers ride it, exactly like the ml_train suite
+# cache. A re-draw would hit the warm cache and record a near-zero time for
+# a query that genuinely cost seconds (observed: training_corpus_manifest
+# 5.67 s first draw vs 0.06 s warm re-draw), so these are exempt from the
+# outlier re-measurement pass, same as ml_train.
+SESSION_CACHED = {
+    "neardup_components_documents",
+    "dedup_keep_list_documents",
+    "dup_cluster_size_distribution",
+    "training_corpus_manifest",
+    "training_corpus_stats",
+    "curriculum_documents",
+    "source_quality_profile_documents",
+}
+
+
 def _drop_stream_tables(spark) -> None:
     # streaming queries leave their memory-sink tables pinned in the JVM;
     # drop them so later queries don't pay the GC pressure
@@ -317,6 +336,7 @@ def main() -> None:
             # KeyError here would lose the whole run's artifact (ADVICE r05)
             if dt > 0
             and family(name) != "ml_train"
+            and name not in SESSION_CACHED
             and dt
             > max(
                 2.0,

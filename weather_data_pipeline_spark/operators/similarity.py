@@ -762,15 +762,18 @@ def ivf_pq_adc_topk(
     n_centroids = max(2, min(n_centroids, n_avail))
     n_codes = max(2, min(n_codes, n_avail))
 
-    assigned, ivf_model = ivf_index(emb, n_centroids, vec_col, seed)
-    centers = np.array(ivf_model.clusterCenters())
-
-    # PQ codebooks per subspace (trained on raw vectors; residual-PQ is the
-    # production refinement, same plumbing)
-    base = assigned.select(
+    # One cached frame carries BOTH quantizers' training inputs (the full
+    # vector for the IVF coarse quantizer, the m slices for the PQ
+    # codebooks) so all m+1 seeded KMeans fits run concurrently on driver
+    # threads — the coarse and product quantizers are trained on raw
+    # vectors independently (residual-PQ is the production refinement,
+    # same plumbing), so nothing sequences them. Models are identical to
+    # the sequential ivf_index-then-PQ shape: same rows, same narrow
+    # projection of emb (same partitioning), same seeds.
+    base = emb.select(
         id_col,
-        "centroid_id",
         F.col(vec_col).cast("array<double>").alias("_v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_vec"),
         *[
             array_to_vector(
                 F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
@@ -778,11 +781,18 @@ def ivf_pq_adc_topk(
             for j in range(m)
         ],
     ).cache()
-    # independent per-subspace fits over one cached frame — driver-thread
-    # parallel, same rationale (and same seeding) as pq_encode's codebooks;
     # one cache-populating pass first so the fits don't race-compute it
     base.count()
     from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_ivf():
+        return KMeans(
+            k=n_centroids,
+            seed=seed,
+            maxIter=10,
+            featuresCol="_vec",
+            predictionCol="centroid_id",
+        ).fit(base)
 
     def _fit_pq(j: int):
         return KMeans(
@@ -793,10 +803,13 @@ def ivf_pq_adc_topk(
             predictionCol=f"code_{j}",
         ).fit(base)
 
-    with ThreadPoolExecutor(max_workers=m) as ex:
+    with ThreadPoolExecutor(max_workers=m + 1) as ex:
+        ivf_fut = ex.submit(_fit_ivf)
         pq_models = list(ex.map(_fit_pq, range(m)))
+        ivf_model = ivf_fut.result()
+    centers = np.array(ivf_model.clusterCenters())
     codebooks = [np.array(mod.clusterCenters()) for mod in pq_models]
-    coded = base
+    coded = ivf_model.transform(base)
     for mod in pq_models:
         coded = mod.transform(coded)
     codes = coded.select(
