@@ -235,6 +235,14 @@ def main() -> None:
     # The protocol is PINNED — a calibration query missing from the registry
     # would silently sum fewer queries against the 3-query reference number
     # and inflate cal_scale (ADVICE r07). Fail loudly instead.
+    # same failure mode as the calibration set (ADVICE r07): a renamed
+    # cached query would silently re-enter the re-draw pass and record a
+    # warm-cache near-zero reading
+    missing_cached = sorted(SESSION_CACHED - set(REGISTRY))
+    assert not missing_cached, (
+        f"SESSION_CACHED queries {missing_cached} missing from REGISTRY; "
+        "update the set alongside the rename"
+    )
     missing_cal = [n for n in CALIBRATION_QUERIES if n not in REGISTRY]
     assert not missing_cal, (
         f"calibration queries {missing_cal} missing from REGISTRY; the "
