@@ -1540,9 +1540,21 @@ def _ml_feats(spark, sf_dir):
     from ..operators.graph import _ckpt_tracked, _free_ckpt
 
     def build():
+        # the 4000-row cap only ever keeps a few cities' worth of rows, so
+        # prune to a deterministic city subset BEFORE the window pipeline:
+        # windows partition by city, making a per-city selection exact on
+        # the surviving rows — the pipeline then runs over ~1/7 of the
+        # table instead of computing 70 columns for 595k rows and
+        # discarding all but 4000. city_0..2 alone hold >4000 rows at
+        # every shipped sf (guarded: fall back to the full table if not).
+        src = FP.events_as_weather(spark, sf_dir)
+        pruned = src.where(F.col("city").isin("city_0", "city_1", "city_2"))
+        # the pipeline drops only the 24-row lead tail per city, so a cheap
+        # pre-pipeline row count decides whether the subset suffices
+        use = pruned if pruned.count() >= 4000 + 3 * 24 else src
+        capped = FP.training_feature_pipeline_unencoded(use).limit(4000)
         df, ids = _ckpt_tracked(
-            FP.training_feature_pipeline_unencoded(FP.events_as_weather(spark, sf_dir))
-            .limit(4000)
+            capped
             # limit() collapses to one partition; rebalance so tree fits
             # parallelize without per-task overhead swamping 4k rows
             .repartition(8)
