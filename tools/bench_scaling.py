@@ -28,7 +28,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_HERE)
 sys.path.insert(0, _REPO)
 
-from bench import family  # noqa: E402
+from bench import SESSION_CACHED, family  # noqa: E402
 from weather_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
 from weather_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -212,9 +212,18 @@ def main() -> None:
         }
         for label, scale, sf_dir, _ in SCALES:
             try:
+                # session-cached queries (bench.SESSION_CACHED): the FIRST
+                # draw is the honest cost — a repeat reads the warm
+                # materialized frame and min() would fit the exponent on
+                # checkpoint-read times instead of the build. One draw,
+                # build-inclusive, same accounting as bench.py's re-draw
+                # exemption. (The per-scale cache key differs by sf_dir, so
+                # each scale's first draw rebuilds — exactly what the fit
+                # needs.)
+                draws = 1 if name in SESSION_CACHED else args.repeat
                 t = min(
                     _run_once(spark, name, sf_dir, args.timeout)
-                    for _ in range(args.repeat)
+                    for _ in range(draws)
                 )
                 entry["t"][label] = round(t, 4)
             except _Timeout:
