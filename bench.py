@@ -176,6 +176,7 @@ def family(name: str) -> str:
 # 5.67 s first draw vs 0.06 s warm re-draw), so these are exempt from the
 # outlier re-measurement pass, same as ml_train.
 SESSION_CACHED = {
+    "shingle_jaccard_pairs_documents",
     "neardup_components_documents",
     "dedup_keep_list_documents",
     "dup_cluster_size_distribution",

@@ -210,16 +210,23 @@ def main() -> None:
             "t": {},
             "expected_superlinear": EXPECTED_SUPERLINEAR.get(name),
         }
+        if name in SESSION_CACHED:
+            # session-cached queries: each timed draw must be BUILD-
+            # INCLUSIVE (a repeat at the same scale reads the warm
+            # materialized frame and min() would fit the exponent on
+            # checkpoint-read times). The per-scale cache key differs by
+            # sf_dir and the lease evicts on key switch, so one draw per
+            # scale rebuilds — but the very first draw of the session also
+            # pays codegen/JIT for the whole subplan, which polluted the
+            # smallest scale's point (measured 5.1 s vs 1.9 s warm at
+            # sf0.1). Warm up with an UNTIMED draw at the second scale:
+            # every timed draw is then a key-switch rebuild on warm JIT.
+            try:
+                _run_once(spark, name, SCALES[1][2], args.timeout)
+            except Exception:
+                pass  # warmup only; the timed draws surface real errors
         for label, scale, sf_dir, _ in SCALES:
             try:
-                # session-cached queries (bench.SESSION_CACHED): the FIRST
-                # draw is the honest cost — a repeat reads the warm
-                # materialized frame and min() would fit the exponent on
-                # checkpoint-read times instead of the build. One draw,
-                # build-inclusive, same accounting as bench.py's re-draw
-                # exemption. (The per-scale cache key differs by sf_dir, so
-                # each scale's first draw rebuilds — exactly what the fit
-                # needs.)
                 draws = 1 if name in SESSION_CACHED else args.repeat
                 t = min(
                     _run_once(spark, name, sf_dir, args.timeout)

@@ -2233,6 +2233,22 @@ def salted_agg_events(spark, sf_dir):
     ).select("user_id", "sum_value", "n_rows", "avg_value").orderBy("user_id")
 
 
+# The shingle-Jaccard near-dup pair set, materialized once per (session,
+# sf_dir): this edge derivation feeds the registered pairs query, the CC
+# cache build (_neardup_cc → 4 downstream queries) and pagerank_neardup —
+# the tokenize+explode+inverted-index join is the family's single most
+# recomputed subplan. Output is the thresholded pair set itself (small),
+# so the checkpoint is cheap.
+_SHINGLE_PAIRS_CACHE: dict = {}
+
+
+def _shingle_pairs(spark, sf_dir):
+    return _session_materialized(
+        _SHINGLE_PAIRS_CACHE, spark, sf_dir,
+        lambda: _shingle_pairs_plan(spark, sf_dir),
+    )
+
+
 @register(
     "shingle_jaccard_pairs_documents",
     f"""
@@ -2253,6 +2269,11 @@ ORDER BY id_a, id_b
 """,
 )
 def shingle_jaccard_pairs_documents(spark, sf_dir):
+    # ordered projection of the session's one materialized pair set
+    return _shingle_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+def _shingle_pairs_plan(spark, sf_dir):
     # 3-gram (shingle) Jaccard near-dup: the n-gram variant of
     # jaccard_pairs_documents — sparse shingle overlap, so candidate pairs
     # stay rare even on a small vocabulary
@@ -2291,7 +2312,6 @@ def shingle_jaccard_pairs_documents(spark, sf_dir):
         common.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.05)
         .select("id_a", "id_b", "n_common", "jaccard")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -3382,9 +3402,7 @@ def _neardup_cc(spark, sf_dir):
     from ..operators.graph import connected_components
 
     def plan():
-        pairs = REGISTRY["shingle_jaccard_pairs_documents"].spark(
-            spark, sf_dir
-        ).select("id_a", "id_b")
+        pairs = _shingle_pairs(spark, sf_dir).select("id_a", "id_b")
         return connected_components(pairs, src="id_a", dst="id_b")
 
     return _session_materialized(_NEARDUP_CC_CACHE, spark, sf_dir, plan)
@@ -5585,10 +5603,8 @@ def pagerank_neardup_documents(spark, sf_dir):
     # lineage truncated per round. Output: top 20 nodes by rank.
     from ..operators.graph import pagerank
 
-    edges = (
-        REGISTRY["shingle_jaccard_pairs_documents"]
-        .spark(spark, sf_dir)
-        .select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    edges = _shingle_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
     )
     pr = pagerank(edges, n_iter=10, undirected=True)
     return (
