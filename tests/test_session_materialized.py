@@ -1,0 +1,54 @@
+"""The session-materialization layer (plans/queries._session_materialized):
+cached shared frames must be value-identical to a fresh computation of the
+same plan, reused within a (session, sf_dir) key, and rebuilt per key.
+
+The sf0.01 oracle sweep already hash-verifies every CONSUMER; these tests pin
+the cache mechanics themselves at sf0.001 so a lifecycle regression (stale
+entry served across sf_dirs, memoized plan diverging from a fresh build)
+fails in pytest before it reaches the driver.
+"""
+
+from __future__ import annotations
+
+from weather_data_pipeline_spark.plans import queries as Q
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_neardup_cc_matches_fresh_computation(spark, sf_dir):
+    from weather_data_pipeline_spark.operators.graph import connected_components
+
+    cached = Q._neardup_cc(spark, sf_dir)
+    fresh = connected_components(
+        Q._shingle_pairs(spark, sf_dir).select("id_a", "id_b"),
+        src="id_a",
+        dst="id_b",
+    )
+    assert _rows(cached) == _rows(fresh)
+
+
+def test_shingle_pairs_cache_reused_within_key(spark, sf_dir):
+    a = Q._shingle_pairs(spark, sf_dir)
+    b = Q._shingle_pairs(spark, sf_dir)
+    # same entry: the one-entry cache returns the SAME materialized frame,
+    # not a second build
+    assert a is b
+
+
+def test_corpus_manifest_cached_equals_plan(spark, sf_dir):
+    cached = Q._corpus_manifest(spark, sf_dir)
+    fresh = Q._corpus_manifest_plan(spark, sf_dir)
+    assert _rows(cached) == _rows(fresh)
+    # and the registered query is the ordered projection of the same frame
+    reg = Q.REGISTRY["training_corpus_manifest"].spark(spark, sf_dir)
+    assert _rows(reg) == _rows(cached)
+
+
+def test_fpw_plan_memo_reuses_and_keys_by_sf(spark, sf_dir):
+    a = Q.REGISTRY["feature_pipeline_weather"].spark(spark, sf_dir)
+    b = Q.REGISTRY["feature_pipeline_weather"].spark(spark, sf_dir)
+    assert a is b  # memo hit: same immutable plan object
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in Q._FPW_PLAN_MEMO
