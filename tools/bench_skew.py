@@ -235,33 +235,54 @@ def main() -> None:
     wall: dict[str, dict[str, float]] = {}
     best_run: dict[str, dict[str, int]] = {}  # which repeat produced the min
     draws: dict[str, dict[str, list[float]]] = {}  # every repeat's wall time
+    from bench import SESSION_CACHED
+
     for name in args.queries:
         wall[name] = {}
         best_run[name] = {}
         draws[name] = {"uniform": [], "skew": []}
-        for label, d in (("uniform", args.uniform), ("skew", args.skew)):
-            best = float("inf")
-            best_r = -1
-            for r in range(args.repeat):
-                grp = f"{name}@{label}#{r}"
-                sc.setJobGroup(grp, grp)
-                t0 = time.perf_counter()
-                try:
-                    REGISTRY[name].spark(spark, d).count()
-                    took = time.perf_counter() - t0
-                    draws[name][label].append(round(took, 3))
-                    if took < best:
-                        best, best_r = took, r
-                except Exception as exc:  # noqa: BLE001 — recorded, not fatal
-                    # keep an earlier successful timing (ADVICE r06: a
-                    # later-repeat error must not overwrite a good best)
-                    print(f"{name}@{label}: ERROR {exc}", flush=True)
-                    break
-                finally:
-                    # SparkContext.clearJobGroup is gone in PySpark 4.x
-                    sc.setLocalProperty("spark.jobGroup.id", None)
-            wall[name][label] = round(best, 3) if best_r >= 0 else -1.0
-            best_run[name][label] = best_r
+        # session-cached queries (bench.SESSION_CACHED): consecutive
+        # same-dir draws read the warm materialized frame and would time
+        # checkpoint reads, not the operator — alternate dirs instead, so
+        # every draw is a key-switch rebuild (the one-entry cache evicts
+        # when the thread asks for a different sf_dir) and both sides'
+        # draws stay build-inclusive.
+        if name in SESSION_CACHED:
+            order = [lbl for _ in range(args.repeat) for lbl in ("uniform", "skew")]
+        else:
+            order = ["uniform"] * args.repeat + ["skew"] * args.repeat
+        dirs = {"uniform": args.uniform, "skew": args.skew}
+        best = {"uniform": float("inf"), "skew": float("inf")}
+        best_r = {"uniform": -1, "skew": -1}
+        rcount = {"uniform": 0, "skew": 0}
+        failed: set[str] = set()
+        for label in order:
+            if label in failed:
+                continue
+            r = rcount[label]
+            rcount[label] += 1
+            grp = f"{name}@{label}#{r}"
+            sc.setJobGroup(grp, grp)
+            t0 = time.perf_counter()
+            try:
+                REGISTRY[name].spark(spark, dirs[label]).count()
+                took = time.perf_counter() - t0
+                draws[name][label].append(round(took, 3))
+                if took < best[label]:
+                    best[label], best_r[label] = took, r
+            except Exception as exc:  # noqa: BLE001 — recorded, not fatal
+                # keep an earlier successful timing (ADVICE r06: a
+                # later-repeat error must not overwrite a good best)
+                print(f"{name}@{label}: ERROR {exc}", flush=True)
+                failed.add(label)
+            finally:
+                # SparkContext.clearJobGroup is gone in PySpark 4.x
+                sc.setLocalProperty("spark.jobGroup.id", None)
+        for label in ("uniform", "skew"):
+            wall[name][label] = (
+                round(best[label], 3) if best_r[label] >= 0 else -1.0
+            )
+            best_run[name][label] = best_r[label]
         u, s = wall[name]["uniform"], wall[name]["skew"]
         ratio = round(s / u, 2) if u > 0 and s > 0 else None
         print(f"{name:45s} uniform={u:8.3f}s skew={s:8.3f}s ratio={ratio}", flush=True)
