@@ -44,10 +44,22 @@ def main() -> None:
     warm = spark.read.parquet(f"{args.sf_dir}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().count()
 
+    from bench import SESSION_CACHED
+
+    DECOY_SF = "/root/testdata/sf0.001"
     for name in args.queries:
         q = REGISTRY[name]
+        cached = name in SESSION_CACHED
         draws = []
-        for _ in range(args.repeats):
+        for r in range(args.repeats):
+            if cached and r > 0:
+                # session-cached query: a repeat at the same sf_dir reads
+                # the warm materialized frame and would time checkpoint
+                # reads. An UNTIMED decoy draw at a different sf_dir makes
+                # the one-entry cache evict this thread's previous key
+                # through its own lease/evict path (checkpoint blocks
+                # freed), so the next timed draw is build-inclusive.
+                q.spark(spark, DECOY_SF).count()
             t0 = time.perf_counter()
             q.spark(spark, args.sf_dir).count()
             draws.append(round(time.perf_counter() - t0, 4))
@@ -58,6 +70,7 @@ def main() -> None:
                     "sf_dir": args.sf_dir,
                     "draws": draws,
                     "min": min(draws),
+                    "build_inclusive": cached,
                     "loadavg": round(os.getloadavg()[0], 2),
                     "tree": os.path.dirname(
                         os.path.dirname(os.path.abspath(__file__))
