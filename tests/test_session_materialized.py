@@ -46,6 +46,23 @@ def test_corpus_manifest_cached_equals_plan(spark, sf_dir):
     assert _rows(reg) == _rows(cached)
 
 
+def test_cache_survives_external_block_loss(spark, sf_dir):
+    """Executor loss invalidates localCheckpoint blocks outside the lease
+    lifecycle (test_reliable_checkpoints simulates it by unpersisting every
+    block in the shared session — which is exactly what broke the first
+    full-suite run of this file). The cache must detect the dead entry at
+    lookup time and rebuild instead of serving an unrecomputable frame."""
+    before = _rows(Q._shingle_pairs(spark, sf_dir))
+    # simulated cluster-wide storage loss, blocking
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in jmap.values():
+        rdd.unpersist(True)
+    after = _rows(Q._shingle_pairs(spark, sf_dir))  # must rebuild, not fail
+    assert after == before
+    man = _rows(Q._corpus_manifest(spark, sf_dir))
+    assert man  # manifest path rebuilds too
+
+
 def test_fpw_plan_memo_reuses_and_keys_by_sf(spark, sf_dir):
     a = Q.REGISTRY["feature_pipeline_weather"].spark(spark, sf_dir)
     b = Q.REGISTRY["feature_pipeline_weather"].spark(spark, sf_dir)

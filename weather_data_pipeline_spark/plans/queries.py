@@ -1578,10 +1578,43 @@ def _ml_feats(spark, sf_dir):
         if old[2] == spark.sparkContext.applicationId:
             _free_ckpt(spark, old[1])
 
-    df, _ids, _app = _one_entry_cache(
-        _FEATS_CACHE, (id(spark), sf_dir), build, on_evict=evict
-    )
+    # same lookup-time block validation as _session_materialized: an
+    # executor-loss (or the reliable-checkpoints loss simulation) leaves
+    # the entry holding an unrecomputable frame — drop and rebuild
+    key = (id(spark), sf_dir)
+    for _ in range(2):
+        df, ids, app = _one_entry_cache(_FEATS_CACHE, key, build, on_evict=evict)
+        if app != spark.sparkContext.applicationId or _ckpt_blocks_alive(spark, ids):
+            return df
+        _drop_cache_entry(_FEATS_CACHE, key)
     return df
+
+
+def _ckpt_blocks_alive(spark, ids) -> bool:
+    """True iff every tracked checkpoint RDD id still has live blocks.
+    Empty ids (reliable_checkpoints file-backed mode, or the documented
+    id-extraction fallback) validate trivially — there is nothing to lose.
+    On any introspection error, report alive: serving the frame is exactly
+    the pre-guard behavior, and a dead frame still fails loudly at action
+    time."""
+    if not ids:
+        return True
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return all(jmap.get(i) is not None for i in ids)
+    except Exception:
+        return True
+
+
+def _drop_cache_entry(cache: dict, key) -> None:
+    """Remove an entry whose checkpoint blocks are already gone — no evict
+    hook (there is nothing left to free), leases on it cleared so the next
+    caller rebuilds."""
+    with _CACHE_LOCK:
+        cache.get("_entries", {}).pop(key, None)
+        leases = cache.get("_leases", {})
+        for t in [t for t, k in leases.items() if k == key]:
+            del leases[t]
 
 
 def _session_materialized(cache: dict, spark, sf_dir, plan_fn):
@@ -1589,10 +1622,18 @@ def _session_materialized(cache: dict, spark, sf_dir, plan_fn):
     _one_entry_cache lease/evict lifecycle (see _ml_feats): build the lazy
     plan with ``plan_fn``, checkpoint it eagerly (origin-stripped), free the
     blocks when no live thread holds a lease. The deterministic frames
-    cached this way (shingle-CC labels, the corpus manifest, doc-quality
-    signals) are exactly what a production build would write as a
-    materialized table and report from — each consumer's oracle hash is
-    unchanged, only the recompute is."""
+    cached this way (shingle pairs, shingle-CC labels, the corpus manifest,
+    doc-quality signals) are exactly what a production build would write as
+    a materialized table and report from — each consumer's oracle hash is
+    unchanged, only the recompute is.
+
+    Lookup-time validation: localCheckpoint blocks can vanish OUTSIDE the
+    lease lifecycle — executor loss on a real cluster (truncated lineage
+    cannot recompute them; `tests/test_reliable_checkpoints.py` simulates
+    exactly this by unpersisting every block in the shared session). An
+    entry whose tracked blocks are gone is dropped (no evict hook — nothing
+    left to free) and rebuilt, instead of serving a frame that fails with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at action time."""
     from ..operators.graph import _ckpt_tracked, _free_ckpt
 
     def build():
@@ -1603,8 +1644,13 @@ def _session_materialized(cache: dict, spark, sf_dir, plan_fn):
         if old[2] == spark.sparkContext.applicationId:
             _free_ckpt(spark, old[1])
 
-    df, _ids, _app = _one_entry_cache(cache, (id(spark), sf_dir), build, on_evict=evict)
-    return df
+    key = (id(spark), sf_dir)
+    for _ in range(2):
+        df, ids, app = _one_entry_cache(cache, key, build, on_evict=evict)
+        if app != spark.sparkContext.applicationId or _ckpt_blocks_alive(spark, ids):
+            return df
+        _drop_cache_entry(cache, key)
+    return df  # second build's frame; further losses fail at action time
 
 
 def _trained_suite(spark, sf_dir):
