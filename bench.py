@@ -244,6 +244,11 @@ def main() -> None:
         f"SESSION_CACHED queries {missing_cached} missing from REGISTRY; "
         "update the set alongside the rename"
     )
+    cached_headline = sorted(SESSION_CACHED & set(HEADLINE))
+    assert not cached_headline, (
+        f"session-cached queries {cached_headline} in the HEADLINE set; "
+        "best-of-3 would time warm cache reads — keep them full-pass only"
+    )
     missing_cal = [n for n in CALIBRATION_QUERIES if n not in REGISTRY]
     assert not missing_cal, (
         f"calibration queries {missing_cal} missing from REGISTRY; the "
