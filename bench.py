@@ -82,9 +82,54 @@ CALIBRATION_QUERIES = [
 REFERENCE_CALIBRATION_SEC = 0.944
 # kept for backward reading of r1-r6 artifacts; no longer used to normalize
 CALIBRATION_QUERY = "q1_pricing_summary"
-# idle gate: 1-min loadavg per cpu above this at START means another
-# workload is already running and every number will be inflated
+# idle gate: loadavg per cpu above this at START means another workload is
+# already running and every number will be inflated. Gate on the MAX of the
+# 1-min and 5-min averages (VERDICT r08 #1: the r8 driver capture passed a
+# 1-min-only gate at 4.36/32 while the 5-min average was 6.26 and the pass
+# calibrated at scale 0.3868 — a recently-quiesced-but-still-busy host fools
+# a 1-minute window).
 IDLE_LOAD_PER_CPU = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.25"))
+
+# contamination stamp (VERDICT r08 #1): even a passed idle gate can't see
+# load that ARRIVES mid-pass. The calibration set runs at both START and END
+# of the pass; when either scale leaves this band, or the two disagree by
+# more than the drift fraction, the artifact stamps itself
+# `contaminated: true` so no reader trusts its raw numbers.
+CAL_SCALE_BAND = (0.7, 1.3)
+CAL_DRIFT_FRAC = 0.2
+
+
+def contamination_verdict(
+    scale_start: float | None, scale_end: float | None
+) -> bool:
+    """True when this pass's raw timings are untrustworthy by the artifact's
+    own testimony. Contamination = HOST SLOWNESS, which only ever LOWERS the
+    calibration scale (scale = reference/measured), so the verdict is
+    one-sided (measured on the first r9 capture: the END calibration runs
+    after 201 queries of JIT/page-cache deepening and legitimately reads
+    1.5-2x FASTER than the fresh-JVM-plus-warmup reference recipe — a
+    symmetric band/drift check would stamp every healthy capture):
+
+    - scale_start outside CAL_SCALE_BAND — the r8 failure (0.3868, host
+      2.6x slow, passed the old 1-min loadavg gate); the high side also
+      flags, since a start scale >1.3 means the pinned protocol itself was
+      not followed (reference is fresh-JVM warm best-of-5);
+    - scale_end below the band floor — load present at end of pass;
+    - scale_end SLOWER than scale_start by more than CAL_DRIFT_FRAC —
+      load arrived mid-pass. End faster than start is expected warmth.
+
+    Off the default sf there is no reference scale, so no verdict."""
+    if scale_start is None:
+        return False
+    lo, hi = CAL_SCALE_BAND
+    if scale_start < lo or scale_start > hi:
+        return True
+    if scale_end is not None:
+        if scale_end < lo:
+            return True
+        if scale_end < scale_start * (1.0 - CAL_DRIFT_FRAC):
+            return True
+    return False
 
 # Headline set: one per operator family — scan/agg/join/window/custom-window/
 # text/dedup/similarity/streaming/feature-pipeline
@@ -186,6 +231,17 @@ SESSION_CACHED = {
     "source_quality_profile_documents",
 }
 
+# Queries whose registered callable memoizes its CONSTRUCTED PLAN per
+# (session, sf_dir) — feature_pipeline_weather's _FPW_PLAN_MEMO holds the
+# ~1.7 s of py4j plan building AND the eager label-encode vocab-fit job
+# (a real data-scanning Spark job that runs at construction time). Best-of-3
+# would time the warm memo on draws 2-3 and skip that job — the same
+# warm-redraw hazard the SESSION_CACHED/HEADLINE disjointness assert exists
+# to prevent (ADVICE r08). These stay in HEADLINE (the flagship must stay
+# round-over-round visible) but are measured FIRST-DRAW ONLY,
+# build-inclusive, and exempted from the outlier re-draw pass.
+MEMOIZED_PLAN = {"feature_pipeline_weather"}
+
 
 def _drop_stream_tables(spark) -> None:
     # streaming queries leave their memory-sink tables pinned in the JVM;
@@ -207,11 +263,13 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     ncpus = os.cpu_count() or 1
     load_start = os.getloadavg()
-    idle_ok = load_start[0] / ncpus <= IDLE_LOAD_PER_CPU
+    gate_load = max(load_start[0], load_start[1])  # 1-min AND 5-min window
+    idle_ok = gate_load / ncpus <= IDLE_LOAD_PER_CPU
     if not idle_ok:
         msg = (
-            f"bench: host NOT idle (loadavg {load_start[0]:.2f} on {ncpus} "
-            f"cpus > {IDLE_LOAD_PER_CPU}/cpu) — timings will be inflated"
+            f"bench: host NOT idle (max(1m,5m) loadavg {gate_load:.2f} on "
+            f"{ncpus} cpus > {IDLE_LOAD_PER_CPU}/cpu) — timings will be "
+            "inflated"
         )
         if os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
             print(msg + "; refusing under SPARK_GRAFT_BENCH_STRICT", file=sys.stderr)
@@ -249,41 +307,73 @@ def main() -> None:
         f"session-cached queries {cached_headline} in the HEADLINE set; "
         "best-of-3 would time warm cache reads — keep them full-pass only"
     )
+    missing_memo = sorted(MEMOIZED_PLAN - set(REGISTRY))
+    assert not missing_memo, (
+        f"MEMOIZED_PLAN queries {missing_memo} missing from REGISTRY; "
+        "update the set alongside the rename"
+    )
+    memo_cal = sorted(MEMOIZED_PLAN & set(CALIBRATION_QUERIES))
+    assert not memo_cal, (
+        f"memoized-plan queries {memo_cal} in the calibration set; warm "
+        "best-of-5 would time the plan memo, corrupting the host scalar"
+    )
     missing_cal = [n for n in CALIBRATION_QUERIES if n not in REGISTRY]
     assert not missing_cal, (
         f"calibration queries {missing_cal} missing from REGISTRY; the "
         f"{CALIBRATION_PROTOCOL} protocol is pinned — re-add the query or "
         "define a new protocol version with a new reference_sec"
     )
-    cal_per_query = {
-        name: round(min(_run_once(spark, name) for _ in range(5)), 4)
-        for name in CALIBRATION_QUERIES
-    }
-    calibration = round(sum(cal_per_query.values()), 4)
     at_default_sf = os.path.realpath(SF_DIR) == os.path.realpath(
         "/root/testdata/sf0.1"
     )
-    cal_scale = (
-        round(REFERENCE_CALIBRATION_SEC / calibration, 4)
-        if at_default_sf and calibration > 0
-        else None
-    )
-    cal_info = {
-        "protocol": CALIBRATION_PROTOCOL,
-        "queries": cal_per_query,
-        "sec": calibration,
-        "reference_sec": REFERENCE_CALIBRATION_SEC if at_default_sf else None,
-        "scale": cal_scale,  # multiply raw timings by this to normalize
-    }
+
+    def _run_calibration() -> tuple[dict, float | None]:
+        per_query = {
+            name: round(min(_run_once(spark, name) for _ in range(5)), 4)
+            for name in CALIBRATION_QUERIES
+        }
+        total_sec = round(sum(per_query.values()), 4)
+        scale = (
+            round(REFERENCE_CALIBRATION_SEC / total_sec, 4)
+            if at_default_sf and total_sec > 0
+            else None
+        )
+        info = {
+            "protocol": CALIBRATION_PROTOCOL,
+            "queries": per_query,
+            "sec": total_sec,
+            "reference_sec": (
+                REFERENCE_CALIBRATION_SEC if at_default_sf else None
+            ),
+            "scale": scale,  # multiply raw timings by this to normalize
+        }
+        return info, scale
+
+    cal_info, cal_scale = _run_calibration()
 
     # best-of-3 per query, UNIFORMLY — including the calibration queries,
     # whose warm best-of-5 draws stay inside cal_info only (reusing min-of-5
     # here would bias those two headline entries low vs every other query
     # and vs rounds 1-6 — ADVICE r07 cross-round-comparability fix).
     timings: dict[str, float] = {}
+    memo_warm: dict[str, float] = {}
     names = [n for n in HEADLINE if n in REGISTRY]
     for name in names:
-        timings[name] = round(min(_run_once(spark, name) for _ in range(3)), 4)
+        if name in MEMOIZED_PLAN:
+            # first draw IS the headline number — build-inclusive (plan
+            # construction + the eager vocab-fit job); re-draws would read
+            # the warm plan memo and skip a real data-scanning job
+            # (ADVICE r08). The warm repeat latency — the reference's 2 s
+            # prediction-latency anchor is a WARM-pipeline number — is
+            # recorded separately, clearly labeled, never summed.
+            timings[name] = round(_run_once(spark, name), 4)
+            memo_warm[name] = round(
+                min(_run_once(spark, name) for _ in range(2)), 4
+            )
+        else:
+            timings[name] = round(
+                min(_run_once(spark, name) for _ in range(3)), 4
+            )
     total = round(sum(timings.values()), 4)
 
     # full-registry pass, single shot each, budget-bounded; headline queries
@@ -351,6 +441,7 @@ def main() -> None:
             if dt > 0
             and family(name) != "ml_train"
             and name not in SESSION_CACHED
+            and name not in MEMOIZED_PLAN
             and dt
             > max(
                 2.0,
@@ -399,12 +490,27 @@ def main() -> None:
     # its window and truncated the round-2 headline (BENCH_r02 parsed: null).
     # The last line is the compact headline JSON only (~1.5 KB, always whole).
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # END-of-pass calibration (VERDICT r08 #1): the start gate can't see
+    # load that arrives mid-pass. Re-running the pinned calibration set
+    # after every measured query lets the artifact testify about the WHOLE
+    # window, and start/end disagreement stamps it contaminated.
+    cal_end_info, cal_scale_end = _run_calibration()
+    contaminated = contamination_verdict(cal_scale, cal_scale_end)
+    if contaminated:
+        print(
+            "bench: CONTAMINATED capture — calibration scales "
+            f"start={cal_scale} end={cal_scale_end} outside "
+            f"band {CAL_SCALE_BAND} or drift > {CAL_DRIFT_FRAC:.0%}; "
+            "raw timings untrustworthy, read normalized only",
+            file=sys.stderr,
+        )
     load_end = os.getloadavg()
     load_info = {
         "ncpus": ncpus,
         "loadavg_start": [round(v, 2) for v in load_start],
         "loadavg_end": [round(v, 2) for v in load_end],
         "idle_at_start": idle_ok,
+        "idle_gate_window": "max(1m,5m)",
         "max_load_per_cpu": IDLE_LOAD_PER_CPU,
     }
     detail = {
@@ -418,6 +524,9 @@ def main() -> None:
         "redraw_skipped": redraw_skipped,
         "sf": sf_val,
         "calibration": cal_info,
+        "calibration_end": cal_end_info,
+        "contaminated": contaminated,
+        "memoized_plan_warm": memo_warm,
         "load": load_info,
         "duration_sec": round(time.perf_counter() - _T_START, 1),
     }
@@ -471,6 +580,9 @@ def main() -> None:
                 "full_total": round(sum(v for v in full.values() if v > 0), 4),
                 "n_full": len(full),
                 "calibration": cal_info,
+                "calibration_end": cal_end_info,
+                "contaminated": contaminated,
+                "memoized_plan_warm": memo_warm,
                 "load": load_info,
             }
         )

@@ -26,3 +26,63 @@ def test_session_cached_disjoint_from_headline():
 
 def test_calibration_queries_registered():
     assert all(n in REGISTRY for n in bench.CALIBRATION_QUERIES)
+
+
+def test_memoized_plan_subset_of_registry():
+    assert bench.MEMOIZED_PLAN <= set(REGISTRY)
+
+
+def test_memoized_plan_disjoint_from_calibration():
+    # warm best-of-5 on a plan-memoized query would corrupt the host scalar
+    assert not (bench.MEMOIZED_PLAN & set(bench.CALIBRATION_QUERIES))
+
+
+# --- contamination verdict (VERDICT r08 #1) -------------------------------
+# The r8 driver capture calibrated at scale 0.3868 (host ~2.6x slow) yet
+# passed the old 1-min-only idle gate. These pin the stamp that makes such
+# a capture self-flagging. The verdict is ONE-SIDED toward slowness: the
+# end-of-pass calibration legitimately reads faster than the fresh-JVM
+# reference recipe (measured 1.8x on the first r9 capture — 201 queries of
+# JIT/page-cache deepening), so only slow scales and slow drift flag.
+
+
+def test_contaminated_fires_on_slow_host_calibration():
+    # the exact r8 failure: scale 0.3868 at start, host still slow at end
+    assert bench.contamination_verdict(0.3868, 0.40) is True
+
+
+def test_contaminated_fires_when_load_arrives_mid_pass():
+    # start idle (scale ~1.0) but end calibration below the band floor
+    assert bench.contamination_verdict(1.0, 0.65) is True
+    # or end >20% slower than start even inside the band
+    assert bench.contamination_verdict(1.1, 0.85) is True
+
+
+def test_contaminated_fires_on_out_of_band_start_even_without_end():
+    assert bench.contamination_verdict(0.5, None) is True
+    # start >1.3 means the pinned warm-best-of-5 protocol wasn't followed
+    assert bench.contamination_verdict(1.4, None) is True
+
+
+def test_clean_capture_not_flagged():
+    # r8 builder strict-idle captures: scales 0.865-0.959, stable
+    assert bench.contamination_verdict(0.959, 0.93) is False
+    assert bench.contamination_verdict(0.865, 0.90) is False
+    assert bench.contamination_verdict(1.0, None) is False
+
+
+def test_end_faster_than_start_is_benign_warmth():
+    # first r9 capture: start 1.1415, end 1.8039 (deep JIT) — clean
+    assert bench.contamination_verdict(1.1415, 1.8039) is False
+
+
+def test_off_default_sf_has_no_verdict():
+    # no reference scale off sf0.1 — never stamp
+    assert bench.contamination_verdict(None, None) is False
+    assert bench.contamination_verdict(None, 0.4) is False
+
+
+def test_drift_threshold_is_relative_to_start():
+    # 19% slow-drift inside band: clean; 21%: contaminated
+    assert bench.contamination_verdict(1.0, 0.81) is False
+    assert bench.contamination_verdict(1.0, 0.79) is True

@@ -104,3 +104,28 @@ def test_similarity_has_no_driver_side_table_collect():
             "unannotated .collect() in similarity.py — collects must be "
             f"provably small and annotated with '# small:': {line.strip()}"
         )
+
+
+def test_matmul_chunking_is_exact(spark, sf_dir, monkeypatch):
+    """VERDICT r08 #2: the sims buffer is chunked over anchor rows under
+    _MATMUL_CAP_ELEMS so no task allocates an unbounded off-JVM buffer.
+    Chunking must be semantics-exact: with a pathologically tiny cap
+    (forcing 1-2 anchor rows per chunk), both exact operators produce
+    byte-identical pair sets to the default-cap run."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    want_pairs = _rows(S.cosine_near_dup_pairs(emb, 0.4, block_rows=64))
+    want_negs = _rows(S.hard_negatives(emb, block_rows=64))
+
+    # the operators capture the cap DRIVER-side at call time (workers
+    # re-import the module, so patching the worker-side global would not
+    # work — the captured int rides the pickled closure instead)
+    monkeypatch.setattr(S, "_MATMUL_CAP_ELEMS", 128)
+    assert _rows(S.cosine_near_dup_pairs(emb, 0.4, block_rows=64)) == want_pairs
+    assert _rows(S.hard_negatives(emb, block_rows=64)) == want_negs
+
+
+def test_chunk_rows_floor_and_cap():
+    assert S._chunk_rows(0) >= 1
+    assert S._chunk_rows(1) == S._MATMUL_CAP_ELEMS
+    # 32 MB default cap -> 4096-col partner block allows ~1024 anchor rows
+    assert S._chunk_rows(S._MATMUL_CAP_ELEMS) == 1

@@ -248,3 +248,22 @@ def test_ml_calibration_feed_shape_and_bounds(spark, sf_dir):
         assert r.brier_score == brier
         total += r.n
     assert total > 0
+
+
+def test_prune_city_subset_is_data_driven():
+    """VERDICT r08 #3: the training-cap city prune must not depend on the
+    fixture's `city_0..2` names — any sorted city naming selects the
+    shortest prefix that clears cap + per-city lead tail."""
+    from weather_data_pipeline_spark.plans.queries import _prune_city_subset
+
+    # renamed cities, each 2000 rows: need cum >= 4000 + 24*k
+    counts = [(f"metro_{c}", 2000) for c in "abcdefg"]
+    assert _prune_city_subset(counts) == ["metro_a", "metro_b", "metro_c"]
+    # one huge city suffices alone
+    assert _prune_city_subset([("z_only", 10_000)]) == ["z_only"]
+    # all cities together can't clear the cap: no prune (full table)
+    assert _prune_city_subset([("a", 100), ("b", 100)]) == []
+    # boundary: exactly cap + tail*k rows clears it
+    assert _prune_city_subset([("a", 4024)]) == ["a"]
+    assert _prune_city_subset([("a", 4023)]) == []
+    assert _prune_city_subset([]) == []

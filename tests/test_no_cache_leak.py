@@ -209,6 +209,75 @@ def test_hard_negatives_count_then_collect_does_not_redo_matmul(spark, sf_dir):
     assert "mapInPandas" not in plan.lower().replace(" ", "")
 
 
+def _plant_entry(cache: dict, key, value) -> None:
+    import threading
+
+    cache["_entries"] = {
+        key: {
+            "lock": threading.Lock(),
+            "users": set(),
+            "built": True,
+            "value": value,
+        }
+    }
+    cache["_leases"] = {}
+
+
+def test_drop_cache_entry_keeps_rebuilt_entry(spark):
+    """ADVICE r08 validation-loop race: a slow validator that observed dead
+    ids must NOT pop an entry another thread already rebuilt — drop happens
+    only while the stored value still holds the ids that failed."""
+    from weather_data_pipeline_spark.plans.queries import _drop_cache_entry
+
+    cache: dict = {}
+    app = spark.sparkContext.applicationId
+    _plant_entry(cache, ("k",), ("rebuilt-df", [9999991], app))
+    # slow validator saw OLD ids [123]; the entry now holds the rebuild
+    _drop_cache_entry(cache, ("k",), spark, expect_ids=[123])
+    assert ("k",) in cache["_entries"], "live rebuilt entry was dropped"
+    # matching ids: the entry is the dead one — dropped
+    _drop_cache_entry(cache, ("k",), spark, expect_ids=[9999991])
+    assert ("k",) not in cache["_entries"]
+
+
+def test_drop_cache_entry_frees_surviving_blocks(spark):
+    """ADVICE r08: _ckpt_blocks_alive is all-or-nothing, so an entry with
+    only SOME blocks lost is dropped while survivors would stay pinned —
+    the drop must best-effort free whatever is still alive."""
+    from weather_data_pipeline_spark.operators.graph import _ckpt_tracked
+    from weather_data_pipeline_spark.plans.queries import _drop_cache_entry
+
+    _df, ids = _ckpt_tracked(spark.range(10))
+    assert set(ids) <= _persistent_rdd_ids(spark)
+    cache: dict = {}
+    app = spark.sparkContext.applicationId
+    _plant_entry(cache, ("k",), (None, list(ids), app))
+    _drop_cache_entry(cache, ("k",), spark, expect_ids=list(ids))
+    assert not (set(ids) & _persistent_rdd_ids(spark)), (
+        "dropped entry's surviving checkpoint blocks stayed pinned"
+    )
+
+
+def test_drop_cache_entry_skips_foreign_context_ids(spark):
+    """The survivor-freeing path must respect the same foreign-appId guard
+    as eviction: stale ids from a restarted context may collide with a live
+    victim's ids in the new context."""
+    from weather_data_pipeline_spark.operators.graph import (
+        _ckpt_tracked,
+        _free_ckpt,
+    )
+    from weather_data_pipeline_spark.plans.queries import _drop_cache_entry
+
+    victim, ids = _ckpt_tracked(spark.range(10))
+    cache: dict = {}
+    _plant_entry(cache, ("k",), (None, list(ids), "app-STALE"))
+    _drop_cache_entry(cache, ("k",), spark, expect_ids=list(ids))
+    assert set(ids) <= _persistent_rdd_ids(spark), (
+        "drop freed ids owned by a foreign context"
+    )
+    _free_ckpt(spark, ids)
+
+
 def test_ckpt_cand_prunes_dead_thread_entries(spark, sf_dir):
     """r8: a worker thread that ran a `_ckpt_cand`-routed operator and
     exited must not pin its candidate blocks forever — the next call of

@@ -46,7 +46,26 @@ def main() -> None:
 
     from bench import SESSION_CACHED
 
-    DECOY_SF = "/root/testdata/sf0.001"
+    # the decoy must live at a DIFFERENT sf_dir from the measured one: a
+    # decoy at the same path would hit the same cache key, evict nothing,
+    # and the warm repeats would be recorded build_inclusive=true —
+    # a mislabeled artifact (ADVICE r08). Pick the first shipped fixture
+    # that isn't the measured dir.
+    _DECOY_CANDIDATES = [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+    ]
+    decoy_sf = next(
+        (
+            d
+            for d in _DECOY_CANDIDATES
+            if os.path.realpath(d) != os.path.realpath(args.sf_dir)
+        ),
+        None,
+    )
+    assert decoy_sf is not None, (
+        f"no decoy sf_dir distinct from {args.sf_dir}; add a candidate"
+    )
     for name in args.queries:
         q = REGISTRY[name]
         cached = name in SESSION_CACHED
@@ -59,7 +78,16 @@ def main() -> None:
                 # the one-entry cache evict this thread's previous key
                 # through its own lease/evict path (checkpoint blocks
                 # freed), so the next timed draw is build-inclusive.
-                q.spark(spark, DECOY_SF).count()
+                try:
+                    q.spark(spark, decoy_sf).count()
+                except Exception as e:
+                    # a failed decoy means the next draw may read warm —
+                    # surface it rather than crash the whole A/B pass
+                    print(
+                        f"ab_query: decoy draw failed for {name}: {e}; "
+                        "next timed draw may not be build-inclusive",
+                        file=sys.stderr,
+                    )
             t0 = time.perf_counter()
             q.spark(spark, args.sf_dir).count()
             draws.append(round(time.perf_counter() - t0, 4))

@@ -250,6 +250,12 @@ def train_regressors(
         else:
             from concurrent.futures import ThreadPoolExecutor
 
+            # populate both caches with one pass each BEFORE the threads
+            # fan out — concurrent fits on an uncached frame race to
+            # compute the same partitions (ADVICE r08, rain-classifier
+            # sibling), one scan per side vs up to `parallelism` scans
+            filled_train.count()
+            filled_test.count()
             with ThreadPoolExecutor(max_workers=min(parallelism, len(items))) as ex:
                 results = list(ex.map(_fit_eval, items))
     finally:
@@ -310,6 +316,11 @@ def train_rain_classifier(
     pred = model.transform(te).select(
         label, "prediction", "rawPrediction", "probability"
     ).cache()
+    # populate the cache with ONE scoring pass before fanning the four
+    # evaluators onto threads — otherwise they race onto the uncached frame
+    # and each recomputes the same partitions (up to 4x the RF scoring
+    # pass, ADVICE r08; same reason pq_encode/ivf_pq_adc_topk count() first)
+    pred.count()
 
     def _ev(metric_name: str):
         if metric_name == "roc_auc":
@@ -358,6 +369,11 @@ def stacking_ensemble(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # one cache-populating pass before the concurrent base fits (ADVICE
+    # r08 pattern — see train_regressors); te is populated here too since
+    # add_base_preds reads it right after the pool drains
+    tr.count()
+    te.count()
     with ThreadPoolExecutor(max_workers=len(bases)) as ex:
         fitted = dict(ex.map(_fit_base, bases.items()))
 

