@@ -282,6 +282,26 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().count()
+    # Python-worker pool prewarm (r9, SIM_PROBE.json): the historical
+    # cosine_near_dup 3-10x single-shot outliers are Python worker COLD
+    # START — fork + numpy/pandas import across up to 32 workers. Measured:
+    # the one outlier draw (6.24 s against a 1.34 s median, 0.077 s of
+    # actual cell compute, zero GC, zero major faults) spawned 27 new
+    # worker pids; 22 steady draws spawned zero. The pool grows to peak
+    # demand and persists (reuse on, no idle timeout), so one full-width
+    # mapInPandas here is infrastructure warmup — the same class as the
+    # JVM codegen warmup above — and takes the fork+import transient out
+    # of every measured Pandas-UDF query.
+    par = spark.sparkContext.defaultParallelism
+
+    def _prewarm(batches):
+        import numpy  # noqa: F401  (the matmul closures need it warm)
+
+        yield from batches
+
+    spark.range(2 * par, numPartitions=par).mapInPandas(
+        _prewarm, "id long"
+    ).count()
 
     # calibration set FIRST (protocol v2, pinned r7 — see the block comment
     # at CALIBRATION_PROTOCOL): three diverse queries, each warm best-of-5,

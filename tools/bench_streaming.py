@@ -78,6 +78,13 @@ def _drain(spark, stream_df, output_mode: str, expected_rows: int) -> dict:
     q.awaitTermination()
     wall = time.perf_counter() - t0
     rows, busy_ms, batch_ms = 0, 0.0, []
+    # state-store trajectory across the drain (VERDICT r08 next #3): for a
+    # WATERMARKED pipeline the state must plateau once the watermark starts
+    # evicting closed windows/buffers — linear growth to the end would mean
+    # the state store scales with INPUT, not with the watermark horizon,
+    # and a week-long 100 TB ingest would OOM its executors.
+    state_rows: list[int] = []
+    state_mem: list[int] = []
     for p in q.recentProgress:
         n = p.get("numInputRows", 0) or 0
         dur = (p.get("durationMs") or {}).get("triggerExecution", 0) or 0
@@ -85,6 +92,12 @@ def _drain(spark, stream_df, output_mode: str, expected_rows: int) -> dict:
             rows += n
             busy_ms += dur
             batch_ms.append(float(dur))
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_rows.append(sum(int(o.get("numRowsTotal", 0) or 0) for o in ops))
+            state_mem.append(
+                sum(int(o.get("memoryUsedBytes", 0) or 0) for o in ops)
+            )
     batch_ms.sort()
     complete = rows == expected_rows
     if not complete:
@@ -104,6 +117,22 @@ def _drain(spark, stream_df, output_mode: str, expected_rows: int) -> dict:
         "batch_ms_p50": round(_pct(batch_ms, 0.50), 1),
         "batch_ms_p99": round(_pct(batch_ms, 0.99), 1),
         "batch_ms_max": round(batch_ms[-1], 1) if batch_ms else None,
+        # ~8 evenly spaced samples of the per-batch state-row totals show
+        # the growth SHAPE (plateau vs linear) without dumping every batch
+        "state_rows_trajectory": [
+            state_rows[i]
+            for i in sorted(
+                {
+                    round(j * (len(state_rows) - 1) / 7)
+                    for j in range(8)
+                }
+            )
+        ]
+        if state_rows
+        else [],
+        "state_rows_max": max(state_rows) if state_rows else 0,
+        "state_rows_final": state_rows[-1] if state_rows else 0,
+        "state_mem_max_mb": round(max(state_mem) / 1e6, 1) if state_mem else 0,
     }
 
 
@@ -118,13 +147,16 @@ def main() -> None:
     # captured at loadavg 28.9/32 and didn't flag itself)
     load_start = os.getloadavg()
     ncpus = os.cpu_count() or 1
-    idle_at_start = load_start[0] / ncpus <= float(
+    # max(1m,5m) window, same as bench.py (VERDICT r08 #1: a 1-min-only
+    # gate passes a recently-quiesced-but-still-busy host)
+    gate_load = max(load_start[0], load_start[1])
+    idle_at_start = gate_load / ncpus <= float(
         os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.25")
     )
     if not idle_at_start:
         print(
-            f"bench_streaming: host NOT idle (loadavg {load_start[0]:.2f} on "
-            f"{ncpus} cpus) — rows/s will be deflated",
+            f"bench_streaming: host NOT idle (max(1m,5m) loadavg "
+            f"{gate_load:.2f} on {ncpus} cpus) — rows/s will be deflated",
             file=sys.stderr,
         )
 
