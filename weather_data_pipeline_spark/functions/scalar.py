@@ -29,11 +29,19 @@ def add_time_features(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
     """Calendar + cyclical + categorical time features (reference
     `data_processor.py:55-84`): hour, day_of_week, month, quarter,
     day_of_year, 6 cyclical encodings, time_of_day bucket, is_weekend."""
+    return df.withColumns(time_feature_exprs(ts_col))
+
+
+def time_feature_exprs(ts_col: str = "timestamp") -> dict:
+    """Expression dict for :func:`add_time_features` — exposed so plan
+    builders can merge independent stages into one ``withColumns`` call
+    (every DataFrame transformation runs an eager Catalyst analysis pass;
+    see operators/windows.lag_exprs)."""
     ts = F.col(ts_col)
     hour = F.hour(ts)
     dow = pandas_dayofweek(ts)
     month = F.month(ts)
-    df = df.withColumns(
+    return (
         {
             "hour": hour,
             "day_of_week": dow,
@@ -55,7 +63,6 @@ def add_time_features(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
             "is_weekend": (dow >= 5).cast("int"),
         }
     )
-    return df
 
 
 def heat_index(temp_c: Column, humidity: Column) -> Column:
@@ -99,6 +106,20 @@ def add_weather_indices(
     temp_min_col: str | None = None,
 ) -> DataFrame:
     """Derived comfort indices (reference `data_processor.py:121-157`)."""
+    return df.withColumns(
+        weather_index_exprs(temp_col, humidity_col, wind_col, temp_max_col, temp_min_col)
+    )
+
+
+def weather_index_exprs(
+    temp_col: str = "temperature",
+    humidity_col: str = "humidity",
+    wind_col: str = "wind_speed",
+    temp_max_col: str | None = None,
+    temp_min_col: str | None = None,
+) -> dict:
+    """Expression dict for :func:`add_weather_indices` (see
+    :func:`time_feature_exprs`)."""
     t, h, w = F.col(temp_col), F.col(humidity_col), F.col(wind_col)
     cols = {
         "heat_index": heat_index(t, h),
@@ -107,16 +128,19 @@ def add_weather_indices(
     }
     if temp_max_col and temp_min_col:
         cols["temp_range"] = F.col(temp_max_col) - F.col(temp_min_col)
-    return df.withColumns(cols)
+    return cols
+
+
+def interaction_exprs(pairs: list[tuple[str, str]]) -> dict:
+    """Expression dict for :func:`add_interactions`."""
+    return {f"{a}_x_{b}": F.col(a) * F.col(b) for a, b in pairs}
 
 
 def add_interactions(
     df: DataFrame, pairs: list[tuple[str, str]]
 ) -> DataFrame:
     """Pairwise interaction products (reference `data_processor.py:159-176`)."""
-    return df.withColumns(
-        {f"{a}_x_{b}": F.col(a) * F.col(b) for a, b in pairs}
-    )
+    return df.withColumns(interaction_exprs(pairs))
 
 
 def temp_change_category(change: Column) -> Column:

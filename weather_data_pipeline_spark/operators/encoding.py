@@ -146,6 +146,7 @@ def label_encode(
     unseen: int = -1,
     max_literal_vocab: int = MAX_LITERAL_VOCAB,
     assume_bounded: bool = False,
+    fit_df: DataFrame | None = None,
 ) -> DataFrame:
     """Fit-and-apply on the same frame (the reference fits once per pipeline
     run and reuses; callers wanting reuse should fit separately).
@@ -185,20 +186,30 @@ def label_encode(
     bounded by construction, so its fit stays one scan. The executor-side
     size check still nulls an over-cap array before the driver collect, so
     a wrong assertion degrades to the join fallback after one oversized
-    aggregation buffer rather than ever shipping the vocab to the driver."""
+    aggregation buffer rather than ever shipping the vocab to the driver.
+
+    ``fit_df``: optional CHEAPER frame to fit the vocabularies on. The
+    caller asserts it yields the same per-column distinct non-null value
+    sets as ``df`` — the feature pipeline's categoricals qualify (mode
+    imputation only fills nulls with an already-present value and the fit
+    ignores nulls; time_of_day is deterministic from timestamp), so its
+    eager fit job scans a bare projection of the source instead of the
+    full window+join repair plan (r9: that fit job was the largest single
+    piece of the pipeline's construction latency)."""
     if not cols:
         return df
+    fit_src = fit_df if fit_df is not None else df
     if assume_bounded:
         census = {c: 0 for c in cols}
     else:
-        census = df.agg(
+        census = fit_src.agg(
             *[F.approx_count_distinct(F.col(c).cast("string")).alias(c) for c in cols]
         ).first()
     lit_cols = [c for c in cols if census[c] <= max_literal_vocab]
     big_cols: list[str] = [c for c in cols if census[c] > max_literal_vocab]
     by_col: dict = {}
     if lit_cols:
-        fitted = _fit_vocab_arrays(df, lit_cols).select(
+        fitted = _fit_vocab_arrays(fit_src, lit_cols).select(
             "_col",
             F.size("_ks").alias("_n"),
             # second-layer driver guard: if the sketch undercounted, the
@@ -224,7 +235,7 @@ def label_encode(
     out = df.withColumns(exprs)
     for c in big_cols:
         out = apply_label_encoding(
-            out, fit_label_encoding(df, c), c, unseen=unseen, broadcast=False
+            out, fit_label_encoding(fit_src, c), c, unseen=unseen, broadcast=False
         )
     return out
 

@@ -28,6 +28,17 @@ def entity_window(keys: str | Sequence[str], order: str | Sequence[str]) -> Wind
     return Window.partitionBy(*keys).orderBy(*order)
 
 
+def lag_exprs(
+    w: WindowSpec, cols: Sequence[str], lags: Sequence[int] = (1, 3, 6, 12, 24)
+) -> dict:
+    """Expression dict for :func:`add_lags` — exposed so plan builders can
+    merge several independent stages into ONE ``withColumns`` call (each
+    DataFrame transformation runs a full eager Catalyst analysis pass over
+    the whole accumulated plan; the 70-column feature pipeline's
+    construction latency is almost entirely those passes, r9 measured)."""
+    return {f"{c}_lag_{n}": F.lag(F.col(c), n).over(w) for c in cols for n in lags}
+
+
 def add_lags(
     df: DataFrame,
     w: WindowSpec,
@@ -35,11 +46,7 @@ def add_lags(
     lags: Sequence[int] = (1, 3, 6, 12, 24),
 ) -> DataFrame:
     """W1: lag features, cols × lags (reference `data_processor.py:86-98`)."""
-    out = df
-    exprs = {
-        f"{c}_lag_{n}": F.lag(F.col(c), n).over(w) for c in cols for n in lags
-    }
-    return out.withColumns(exprs)
+    return df.withColumns(lag_exprs(w, cols, lags))
 
 
 def add_lead(df: DataFrame, w: WindowSpec, col: str, n: int, name: str) -> DataFrame:
@@ -58,6 +65,14 @@ def add_rolling_mean(
     is independent of accumulation order (segment trees, partial aggs), so it
     is bit-identical across engines/cluster sizes. Slightly slower; the
     default double path is the throughput path."""
+    return df.withColumns(rolling_mean_exprs(w, cols, window, exact))
+
+
+def rolling_mean_exprs(
+    w: WindowSpec, cols: Sequence[str], window: int = 24, exact: bool = False
+) -> dict:
+    """Expression dict for :func:`add_rolling_mean` (see :func:`lag_exprs`
+    for why builders are exposed)."""
     frame = w.rowsBetween(-(window - 1), 0)
     exprs = {}
     for c in cols:
@@ -66,7 +81,7 @@ def add_rolling_mean(
             exprs[f"{c}_rolling_mean_{window}"] = s / F.count(F.col(c)).over(frame)
         else:
             exprs[f"{c}_rolling_mean_{window}"] = F.avg(F.col(c)).over(frame)
-    return df.withColumns(exprs)
+    return exprs
 
 
 def add_rolling_std(
@@ -83,6 +98,17 @@ def add_rolling_std(
 
     ``exact=True`` uses the closed form sqrt((Σx² − (Σx)²/n)/(n−1)) with both
     sums accumulated in DECIMAL — order-independent and engine-portable."""
+    return df.withColumns(rolling_std_exprs(w, cols, window, min_periods, exact))
+
+
+def rolling_std_exprs(
+    w: WindowSpec,
+    cols: Sequence[str],
+    window: int = 24,
+    min_periods: int = 2,
+    exact: bool = False,
+) -> dict:
+    """Expression dict for :func:`add_rolling_std` (see :func:`lag_exprs`)."""
     frame = w.rowsBetween(-(window - 1), 0)
     exprs = {}
     for c in cols:
@@ -100,7 +126,7 @@ def add_rolling_std(
         else:
             std = F.stddev_samp(F.col(c)).over(frame)
         exprs[f"{c}_rolling_std_{window}"] = F.when(n_obs >= min_periods, std)
-    return df.withColumns(exprs)
+    return exprs
 
 
 def add_diff(df: DataFrame, w: WindowSpec, col: str, name: str) -> DataFrame:

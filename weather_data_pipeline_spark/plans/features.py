@@ -74,11 +74,14 @@ def handle_missing_values(df: DataFrame) -> DataFrame:
     out = W.add_interpolate_linear(
         out, "city", "timestamp", [f"{c}_ff" for c in FFILL_COLS], suffix="_i"
     )
-    for c in FFILL_COLS:
-        out = (
-            out.withColumn(c, F.coalesce(F.col(f"{c}_ff_i"), F.col(c).cast("double")))
-            .drop(f"{c}_ff", f"{c}_ff_i")
-        )
+    # one withColumns + one drop instead of a per-column chain (the loop
+    # form ran 2 analysis passes PER column — see _repaired_features)
+    out = out.withColumns(
+        {
+            c: F.coalesce(F.col(f"{c}_ff_i"), F.col(c).cast("double"))
+            for c in FFILL_COLS
+        }
+    ).drop(*[n for c in FFILL_COLS for n in (f"{c}_ff", f"{c}_ff_i")])
     # categorical mode imputation per city (E4 / A11)
     from ..operators.relational import mode_per_group
 
@@ -91,44 +94,93 @@ def handle_missing_values(df: DataFrame) -> DataFrame:
     return out
 
 
-def encode_categoricals(df: DataFrame) -> DataFrame:
+def encode_categoricals(df: DataFrame, fit_df: DataFrame | None = None) -> DataFrame:
     """E1 label encoding with unseen→−1 (reference `data_processor.py:206-226`).
     ``assume_bounded``: these three columns are schema-bounded categoricals
     (weather condition enums + a 4-value time-of-day bin), so the fit skips
-    the cardinality census and stays a single scan."""
+    the cardinality census and stays a single scan. ``fit_df``: optional
+    cheap frame with the same distinct value sets (see
+    :func:`_vocab_fit_frame`)."""
     present = [c for c in CATEGORICAL_COLS if c in df.columns]
-    return E.label_encode(df, present, assume_bounded=True)
+    return E.label_encode(df, present, assume_bounded=True, fit_df=fit_df)
+
+
+def _vocab_fit_frame(df: DataFrame) -> DataFrame:
+    """A bare projection of the RAW weather frame whose per-column distinct
+    non-null value sets equal the repaired pipeline frame's — so the eager
+    vocab-fit job scans this instead of the full window+join repair plan
+    (r9: the fit was the largest single piece of construction latency).
+    Why the sets match: mode imputation only FILLS nulls with a value that
+    already occurs in the column (fit ignores nulls on both sides);
+    weather_description is never imputed; time_of_day derives
+    deterministically from timestamp, untouched by repair; repair drops no
+    rows (the only row filter — null targets — runs after encoding)."""
+    cols = [F.col(c) for c in ("weather_main", "weather_description") if c in df.columns]
+    cols.append(scalar.time_feature_exprs("timestamp")["time_of_day"].alias("time_of_day"))
+    return df.select(*cols)
 
 
 def add_targets(df: DataFrame, horizon: int = 24) -> DataFrame:
     """Targets (reference `data_processor.py:246-270`): temperature_future =
-    lead(horizon); temp_change_category bins; will_rain forward flag."""
+    lead(horizon); temp_change_category bins; will_rain forward flag.
+    Two analysis passes (lead+diff read raw columns; the category bin and
+    the rain flag read pass 1 / raw) — column order matches the old
+    sequential chain exactly."""
     w = weather_window()
-    out = W.add_lead(df, w, "temperature", horizon, "temperature_future")
-    out = W.add_diff(out, w, "temperature", "temp_change")
-    out = out.withColumn(
-        "temp_change_category", scalar.temp_change_category(F.col("temp_change"))
+    out = df.withColumns(
+        {
+            "temperature_future": F.lead(F.col("temperature"), horizon).over(w),
+            "temp_change": F.col("temperature")
+            - F.lag(F.col("temperature"), 1).over(w),
+        }
     )
+    second = {
+        "temp_change_category": scalar.temp_change_category(F.col("temp_change"))
+    }
     if "rain_1h" in df.columns:
-        out = W.add_forward_rolling_sum_positive(out, w, "rain_1h", horizon, "will_rain")
-    return out
+        frame = w.rowsBetween(1, horizon)
+        fwd_n = F.count(F.lit(1)).over(frame)
+        fwd_sum = F.sum(F.coalesce(F.col("rain_1h"), F.lit(0.0))).over(frame)
+        second["will_rain"] = F.when(fwd_n > 0, (fwd_sum > 0).cast("int"))
+    return out.withColumns(second)
 
 
 def _repaired_features(df: DataFrame) -> DataFrame:
     """Stages time-features → … → missing-value repair (everything before
-    categorical encoding), shared by the two pipeline entry points below."""
-    out = scalar.add_time_features(df, "timestamp")
-    out = add_lag_features(out)
-    out = add_rolling_features(out)
-    out = scalar.add_weather_indices(
-        out, temp_max_col="temp_max" if "temp_max" in df.columns else None,
-        temp_min_col="temp_min" if "temp_min" in df.columns else None,
+    categorical encoding), shared by the two pipeline entry points below.
+
+    All six pre-repair stages read only RAW input columns (the cyclical
+    encodings derive from `timestamp` inside the same expression dict, the
+    indices/interactions from the raw measurements, the lag/rolling/diff
+    windows from the raw measurement columns over the shared city window),
+    so they merge into ONE ``withColumns`` — one eager Catalyst analysis
+    pass instead of six over a plan that is ~70 columns wide by the end.
+    Construction latency is analysis passes, not expression building (r9
+    measured: the sequential version spent ~1.3 s per warm construction
+    here); values and column order are unchanged."""
+    w = weather_window()
+    merged: dict = {}
+    merged.update(scalar.time_feature_exprs("timestamp"))
+    merged.update(W.lag_exprs(w, LAG_COLS, LAGS))
+    merged.update(W.rolling_mean_exprs(w, LAG_COLS, ROLLING_WINDOW, exact=True))
+    merged.update(
+        W.rolling_std_exprs(w, LAG_COLS, ROLLING_WINDOW, min_periods=2, exact=True)
     )
-    out = add_pressure_change(out)
-    out = scalar.add_interactions(
-        out, [(a, b) for a, b in INTERACTIONS if a in out.columns and b in out.columns]
+    merged.update(
+        scalar.weather_index_exprs(
+            temp_max_col="temp_max" if "temp_max" in df.columns else None,
+            temp_min_col="temp_min" if "temp_min" in df.columns else None,
+        )
     )
-    return handle_missing_values(out)
+    merged["pressure_change"] = F.col("pressure") - F.lag(
+        F.col("pressure"), 1
+    ).over(w)
+    merged.update(
+        scalar.interaction_exprs(
+            [(a, b) for a, b in INTERACTIONS if a in df.columns and b in df.columns]
+        )
+    )
+    return handle_missing_values(df.withColumns(merged))
 
 
 def full_feature_pipeline(df: DataFrame, horizon: int = 24) -> DataFrame:
@@ -136,7 +188,7 @@ def full_feature_pipeline(df: DataFrame, horizon: int = 24) -> DataFrame:
     Input: a weather-shaped table (WEATHER_TABLE_SCHEMA columns).
     Output: ~70 columns, rows with null target dropped."""
     out = _repaired_features(df)
-    out = encode_categoricals(out)
+    out = encode_categoricals(out, fit_df=_vocab_fit_frame(df))
     out = add_targets(out, horizon)
     return out.where(F.col("temperature_future").isNotNull())
 
