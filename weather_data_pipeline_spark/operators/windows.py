@@ -164,17 +164,33 @@ def add_ffill_limited(
     """
     rn = order_rn if order_rn is not None else F.row_number().over(w)
     out = df.withColumn("_ffrn", rn)
+    return out.withColumns(
+        ffill_limited_exprs(w, cols, "_ffrn", limit=limit, suffix=suffix)
+    ).drop("_ffrn")
+
+
+def ffill_limited_exprs(
+    w: WindowSpec,
+    cols: Sequence[str],
+    rn_col: str,
+    limit: int = 3,
+    suffix: str = "_ffill",
+) -> dict:
+    """Expression dict for :func:`add_ffill_limited` over a PRE-computed
+    row-number column ``rn_col`` — exposed so repair pipelines can share one
+    row number across fill + interpolation and batch the analysis passes
+    (see :func:`lag_exprs`)."""
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     exprs = {}
     for c in cols:
         last_val = F.last(F.col(c), ignorenulls=True).over(cum)
         last_rn = F.last(
-            F.when(F.col(c).isNotNull(), F.col("_ffrn")), ignorenulls=True
+            F.when(F.col(c).isNotNull(), F.col(rn_col)), ignorenulls=True
         ).over(cum)
         exprs[f"{c}{suffix}"] = F.when(F.col(c).isNotNull(), F.col(c)).when(
-            (last_rn.isNotNull()) & ((F.col("_ffrn") - last_rn) <= limit), last_val
+            (last_rn.isNotNull()) & ((F.col(rn_col) - last_rn) <= limit), last_val
         )
-    return out.withColumns(exprs).drop("_ffrn")
+    return exprs
 
 
 def add_interpolate_linear(
@@ -200,8 +216,24 @@ def add_interpolate_linear(
     keys = [keys] if isinstance(keys, str) else list(keys)
     order = [order] if isinstance(order, str) else list(order)
     w = Window.partitionBy(*keys).orderBy(*[F.col(o) for o in order])
-    w_rev = Window.partitionBy(*keys).orderBy(*[F.col(o).desc() for o in order])
     out = df.withColumn("_irn", F.row_number().over(w))
+    return out.withColumns(
+        interpolate_linear_exprs(keys, order, cols, "_irn", suffix=suffix)
+    ).drop("_irn")
+
+
+def interpolate_linear_exprs(
+    keys: Sequence[str],
+    order: Sequence[str],
+    cols: Sequence[str],
+    rn_col: str,
+    suffix: str = "_interp",
+) -> dict:
+    """Expression dict for :func:`add_interpolate_linear` over a
+    PRE-computed row-number column ``rn_col`` (see
+    :func:`ffill_limited_exprs`)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(o) for o in order])
+    w_rev = Window.partitionBy(*keys).orderBy(*[F.col(o).desc() for o in order])
     back = w.rowsBetween(Window.unboundedPreceding, 0)
     fwd = w_rev.rowsBetween(Window.unboundedPreceding, 0)
     exprs = {}
@@ -209,13 +241,13 @@ def add_interpolate_linear(
         v = F.col(c)
         prev_val = F.last(v, ignorenulls=True).over(back)
         prev_rn = F.last(
-            F.when(v.isNotNull(), F.col("_irn")), ignorenulls=True
+            F.when(v.isNotNull(), F.col(rn_col)), ignorenulls=True
         ).over(back)
         next_val = F.last(v, ignorenulls=True).over(fwd)
         next_rn = F.last(
-            F.when(v.isNotNull(), F.col("_irn")), ignorenulls=True
+            F.when(v.isNotNull(), F.col(rn_col)), ignorenulls=True
         ).over(fwd)
-        frac = (F.col("_irn") - prev_rn).cast("double") / (
+        frac = (F.col(rn_col) - prev_rn).cast("double") / (
             (next_rn - prev_rn).cast("double")
         )
         exprs[f"{c}{suffix}"] = (
@@ -224,7 +256,7 @@ def add_interpolate_linear(
             .when(next_val.isNull(), prev_val.cast("double"))
             .otherwise(prev_val + (next_val - prev_val) * frac)
         )
-    return out.withColumns(exprs).drop("_irn")
+    return exprs
 
 
 def topk(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:

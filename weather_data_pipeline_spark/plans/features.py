@@ -68,20 +68,29 @@ def handle_missing_values(df: DataFrame) -> DataFrame:
     """Missing-value repair (reference `data_processor.py:178-204`):
     limited forward-fill (limit=3) then linear interpolation on the numeric
     measurement columns; categorical mode-fill per city; finally drop rows
-    that are mostly null."""
+    that are mostly null.
+
+    Fill and interpolation share ONE row-number column and every helper
+    column is dropped in one pass: 5 analysis passes total where the
+    sequential helper chain ran ~9 (see _repaired_features on why passes,
+    not expressions, dominate construction latency)."""
     w = weather_window()
-    out = W.add_ffill_limited(df, w, FFILL_COLS, limit=3, suffix="_ff")
-    out = W.add_interpolate_linear(
-        out, "city", "timestamp", [f"{c}_ff" for c in FFILL_COLS], suffix="_i"
+    out = df.withColumn("_rn", F.row_number().over(w))
+    out = out.withColumns(
+        W.ffill_limited_exprs(w, FFILL_COLS, "_rn", limit=3, suffix="_ff")
     )
-    # one withColumns + one drop instead of a per-column chain (the loop
-    # form ran 2 analysis passes PER column — see _repaired_features)
+    out = out.withColumns(
+        W.interpolate_linear_exprs(
+            ["city"], ["timestamp"], [f"{c}_ff" for c in FFILL_COLS], "_rn",
+            suffix="_i",
+        )
+    )
     out = out.withColumns(
         {
             c: F.coalesce(F.col(f"{c}_ff_i"), F.col(c).cast("double"))
             for c in FFILL_COLS
         }
-    ).drop(*[n for c in FFILL_COLS for n in (f"{c}_ff", f"{c}_ff_i")])
+    ).drop("_rn", *[n for c in FFILL_COLS for n in (f"{c}_ff", f"{c}_ff_i")])
     # categorical mode imputation per city (E4 / A11)
     from ..operators.relational import mode_per_group
 
