@@ -292,16 +292,19 @@ def main() -> None:
     # mapInPandas here is infrastructure warmup — the same class as the
     # JVM codegen warmup above — and takes the fork+import transient out
     # of every measured Pandas-UDF query.
-    par = spark.sparkContext.defaultParallelism
+    # SPARK_GRAFT_NO_PREWARM=1 skips it — diagnostic escape hatch for
+    # A/B-ing the pool's session-wide cost (32 resident workers ≈ 4 GB RSS)
+    if not os.environ.get("SPARK_GRAFT_NO_PREWARM"):
+        par = spark.sparkContext.defaultParallelism
 
-    def _prewarm(batches):
-        import numpy  # noqa: F401  (the matmul closures need it warm)
+        def _prewarm(batches):
+            import numpy  # noqa: F401  (the matmul closures need it warm)
 
-        yield from batches
+            yield from batches
 
-    spark.range(2 * par, numPartitions=par).mapInPandas(
-        _prewarm, "id long"
-    ).count()
+        spark.range(2 * par, numPartitions=par).mapInPandas(
+            _prewarm, "id long"
+        ).count()
 
     # calibration set FIRST (protocol v2, pinned r7 — see the block comment
     # at CALIBRATION_PROTOCOL): three diverse queries, each warm best-of-5,
