@@ -380,6 +380,11 @@ def main() -> None:
     # and vs rounds 1-6 — ADVICE r07 cross-round-comparability fix).
     timings: dict[str, float] = {}
     memo_warm: dict[str, float] = {}
+    # every headline draw is recorded, not just the min: the r9 A/B
+    # adjudication (BENCH_AB_r09.json) showed per-draw spread is the
+    # evidence a regression read needs — a +30% single capture with
+    # overlapping draw ranges is host drift, not code
+    headline_draws: dict[str, list[float]] = {}
     names = [n for n in HEADLINE if n in REGISTRY]
     for name in names:
         if name in MEMOIZED_PLAN:
@@ -390,13 +395,13 @@ def main() -> None:
             # prediction-latency anchor is a WARM-pipeline number — is
             # recorded separately, clearly labeled, never summed.
             timings[name] = round(_run_once(spark, name), 4)
-            memo_warm[name] = round(
-                min(_run_once(spark, name) for _ in range(2)), 4
-            )
+            warm_draws = [round(_run_once(spark, name), 4) for _ in range(2)]
+            memo_warm[name] = min(warm_draws)
+            headline_draws[name] = [timings[name]] + warm_draws
         else:
-            timings[name] = round(
-                min(_run_once(spark, name) for _ in range(3)), 4
-            )
+            draws = [round(_run_once(spark, name), 4) for _ in range(3)]
+            timings[name] = min(draws)
+            headline_draws[name] = draws
     total = round(sum(timings.values()), 4)
 
     # full-registry pass, single shot each, budget-bounded; headline queries
@@ -550,6 +555,7 @@ def main() -> None:
         "calibration_end": cal_end_info,
         "contaminated": contaminated,
         "memoized_plan_warm": memo_warm,
+        "headline_draws": headline_draws,
         "load": load_info,
         "duration_sec": round(time.perf_counter() - _T_START, 1),
     }
