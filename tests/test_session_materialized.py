@@ -69,3 +69,43 @@ def test_fpw_plan_memo_reuses_and_keys_by_sf(spark, sf_dir):
     assert a is b  # memo hit: same immutable plan object
     key = (spark.sparkContext.applicationId, sf_dir)
     assert key in Q._FPW_PLAN_MEMO
+
+
+def test_concurrent_block_loss_validators_dont_drop_rebuild(spark, sf_dir):
+    """ADVICE r08 race, stress form: N threads that all observed dead
+    checkpoint blocks call the lookup concurrently. Exactly one rebuild
+    must win; the losers must NOT pop the winner's live entry (the
+    expect_ids guard in _drop_cache_entry) — afterwards the cache serves
+    one entry whose blocks are alive and whose values match a fresh
+    computation."""
+    import threading
+
+    # build, then kill its blocks so every thread's validation fails
+    want = _rows(Q._shingle_pairs(spark, sf_dir))
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in jmap.values():
+        rdd.unpersist(True)
+
+    results: list = []
+    errors: list = []
+    barrier = threading.Barrier(4)
+
+    def run():
+        try:
+            barrier.wait(timeout=60)
+            df = Q._shingle_pairs(spark, sf_dir)
+            results.append(df)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, daemon=True) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, f"concurrent validation failed: {errors}"
+    # every thread must hold a USABLE frame (an action succeeds and values
+    # match) — a loser that popped the winner's entry un-evicted would leave
+    # some thread holding a frame whose blocks were freed
+    for df in results:
+        assert _rows(df) == want
