@@ -3674,8 +3674,8 @@ def chunk_documents(spark, sf_dir):
     "label_centroids_embeddings",
     """
 SELECT label, CAST(g.i AS INTEGER) AS pos,
-       CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE)
-         / COUNT(*) AS centroid
+       ROUND(CAST(SUM(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(20,9))) AS DOUBLE)
+         / COUNT(*), 6) + 0.0 AS centroid
 FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
 GROUP BY label, g.i
 ORDER BY label, pos
@@ -3686,15 +3686,26 @@ def label_centroids_embeddings(spark, sf_dir):
     # the nearest-class-mean classifier): posexplode to (label, dim) keys —
     # 64× row multiplication but map-side partial sums collapse it to
     # n_labels × 64 rows before the shuffle. Exact decimal accumulation
-    # keeps the mean order-independent.
+    # keeps the mean order-independent; the EMITTED mean is rounded to 6 dp
+    # on both sides (the FPW ROUND6 convention) because the float→decimal
+    # input cast itself can tie at the 9th decimal digit and Spark
+    # (HALF_UP) and DuckDB (HALF_EVEN) then disagree by 1e-9/n — caught by
+    # the r9 sf0.1 off-scale sweep: ONE element across 320k samples,
+    # centroid delta 4.6e-12, invisible at the sf0.01 driver gate.
     emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
     ex = emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
     return (
         ex.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
         .agg(
             (
-                F.sum(F.col("v").cast("double").cast("decimal(20,9)")).cast("double")
-                / F.count(F.lit(1))
+                F.round(
+                    F.sum(
+                        F.col("v").cast("double").cast("decimal(20,9)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("centroid")
         )
         .orderBy("label", "pos")
