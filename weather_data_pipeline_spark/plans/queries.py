@@ -3688,10 +3688,16 @@ def label_centroids_embeddings(spark, sf_dir):
     # n_labels × 64 rows before the shuffle. Exact decimal accumulation
     # keeps the mean order-independent; the EMITTED mean is rounded to 6 dp
     # on both sides (the FPW ROUND6 convention) because the float→decimal
-    # input cast itself can tie at the 9th decimal digit and Spark
-    # (HALF_UP) and DuckDB (HALF_EVEN) then disagree by 1e-9/n — caught by
-    # the r9 sf0.1 off-scale sweep: ONE element across 320k samples,
-    # centroid delta 4.6e-12, invisible at the sf0.01 driver gate.
+    # input cast can disagree across engines by one decimal ulp on TRUE
+    # binary ties — pinned to the element: 0.1494140625 (=153/1024, exact
+    # 10th-decimal-digit 5) casts to 0.149414063 in Spark (BigDecimal
+    # HALF_UP) but 0.149414062 in DuckDB, while OTHER exact ties
+    # (0.0009765625) agree — DuckDB's tie direction is value-dependent.
+    # Caught by the r9 sf0.1 off-scale sweep: one element across 320k
+    # samples, centroid delta 4.6e-12, invisible at the sf0.01 driver
+    # gate. The same hazard class exists for any UNROUNDED emission
+    # derived from a float→decimal cast; sums/means that quantize their
+    # emission (6-9 dp) are immune.
     emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
     ex = emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
     return (
