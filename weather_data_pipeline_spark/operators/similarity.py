@@ -161,12 +161,23 @@ def cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_fast_sim"), F.col("neighbor_id"))
     top = fast.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k)
+    # EMITTED similarity is quantized to 6 dp (+0.0 kills -0.0) on both the
+    # Spark and oracle sides: the per-element float->decimal cast inside
+    # the exact dot can differ across engines by one decimal ulp on true
+    # binary ties (value-dependent tie direction, pinned r9 on
+    # label_centroids: 0.1494140625 -> Spark .063 / DuckDB .062), so any
+    # UNROUNDED decimal-derived emission diverges at a large enough sample
+    # count. Ranking stays on the unrounded doubles, row sets unchanged.
     return top.select(
         "query_id",
         "neighbor_id",
         (
-            _dot_decimal(F.col("qv"), F.col("nv"))
-            / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nn")))
+            F.round(
+                _dot_decimal(F.col("qv"), F.col("nv"))
+                / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nn"))),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("cosine_sim"),
         F.col("_rk").alias("rank"),
     ).orderBy("query_id", "rank")
@@ -427,8 +438,15 @@ def cosine_near_dup_pairs(
         )
     )
     return (
+        # threshold gate on the UNROUNDED exact value (both engines gate on
+        # the same expression); only the EMISSION is quantized to 6 dp —
+        # see cosine_topk for the engine-tie rationale
         exact.where(F.col("cosine_sim") >= F.lit(threshold))
-        .select("id_a", "id_b", "cosine_sim")
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(F.col("cosine_sim"), 6) + F.lit(0.0)).alias("cosine_sim"),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -556,9 +574,15 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             "neighbor_id",
+            # 6 dp emission quantization — see cosine_topk for the
+            # engine-tie rationale; ranking stays on the unrounded doubles
             (
-                _dot_decimal(F.col("qv"), F.col("nv"))
-                / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nn")))
+                F.round(
+                    _dot_decimal(F.col("qv"), F.col("nv"))
+                    / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nn"))),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cosine_sim"),
             F.col("_rk").alias("rank"),
         )
@@ -1279,6 +1303,8 @@ def hard_negatives(
             "label",
             F.col("neg_id").alias("hard_negative_id"),
             "negative_label",
-            "cosine_sim",
+            # argmax stays on the unrounded exact decimal; only the
+            # EMISSION is quantized (see cosine_topk)
+            (F.round(F.col("cosine_sim"), 6) + F.lit(0.0)).alias("cosine_sim"),
         )
     )

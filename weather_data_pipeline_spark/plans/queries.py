@@ -1107,7 +1107,8 @@ scored AS (SELECT query_id, neighbor_id, dot / (sqrt(nq) * sqrt(nn)) AS cosine_s
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY cosine_sim DESC, neighbor_id) AS rank
            FROM scored)
-SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+SELECT query_id, neighbor_id, ROUND(cosine_sim, 6) + 0.0 AS cosine_sim,
+       CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """,
 )
@@ -1128,7 +1129,7 @@ dots AS (
          {_DOT_SQL.format(a='va', b='va')} AS na,
          {_DOT_SQL.format(a='vb', b='vb')} AS nb
   FROM pairs, range(1, 65) i(i) GROUP BY 1, 2)
-SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine_sim
+SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) + 0.0 AS cosine_sim
 FROM dots WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
 ORDER BY id_a, id_b
 """,
@@ -1197,7 +1198,8 @@ top AS (SELECT * FROM ranked WHERE rk <= {k}),
 dots AS (SELECT query_id, neighbor_id, rk, qn2, nn2,
                 {_DOT_SQL.format(a='qv', b='nv')} AS dot
          FROM top, range(1, 65) i(i) GROUP BY query_id, neighbor_id, rk, qn2, nn2)
-SELECT query_id, neighbor_id, dot / (sqrt(qn2) * sqrt(nn2)) AS cosine_sim,
+SELECT query_id, neighbor_id,
+       ROUND(dot / (sqrt(qn2) * sqrt(nn2)), 6) + 0.0 AS cosine_sim,
        CAST(rk AS INT) AS rank
 FROM dots ORDER BY query_id, rank
 """.replace(bucket, _lsh_table_bucket_sql("embedding", 0, 6))
@@ -7818,7 +7820,7 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY vid
                                         ORDER BY cosine_sim DESC, nid) AS rn
            FROM scored)
 SELECT vid AS vec_id, lab AS label, nid AS hard_negative_id,
-       nlab AS negative_label, cosine_sim
+       nlab AS negative_label, ROUND(cosine_sim, 6) + 0.0 AS cosine_sim
 FROM ranked WHERE rn = 1 ORDER BY vec_id
 """,
 )
