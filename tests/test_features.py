@@ -314,3 +314,43 @@ def test_fit_label_encoding_scalable_rank_matches_sorted_order(spark):
     fit = E.fit_label_encoding(df, "cat")
     got = {r["cat"]: r["cat_encoded"] for r in fit.collect()}
     assert got == {v: i for i, v in enumerate(vals)}
+
+
+def test_vocab_fit_frame_distinct_set_parity_with_nulls(spark):
+    """ADVICE r09: encode_categoricals fits its vocab on _vocab_fit_frame's
+    RAW projection instead of the repaired pipeline frame — valid only while
+    the two yield identical per-column distinct non-null value sets. Pins
+    that invariant on a fixture with nulls in weather_main (mode imputation
+    fills them with an already-occurring value, so the sets must not move);
+    any future handle_missing_values change that drops rows or synthesizes
+    new categorical values must fail here."""
+    rows = [
+        ("a", "2024-01-01 00:30:00", 1.0, 10, 1000, 0.5, 20, "Rain", "light rain"),
+        ("a", "2024-01-01 06:30:00", None, 11, 1001, 0.6, 21, None, "clear sky"),
+        ("a", "2024-01-01 12:30:00", 2.0, 12, 1002, 0.7, 22, "Clear", "clear sky"),
+        ("a", "2024-01-01 19:30:00", 3.0, None, 1003, 0.8, 23, None, None),
+        ("b", "2024-01-02 02:30:00", 4.0, 14, None, 0.9, 24, "Snow", "heavy snow"),
+        ("b", "2024-01-02 14:30:00", 5.0, 15, 1005, None, 25, "Rain", None),
+        ("b", "2024-01-02 22:30:00", None, 16, 1006, 1.0, 26, None, "mist"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "city string, timestamp string, temperature double, humidity int, "
+        "pressure int, wind_speed double, cloudiness int, "
+        "weather_main string, weather_description string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    fit = FP._vocab_fit_frame(df)
+    repaired = FP._repaired_features(df)
+    for c in FP.CATEGORICAL_COLS:
+        got = {
+            r[0]
+            for r in fit.select(c).where(F.col(c).isNotNull()).distinct().collect()
+        }
+        want = {
+            r[0]
+            for r in repaired.select(c)
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .collect()
+        }
+        assert got == want, f"{c}: fit-frame vocab {got} != repaired {want}"

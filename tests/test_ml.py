@@ -267,3 +267,36 @@ def test_prune_city_subset_is_data_driven():
     assert _prune_city_subset([("a", 4024)]) == ["a"]
     assert _prune_city_subset([("a", 4023)]) == []
     assert _prune_city_subset([]) == []
+
+
+def test_ml_feats_underfill_guard_falls_back_to_full_table(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE r09: _prune_city_subset's cap+24k bound assumes the only row
+    loss is the per-city lead tail; repaired-null gaps can drop more rows,
+    under-filling the 4000-row cap. When the pruned frame materializes short,
+    _ml_feats must fall back to the full table instead of silently training
+    on fewer rows. Forced here by pruning to a single city (far under cap at
+    sf0.001)."""
+    from weather_data_pipeline_spark.plans import queries as Q
+
+    Q._FEATS_CACHE.clear()
+    chosen_rec: list = []
+
+    def fake_prune(counts, cap=4000, tail_per_city=24):
+        chosen_rec.append(counts[0][0])
+        return [counts[0][0]]
+
+    monkeypatch.setattr(Q, "_prune_city_subset", fake_prune)
+    df = Q._ml_feats(spark, sf_dir)
+    n = df.count()
+    src = FP.events_as_weather(spark, sf_dir)
+    expected = FP.training_feature_pipeline_unencoded(src).limit(4000).count()
+    pruned_only = FP.training_feature_pipeline_unencoded(
+        src.where(F.col("city") == chosen_rec[0])
+    ).count()
+    # the forced prune genuinely under-fills, so the guard must have fired
+    assert pruned_only < 4000 and pruned_only < expected
+    assert n == expected
+    assert "weather_main_encoded" in df.columns
+    Q._FEATS_CACHE.clear()

@@ -96,7 +96,7 @@ def main() -> None:
         # per-worker fault/rss movement across the window: compare each
         # pid's last line in-window vs its last line BEFORE the window
         flt = 0
-        rss_kb = 0
+        rss_peak_kb = 0
         for pid in {c["pid"] for c in in_win}:
             seq = sorted(
                 (c for c in cells if c["pid"] == pid), key=lambda c: c["ts"]
@@ -106,7 +106,9 @@ def main() -> None:
             if inside:
                 base = before[-1] if before else inside[0]
                 flt += inside[-1]["majflt"] - base["majflt"]
-                rss_kb = max(rss_kb, inside[-1]["rss_kb"])
+                # lifetime peak per worker (ru_maxrss) — can only grow, so
+                # this shows the high-water mark, never a post-transient drop
+                rss_peak_kb = max(rss_peak_kb, inside[-1]["rss_peak_kb"])
         draws_out.append(
             {
                 "wall": wall,
@@ -120,7 +122,7 @@ def main() -> None:
                 "cell_wall_cpu_sum": cell_wall,
                 "max_cell_wall": max_cell,
                 "majflt_delta": flt,
-                "peak_worker_rss_mb": round(rss_kb / 1024, 1),
+                "peak_worker_rss_mb": round(rss_peak_kb / 1024, 1),
             }
         )
 

@@ -39,9 +39,9 @@ _MATMUL_CAP_MB = float(os.environ.get("SPARK_GRAFT_SIM_MATMUL_CAP_MB", "32"))
 _MATMUL_CAP_ELEMS = max(1, int(_MATMUL_CAP_MB * (1 << 20) / 8))
 
 # per-grid-cell instrumentation, env-gated (zero cost when off): each cell
-# appends one JSON line {op, wall, majflt, rss_kb, ...} to a per-worker-pid
-# file so an outlier window can be decomposed into which cells stalled and
-# whether major faults / RSS growth line up with the stall.
+# appends one JSON line {op, wall, majflt, rss_peak_kb, ...} to a
+# per-worker-pid file so an outlier window can be decomposed into which cells
+# stalled and whether major faults / RSS growth line up with the stall.
 _SIM_PROBE = bool(os.environ.get("SPARK_GRAFT_SIM_PROBE"))
 
 
@@ -76,7 +76,10 @@ def _probe_cell(op: str, wall: float, n_a: int, n_b: int, emitted: int) -> None:
                         "emitted": emitted,
                         "majflt": ru.ru_majflt,  # cumulative for the worker
                         "minflt": ru.ru_minflt,
-                        "rss_kb": ru.ru_maxrss,
+                        # ru_maxrss is the worker's LIFETIME PEAK RSS, not
+                        # current RSS (ADVICE r09) — per-cell samples only
+                        # stay flat or grow; the field name says so
+                        "rss_peak_kb": ru.ru_maxrss,
                     }
                 )
                 + "\n"

@@ -1587,6 +1587,21 @@ def _ml_feats(spark, sf_dir):
             # parallelize without per-task overhead swamping 4k rows
             .repartition(8)
         )
+        # under-fill guard (ADVICE r09): _prune_city_subset's cap+24k bound
+        # assumes the only row loss is the per-city lead tail; rows whose
+        # repaired temperature stays null (gaps past the ffill limit with no
+        # interpolation anchors) also drop temperature_future rows
+        # mid-series, so on sparse data the pruned frame can under-fill the
+        # cap. The checkpoint above already materialized, so this count is a
+        # cached-block read; when the subset under-fills, pay one full-table
+        # pipeline run instead of silently training on fewer rows.
+        if chosen and df.count() < 4000:
+            _free_ckpt(spark, ids)
+            df, ids = _ckpt_tracked(
+                FP.training_feature_pipeline_unencoded(src)
+                .limit(4000)
+                .repartition(8)
+            )
         # encode AFTER the checkpoint: the label-encode vocab fit is an
         # eager job, and fitting on the materialized 4000-row cap costs one
         # tiny scan instead of a second full run of the window pipeline
