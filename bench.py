@@ -40,7 +40,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from weather_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
-from weather_data_pipeline_spark.session import get_spark  # noqa: E402
+from weather_data_pipeline_spark.session import (  # noqa: E402
+    get_spark,
+    prewarm_python_workers,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # wall budget for the WHOLE bench process (headline + full pass), so a
@@ -282,29 +285,17 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().count()
-    # Python-worker pool prewarm (r9, SIM_PROBE.json): the historical
-    # cosine_near_dup 3-10x single-shot outliers are Python worker COLD
-    # START — fork + numpy/pandas import across up to 32 workers. Measured:
-    # the one outlier draw (6.24 s against a 1.34 s median, 0.077 s of
-    # actual cell compute, zero GC, zero major faults) spawned 27 new
-    # worker pids; 22 steady draws spawned zero. The pool grows to peak
-    # demand and persists (reuse on, no idle timeout), so one full-width
-    # mapInPandas here is infrastructure warmup — the same class as the
-    # JVM codegen warmup above — and takes the fork+import transient out
-    # of every measured Pandas-UDF query.
-    # SPARK_GRAFT_NO_PREWARM=1 skips it — diagnostic escape hatch for
-    # A/B-ing the pool's session-wide cost (32 resident workers ≈ 4 GB RSS)
-    if not os.environ.get("SPARK_GRAFT_NO_PREWARM"):
-        par = spark.sparkContext.defaultParallelism
-
-        def _prewarm(batches):
-            import numpy  # noqa: F401  (the matmul closures need it warm)
-
-            yield from batches
-
-        spark.range(2 * par, numPartitions=par).mapInPandas(
-            _prewarm, "id long"
-        ).count()
+    # Python-worker pool prewarm (r9, SIM_PROBE.json: fork + numpy/pandas
+    # import across up to 32 workers was the named cause of the historical
+    # cosine_near_dup 3-10x single-shot outliers) now lives in get_spark
+    # itself (VERDICT r09 #3 — session.prewarm_python_workers, default on
+    # for local masters), so every consumer gets steady-state first-query
+    # latency, not just the bench. SPARK_GRAFT_NO_PREWARM=1 still skips it
+    # there — the diagnostic escape hatch for A/B-ing the pool's
+    # session-wide cost (32 resident workers ≈ 4 GB RSS). The call below is
+    # a no-op when get_spark already ran it; it exists so the bench stays
+    # prewarmed even under a future default change.
+    prewarm_python_workers(spark)
 
     # calibration set FIRST (protocol v2, pinned r7 — see the block comment
     # at CALIBRATION_PROTOCOL): three diverse queries, each warm best-of-5,

@@ -25,7 +25,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from weather_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
-from weather_data_pipeline_spark.session import get_spark  # noqa: E402
+from weather_data_pipeline_spark.session import (  # noqa: E402
+    get_spark,
+    prewarm_python_workers,
+)
 
 
 def main() -> None:
@@ -45,17 +48,9 @@ def main() -> None:
     warm.groupBy("l_returnflag").count().count()
     # and the Python-worker pool prewarm (r9, SIM_PROBE.json: worker cold
     # start — fork + numpy/pandas import x32 — is the named cause of the
-    # historical Pandas-UDF first-draw outliers)
-    par = spark.sparkContext.defaultParallelism
-
-    def _prewarm(batches):
-        import numpy  # noqa: F401
-
-        yield from batches
-
-    spark.range(2 * par, numPartitions=par).mapInPandas(
-        _prewarm, "id long"
-    ).count()
+    # historical Pandas-UDF first-draw outliers); get_spark runs it by
+    # default for local masters (r10), this is a no-op safety net
+    prewarm_python_workers(spark)
 
     from bench import SESSION_CACHED
 

@@ -75,7 +75,78 @@ def get_spark(
 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Python-worker pool prewarm (VERDICT r09 #3): without it, the FIRST
+    # wide python-task query of a fresh local session pays the pool's cold
+    # start — fork + numpy/pandas import across up to N workers, measured
+    # 4-6 s idle / 10-18 s under load (SIM_PROBE.json root-caused this as
+    # the only source of the historical cosine_near_dup 3-18 s outliers).
+    # Default ON for local masters so any consumer's first query matches
+    # steady state, not just the bench; cost is one trivial full-width
+    # mapInPandas at session build (~1-2 s) plus ~4 GB RSS of resident
+    # workers at local[32]. SPARK_GRAFT_NO_PREWARM=1 disables. On a real
+    # cluster (non-local master) long-lived executors amortize the
+    # transient across the app, so the default is OFF there;
+    # SPARK_GRAFT_PREWARM=1 forces it on.
+    if not os.environ.get("SPARK_GRAFT_NO_PREWARM") and (
+        spark.sparkContext.master.startswith("local")
+        or os.environ.get("SPARK_GRAFT_PREWARM")
+    ):
+        prewarm_python_workers(spark)
     return spark
+
+
+def _warm_jvm_infra(spark: SparkSession) -> None:
+    """Generic (query-independent) JVM warmup: load the janino/whole-stage-
+    codegen machinery, the hash-aggregate + shuffle paths, localCheckpoint
+    block storage, and the parquet read/write stack (footer parse, column
+    readers, codec) via a throwaway round-trip in a temp dir. Measured
+    (PREWARM_PROBE.json): a fresh session's first Pandas-UDF query paid
+    ~5 s of this class-loading on top of the worker-pool fork+import — the
+    pool prewarm alone left the first draw at 3.3x the steady median."""
+    import tempfile
+
+    df = spark.range(1024).selectExpr(
+        "id", "id % 7 AS k", "cast(id as double) AS x", "cast(id as string) AS s"
+    )
+    df.groupBy("k").agg({"x": "sum"}).count()
+    df.localCheckpoint(eager=True).count()
+    with tempfile.TemporaryDirectory(prefix="wdp-warm-") as d:
+        p = os.path.join(d, "warm.parquet")
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).where("id > 1").count()
+
+
+# applicationIds whose worker pool this process already grew to full width —
+# getOrCreate() hands the same session back to every get_spark call, and the
+# prewarm job must run once per session, not once per call
+_PREWARMED: set = set()
+
+
+def prewarm_python_workers(spark: SparkSession, partitions: int | None = None) -> bool:
+    """Grow the session's Python worker pool to full width, once.
+
+    One trivial ``mapInPandas`` over ``partitions`` (default
+    ``defaultParallelism``) partitions forks every daemon worker the session
+    will ever run concurrently and warms their numpy/pandas imports; the pool
+    persists (reuse on, no idle timeout), so every later Pandas-UDF query
+    starts from steady state. Returns True when the prewarm job actually ran,
+    False when this session was already prewarmed."""
+    app = spark.sparkContext.applicationId
+    if app in _PREWARMED:
+        return False
+    _warm_jvm_infra(spark)
+    par = partitions or spark.sparkContext.defaultParallelism
+
+    def _prewarm(batches):
+        import numpy  # noqa: F401  (the Pandas-UDF hot paths need it warm)
+
+        yield from batches
+
+    spark.range(2 * par, numPartitions=par).mapInPandas(
+        _prewarm, "id long"
+    ).count()
+    _PREWARMED.add(app)
+    return True
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
