@@ -27,6 +27,15 @@ min, like before, but with one more draw against transient spikes). The round la
 when set (ADVICE r04: within-round recaptures must label themselves
 explicitly); the max(BENCH_r*)+1 inference stays as the driver fallback and
 warns when it replaces an existing BENCH_FULL file.
+
+Round 10 (VERDICT r09 #2/#5): a pinned 1-query probe re-runs every ~50
+full-pass queries and its min-of-2 time is judged against the start
+calibration — mid-pass load that clears before the end calibration now
+stamps `contaminated: true` too; `pass_order` records the measured order so
+every reading is positionable against the probes. The committed
+BENCH_FULL_r{N}.json is best-of-N same-tree passes: a re-run keeps the
+min-total contaminated:false body and appends every pass's total to
+`same_day_pass_totals`.
 """
 
 from __future__ import annotations
@@ -100,6 +109,68 @@ IDLE_LOAD_PER_CPU = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "0.25"))
 # `contaminated: true` so no reader trusts its raw numbers.
 CAL_SCALE_BAND = (0.7, 1.3)
 CAL_DRIFT_FRAC = 0.2
+
+# mid-pass probes (VERDICT r09 #2): the start+end calibration pair still has
+# a blind spot — load that arrives AFTER the start calibration and clears
+# BEFORE the end one passes both probes (the r9 committed capture read 36%
+# over the same-tree morning draws with exactly this shape). Every
+# MIDPASS_PROBE_EVERY measured full-pass queries, one pinned query re-runs
+# (min-of-2 draws, ~1 s) and its time is judged against the start
+# calibration's reading of the SAME query.
+MIDPASS_PROBE_QUERY = "q1_pricing_summary"
+MIDPASS_PROBE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_EVERY", "50"))
+# a probe slower than the fastest earlier reading by this factor flags even
+# when JIT warmth has already pushed probes below the start value
+MIDPASS_SLOWDOWN_X = 1.5
+
+
+def midpass_contamination(
+    q1_start: float | None, probe_secs: list[float]
+) -> bool:
+    """True when any mid-pass probe testifies that load arrived during the
+    full pass. One-sided toward slowness, like contamination_verdict
+    (warmth only ever makes probes FASTER):
+
+    - a probe slower than the start calibration's reading of the same query
+      by more than CAL_DRIFT_FRAC (the end-calibration drift rule applied
+      mid-pass);
+    - a probe slower than the FASTEST earlier reading (start or any prior
+      probe) by more than MIDPASS_SLOWDOWN_X — catches load that arrives
+      after deep JIT warmth has pushed probes well below the start value,
+      which the start-relative rule alone cannot see."""
+    if not q1_start or not probe_secs:
+        return False
+    best = q1_start
+    for p in probe_secs:
+        if p > q1_start / (1.0 - CAL_DRIFT_FRAC):
+            return True
+        if p > MIDPASS_SLOWDOWN_X * best:
+            return True
+        best = min(best, p)
+    return False
+
+
+def choose_full_artifact(
+    prior: dict | None, detail: dict, this_pass: dict
+) -> dict:
+    """Best-of-N merge decision for the committed BENCH_FULL artifact
+    (VERDICT r09 #5). ``prior`` must already be validated as same round /
+    tree / sf (or None). The returned dict is the artifact BODY to write:
+    the prior wins only when it is clean AND (this pass is contaminated or
+    slower); every pass's total lands in same_day_pass_totals either way,
+    so 'which draws existed' is never lost."""
+    pass_totals = (prior or {}).get("same_day_pass_totals", []) + [this_pass]
+    keep_prior = (
+        prior is not None
+        and not prior.get("contaminated", False)
+        and (
+            detail.get("contaminated", False)
+            or prior.get("full_total", float("inf")) <= detail["full_total"]
+        )
+    )
+    chosen = prior if keep_prior else detail
+    chosen["same_day_pass_totals"] = pass_totals
+    return chosen
 
 
 def contamination_verdict(
@@ -419,6 +490,13 @@ def main() -> None:
             n,
         ),
     )
+    # mid-pass probes (VERDICT r09 #2) + measured order: json dumps with
+    # sort_keys, so without an explicit list the artifact loses WHEN in the
+    # pass each query ran — pass_order makes per-query readings positionable
+    # against the probes (which third of the pass, before/after which probe)
+    midpass_probes: list[dict] = []
+    pass_order: list[str] = []
+    since_probe = 0
     for name in order:
         if time.perf_counter() - _T_START > FULL_BUDGET:
             not_benched.append(name)
@@ -427,6 +505,18 @@ def main() -> None:
             full[name] = round(_run_once(spark, name), 4)
         except Exception:
             full[name] = -1.0  # errored; visible, not silently dropped
+        pass_order.append(name)
+        since_probe += 1
+        if since_probe >= MIDPASS_PROBE_EVERY:
+            since_probe = 0
+            try:
+                p = round(
+                    min(_run_once(spark, MIDPASS_PROBE_QUERY) for _ in range(2)),
+                    4,
+                )
+                midpass_probes.append({"after_n": len(pass_order), "sec": p})
+            except Exception:
+                pass  # a failed probe must not lose the pass
 
     # Outlier re-measurement: a single-shot reading is one draw against
     # ambient load, and two rounds of artifacts carried multi-second
@@ -514,12 +604,23 @@ def main() -> None:
     # after every measured query lets the artifact testify about the WHOLE
     # window, and start/end disagreement stamps it contaminated.
     cal_end_info, cal_scale_end = _run_calibration()
-    contaminated = contamination_verdict(cal_scale, cal_scale_end)
+    q1_start = cal_info["queries"].get(MIDPASS_PROBE_QUERY)
+    for p in midpass_probes:
+        # >1 = faster than the start calibration (warmth), <0.8 = drift flag
+        p["vs_start"] = round(q1_start / p["sec"], 3) if q1_start else None
+    midpass_bad = midpass_contamination(
+        q1_start, [p["sec"] for p in midpass_probes]
+    )
+    contaminated = (
+        contamination_verdict(cal_scale, cal_scale_end) or midpass_bad
+    )
     if contaminated:
         print(
             "bench: CONTAMINATED capture — calibration scales "
             f"start={cal_scale} end={cal_scale_end} outside "
-            f"band {CAL_SCALE_BAND} or drift > {CAL_DRIFT_FRAC:.0%}; "
+            f"band {CAL_SCALE_BAND} or drift > {CAL_DRIFT_FRAC:.0%}, "
+            f"or a mid-pass probe dipped (midpass={midpass_bad}, "
+            f"probes={[p['sec'] for p in midpass_probes]}); "
             "raw timings untrustworthy, read normalized only",
             file=sys.stderr,
         )
@@ -544,6 +645,11 @@ def main() -> None:
         "sf": sf_val,
         "calibration": cal_info,
         "calibration_end": cal_end_info,
+        "midpass_probes": midpass_probes,
+        "midpass_probe_query": MIDPASS_PROBE_QUERY,
+        "midpass_probe_every": MIDPASS_PROBE_EVERY,
+        "midpass_contaminated": midpass_bad,
+        "pass_order": pass_order,
         "contaminated": contaminated,
         "memoized_plan_warm": memo_warm,
         "headline_draws": headline_draws,
@@ -579,14 +685,66 @@ def main() -> None:
         ]
         rnd = max(rounds, default=0) + 1
     out = os.path.join(here, f"BENCH_FULL_r{rnd:02d}.json")
-    if os.path.exists(out) and not env_round:
+    # Best-of-N same-day capture (VERDICT r09 #5): a single full pass is one
+    # draw against ±15% autocorrelated host drift, and the r9 committed
+    # artifact was a hot-host draw reading 36% over the same-tree morning
+    # passes. When a prior capture for the SAME round, tree and sf exists,
+    # keep the min-total contaminated:false draw as the canonical artifact
+    # body and record EVERY pass's total in same_day_pass_totals so the
+    # artifact is self-adjudicating. A prior from a different commit
+    # measured different code and is replaced, not merged.
+    try:
+        import subprocess
+
+        tree = (
+            subprocess.run(
+                ["git", "-C", here, "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        tree = None
+    detail["tree"] = tree
+    detail["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    this_pass = {
+        "full_total": detail["full_total"],
+        "contaminated": contaminated,
+        "captured_at": detail["captured_at"],
+        "tree": tree,
+    }
+    prior = None
+    if os.path.exists(out):
+        try:
+            with open(out) as fh:
+                prior = json.load(fh)
+        except Exception:
+            prior = None
+    if prior is not None and (
+        prior.get("tree") is None
+        or prior.get("tree") != tree
+        or prior.get("sf") != detail["sf"]
+    ):
         print(
-            f"bench: replacing existing {os.path.basename(out)} (inferred "
-            "round; set SPARK_GRAFT_ROUND to label recaptures explicitly)",
+            f"bench: replacing {os.path.basename(out)} (prior capture is "
+            "from a different tree/sf — not merged)",
+            file=sys.stderr,
+        )
+        prior = None
+    chosen = choose_full_artifact(prior, detail, this_pass)
+    keep_prior = chosen is prior
+    if keep_prior:
+        print(
+            f"bench: keeping prior {os.path.basename(out)} body "
+            f"(total {prior.get('full_total')} beats this pass's "
+            f"{detail['full_total']}); this pass recorded in "
+            "same_day_pass_totals",
             file=sys.stderr,
         )
     with open(out, "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
+        json.dump(chosen, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(
         json.dumps(

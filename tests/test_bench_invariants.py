@@ -86,3 +86,98 @@ def test_drift_threshold_is_relative_to_start():
     # 19% slow-drift inside band: clean; 21%: contaminated
     assert bench.contamination_verdict(1.0, 0.81) is False
     assert bench.contamination_verdict(1.0, 0.79) is True
+
+
+# --- mid-pass probes (VERDICT r09 #2) --------------------------------------
+# The start+end calibration pair has a blind spot: load that arrives after
+# the start calibration and clears before the end one passes both probes
+# (the committed r9 capture read 36% over same-tree morning draws with
+# exactly this shape). Probes every ~50 queries close it.
+
+
+def test_midpass_flags_synthetic_slow_probe():
+    # start q1 warm best-of-5 = 0.48s; probe 2 dips to 0.65s (load arrived
+    # mid-pass, >25% slower than start) — contaminated
+    assert bench.midpass_contamination(0.48, [0.40, 0.65, 0.38]) is True
+
+
+def test_midpass_flags_dip_after_warmth():
+    # deep warmth pushed probes to 0.30s; a later 0.50s probe is within the
+    # start-relative drift band but 1.7x the best earlier reading — the
+    # "load arrived after warmth" shape the start-relative rule cannot see
+    assert bench.midpass_contamination(0.48, [0.31, 0.30, 0.50]) is True
+
+
+def test_midpass_clean_probes_do_not_flag():
+    # monotone warmth (probes only get faster) is the healthy shape
+    assert bench.midpass_contamination(0.48, [0.42, 0.35, 0.33]) is False
+    # mild jitter inside both rules is fine too
+    assert bench.midpass_contamination(0.48, [0.45, 0.50, 0.46]) is False
+
+
+def test_midpass_no_probes_or_no_start_is_no_verdict():
+    assert bench.midpass_contamination(None, [9.9]) is False
+    assert bench.midpass_contamination(0.48, []) is False
+
+
+# --- BENCH_FULL best-of-N merge (VERDICT r09 #5) ----------------------------
+
+
+def _pass(total, contaminated, ts):
+    return {"full_total": total, "contaminated": contaminated, "captured_at": ts}
+
+
+def test_choose_artifact_first_capture_records_itself():
+    detail = {"full_total": 180.0, "contaminated": False}
+    chosen = bench.choose_full_artifact(None, detail, _pass(180.0, False, "t1"))
+    assert chosen is detail
+    assert [p["full_total"] for p in chosen["same_day_pass_totals"]] == [180.0]
+
+
+def test_choose_artifact_keeps_faster_clean_prior():
+    prior = {
+        "full_total": 172.0,
+        "contaminated": False,
+        "same_day_pass_totals": [_pass(172.0, False, "t1")],
+    }
+    detail = {"full_total": 190.0, "contaminated": False}
+    chosen = bench.choose_full_artifact(prior, detail, _pass(190.0, False, "t2"))
+    assert chosen is prior  # min-total clean draw stays canonical
+    assert [p["full_total"] for p in chosen["same_day_pass_totals"]] == [
+        172.0,
+        190.0,
+    ]  # but every pass is recorded
+
+
+def test_choose_artifact_faster_clean_pass_replaces_prior():
+    prior = {
+        "full_total": 190.0,
+        "contaminated": False,
+        "same_day_pass_totals": [_pass(190.0, False, "t1")],
+    }
+    detail = {"full_total": 172.0, "contaminated": False}
+    chosen = bench.choose_full_artifact(prior, detail, _pass(172.0, False, "t2"))
+    assert chosen is detail
+    assert len(chosen["same_day_pass_totals"]) == 2
+
+
+def test_choose_artifact_contaminated_pass_never_replaces_clean_prior():
+    prior = {
+        "full_total": 190.0,
+        "contaminated": False,
+        "same_day_pass_totals": [_pass(190.0, False, "t1")],
+    }
+    detail = {"full_total": 150.0, "contaminated": True}  # fast but dirty
+    chosen = bench.choose_full_artifact(prior, detail, _pass(150.0, True, "t2"))
+    assert chosen is prior
+
+
+def test_choose_artifact_clean_pass_replaces_contaminated_prior():
+    prior = {
+        "full_total": 150.0,
+        "contaminated": True,
+        "same_day_pass_totals": [_pass(150.0, True, "t1")],
+    }
+    detail = {"full_total": 200.0, "contaminated": False}
+    chosen = bench.choose_full_artifact(prior, detail, _pass(200.0, False, "t2"))
+    assert chosen is detail
