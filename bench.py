@@ -150,6 +150,32 @@ def midpass_contamination(
     return False
 
 
+def _code_tree_id(here: str) -> str:
+    """Identity of the MEASURED code surface: sha256 over the package's .py
+    files plus __spark_entry__.py — deliberately NOT the git HEAD and NOT
+    bench.py itself. Doc/artifact commits between same-day passes must not
+    break best-of-N merging (the git hash would), while any change to the
+    code the queries execute must; bench.py is the measuring instrument,
+    whose changes are visible in the artifact structure, not in what the
+    queries cost."""
+    import hashlib
+
+    h = hashlib.sha256()
+    paths = [os.path.join(here, "__spark_entry__.py")]
+    for d, _, fs in os.walk(os.path.join(here, "weather_data_pipeline_spark")):
+        for f in fs:
+            if f.endswith(".py"):
+                paths.append(os.path.join(d, f))
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, here).encode())
+        try:
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            h.update(b"<unreadable>")
+    return h.hexdigest()[:12]
+
+
 def choose_full_artifact(
     prior: dict | None, detail: dict, this_pass: dict
 ) -> dict:
@@ -693,21 +719,9 @@ def main() -> None:
     # body and record EVERY pass's total in same_day_pass_totals so the
     # artifact is self-adjudicating. A prior from a different commit
     # measured different code and is replaced, not merged.
-    try:
-        import subprocess
-
-        tree = (
-            subprocess.run(
-                ["git", "-C", here, "rev-parse", "--short", "HEAD"],
-                capture_output=True,
-                text=True,
-                timeout=10,
-            ).stdout.strip()
-            or None
-        )
-    except Exception:
-        tree = None
+    tree = _code_tree_id(here)
     detail["tree"] = tree
+    detail["tree_scheme"] = "code-hash-v1"
     detail["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     this_pass = {
         "full_total": detail["full_total"],

@@ -181,3 +181,17 @@ def test_choose_artifact_clean_pass_replaces_contaminated_prior():
     detail = {"full_total": 200.0, "contaminated": False}
     chosen = bench.choose_full_artifact(prior, detail, _pass(200.0, False, "t2"))
     assert chosen is detail
+
+
+def test_code_tree_id_is_stable_and_ignores_non_code():
+    # identity of the measured code surface: deterministic per call, and by
+    # construction reads only package .py files + __spark_entry__.py — so
+    # doc/artifact commits between same-day passes can't break best-of-N
+    # merging while any package change must
+    import os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    a = bench._code_tree_id(here)
+    b = bench._code_tree_id(here)
+    assert a == b
+    assert len(a) == 12 and all(c in "0123456789abcdef" for c in a)
