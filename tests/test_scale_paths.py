@@ -333,3 +333,37 @@ def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/repo/scaledata/sf1.0"),
+    reason="sf1.0 replica not built (tools/bench_scaling.py --build)",
+)
+def test_ivf_sample_trained_recall_holds_at_replica_scale(spark):
+    """Regression guard for the round-10 sample-bounded quantizer training
+    (similarity._train_frame): at 20k vectors the training sample is ACTIVE
+    (corpus > cap when forced low), and top-5 recall vs exact brute force
+    must stay solid — a broken sample (wrong filter, empty frame, skewed
+    hash) would crater it. Cap forced to 4096 so the sampled path is
+    exercised regardless of the env default."""
+    from weather_data_pipeline_spark.operators import similarity as S
+    from weather_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/repo/scaledata/sf1.0", "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, qids, k=5).collect()
+    }
+    import unittest.mock as mock
+
+    with mock.patch.object(S, "_KMEANS_TRAIN_CAP", 4096):
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(emb, qids, k=5, n_centroids=16, nprobe=4).collect()
+        }
+    assert len(exact) == 25
+    recall = len(exact & ivf) / len(exact)
+    # measured 0.72 at this scale with the 16k cap; 4k-sample codebooks are
+    # coarser — gate at a level only a broken sample path would miss
+    assert recall >= 0.4, recall
