@@ -91,7 +91,20 @@ def get_spark(
         spark.sparkContext.master.startswith("local")
         or os.environ.get("SPARK_GRAFT_PREWARM")
     ):
-        prewarm_python_workers(spark)
+        # best-effort: the prewarm is an optimization, and session BUILD
+        # must not fail because of it (e.g. the parquet round-trip in a
+        # read-only / full-tmp environment)
+        try:
+            prewarm_python_workers(spark)
+        except Exception as exc:  # pragma: no cover - environment-specific
+            import sys
+
+            print(
+                f"get_spark: worker-pool prewarm failed ({exc!r}); "
+                "continuing without it — first wide Pandas-UDF query will "
+                "pay the pool cold start",
+                file=sys.stderr,
+            )
     return spark
 
 
@@ -134,7 +147,12 @@ def prewarm_python_workers(spark: SparkSession, partitions: int | None = None) -
     app = spark.sparkContext.applicationId
     if app in _PREWARMED:
         return False
-    _warm_jvm_infra(spark)
+    try:
+        _warm_jvm_infra(spark)
+    except Exception:
+        # opportunistic (e.g. the parquet round-trip in a read-only temp
+        # env); the pool prewarm below is the load-bearing part — run it
+        pass
     par = partitions or spark.sparkContext.defaultParallelism
 
     def _prewarm(batches):
