@@ -182,16 +182,36 @@ def choose_full_artifact(
     """Best-of-N merge decision for the committed BENCH_FULL artifact
     (VERDICT r09 #5). ``prior`` must already be validated as same round /
     tree / sf (or None). The returned dict is the artifact BODY to write:
-    the prior wins only when it is clean AND (this pass is contaminated or
-    slower); every pass's total lands in same_day_pass_totals either way,
-    so 'which draws existed' is never lost."""
+    the prior wins only when it is clean AND at least as COMPLETE (totals
+    over different measured query sets are incomparable — a budget-
+    truncated pass is cheaper by construction and must never beat a full
+    one on total) AND (this pass is contaminated or slower); every pass's
+    total lands in same_day_pass_totals either way, so 'which draws
+    existed' is never lost."""
+
+    def _measured(d: dict) -> set:
+        # queries with a real reading; errored (-1) and unvisited excluded,
+        # mirroring the full_total sum
+        return {
+            n
+            for n, v in (d.get("full") or {}).items()
+            if isinstance(v, (int, float)) and v > 0
+        }
+
     pass_totals = (prior or {}).get("same_day_pass_totals", []) + [this_pass]
+    a = _measured(prior or {})
+    b = _measured(detail)
     keep_prior = (
         prior is not None
         and not prior.get("contaminated", False)
         and (
             detail.get("contaminated", False)
-            or prior.get("full_total", float("inf")) <= detail["full_total"]
+            or len(a) > len(b)
+            or (
+                a == b
+                and prior.get("full_total", float("inf"))
+                <= detail["full_total"]
+            )
         )
     )
     chosen = prior if keep_prior else detail
@@ -391,8 +411,11 @@ def main() -> None:
     # there — the diagnostic escape hatch for A/B-ing the pool's
     # session-wide cost (32 resident workers ≈ 4 GB RSS). The call below is
     # a no-op when get_spark already ran it; it exists so the bench stays
-    # prewarmed even under a future default change.
-    prewarm_python_workers(spark)
+    # prewarmed even under a future default change — and it must honor the
+    # SAME env gate, or the diagnostic flag would silently measure the
+    # prewarmed configuration anyway.
+    if not os.environ.get("SPARK_GRAFT_NO_PREWARM"):
+        prewarm_python_workers(spark)
 
     # calibration set FIRST (protocol v2, pinned r7 — see the block comment
     # at CALIBRATION_PROTOCOL): three diverse queries, each warm best-of-5,

@@ -223,3 +223,30 @@ def test_ivf_query_side_joins_are_broadcast_only(spark, sf_dir):
         assert "SortMergeJoin" not in plan, plan[:2000]
         assert "ShuffledHashJoin" not in plan, plan[:2000]
         assert "BroadcastHashJoin" in plan
+
+
+def test_quantizer_fits_survive_duplicate_heavy_sampled_corpus(spark):
+    """The hash sample keeps whole duplicate-value groups or none, so a
+    duplicate-heavy corpus can sample to fewer rows than k (or zero). The
+    fit sites must fall back to the full frame instead of throwing or
+    fitting a degenerate codebook — exercised with a tiny forced cap over
+    a corpus of two distinct vector values x 150 rows each."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    from weather_data_pipeline_spark.operators import similarity as S
+
+    df = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") % 2 == 0, F.array(*[F.lit(1.0)] * 8))
+        .otherwise(F.array(*[F.lit(-1.0)] * 8))
+        .alias("embedding"),
+    )
+    with mock.patch.object(S, "_KMEANS_TRAIN_CAP", 50):
+        codes = S.pq_encode(df, m=4, k=2).collect()
+        assert len(codes) == 300
+        topk = S.ivf_topk(df, [0, 1], k=3, n_centroids=2, nprobe=2).collect()
+        assert len(topk) == 6
+        adc = S.ivf_pq_adc_topk(df, [0, 1], k=3, n_centroids=2, nprobe=2).collect()
+        assert len(adc) == 6

@@ -195,3 +195,55 @@ def test_code_tree_id_is_stable_and_ignores_non_code():
     b = bench._code_tree_id(here)
     assert a == b
     assert len(a) == 12 and all(c in "0123456789abcdef" for c in a)
+
+
+def test_choose_artifact_truncated_prior_never_beats_complete_pass():
+    # a budget-truncated pass measured fewer queries — its total is cheaper
+    # BY CONSTRUCTION and must not stay canonical over a complete pass
+    prior = {
+        "full_total": 300.0,
+        "contaminated": False,
+        "full": {f"q{i}": 2.0 for i in range(150)},
+        "same_day_pass_totals": [_pass(300.0, False, "t1")],
+    }
+    detail = {
+        "full_total": 450.0,
+        "contaminated": False,
+        "full": {f"q{i}": 2.24 for i in range(201)},
+    }
+    chosen = bench.choose_full_artifact(prior, detail, _pass(450.0, False, "t2"))
+    assert chosen is detail
+
+
+def test_choose_artifact_complete_prior_beats_truncated_pass():
+    prior = {
+        "full_total": 450.0,
+        "contaminated": False,
+        "full": {f"q{i}": 2.24 for i in range(201)},
+        "same_day_pass_totals": [_pass(450.0, False, "t1")],
+    }
+    detail = {
+        "full_total": 300.0,  # cheaper only because it measured less
+        "contaminated": False,
+        "full": {f"q{i}": 2.0 for i in range(150)},
+    }
+    chosen = bench.choose_full_artifact(prior, detail, _pass(300.0, False, "t2"))
+    assert chosen is prior
+
+
+def test_choose_artifact_errored_readings_do_not_count_as_measured():
+    # errored queries record -1.0 and are excluded from full_total; they
+    # must be excluded from the completeness comparison the same way
+    prior = {
+        "full_total": 400.0,
+        "contaminated": False,
+        "full": {**{f"q{i}": 2.0 for i in range(200)}, "q200": -1.0},
+        "same_day_pass_totals": [_pass(400.0, False, "t1")],
+    }
+    detail = {
+        "full_total": 410.0,
+        "contaminated": False,
+        "full": {f"q{i}": 2.04 for i in range(201)},
+    }
+    chosen = bench.choose_full_artifact(prior, detail, _pass(410.0, False, "t2"))
+    assert chosen is detail  # 201 clean readings beat 200 + 1 error

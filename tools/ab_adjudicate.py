@@ -45,26 +45,37 @@ def run_side(tree: str, queries: list[str], repeats: int, sf_dir: str) -> list[d
     ]
     env = dict(os.environ, PYTHONPATH=tree)
     t0 = time.time()
-    proc = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, cwd=tree, timeout=1800
-    )
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, cwd=tree, timeout=1800
+        )
+        stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+    except subprocess.TimeoutExpired as exc:
+        # a hung side must not abort the whole adjudication and lose every
+        # previously collected round's draws — salvage whatever lines the
+        # process printed before the kill and mark the side incomplete
+        stdout = (exc.stdout or b"").decode() if isinstance(exc.stdout, bytes) else (exc.stdout or "")
+        stderr = "TIMEOUT after 1800s"
+        rc = -1
     lines = []
-    for ln in proc.stdout.splitlines():
+    for ln in stdout.splitlines():
         ln = ln.strip()
         if ln.startswith("{"):
             try:
                 lines.append(json.loads(ln))
             except json.JSONDecodeError:
                 pass
-    if proc.returncode != 0 or len(lines) != len(queries):
+    if rc != 0 or len(lines) != len(queries):
         print(
-            f"ab_adjudicate: side {tree} returned {proc.returncode}, "
+            f"ab_adjudicate: side {tree} returned {rc}, "
             f"{len(lines)}/{len(queries)} parsed lines\n--- stderr tail:\n"
-            + "\n".join(proc.stderr.splitlines()[-10:]),
+            + "\n".join(stderr.splitlines()[-10:]),
             file=sys.stderr,
         )
+    proc_ok = rc == 0 and len(lines) == len(queries)
     for ln in lines:
         ln["process_wall"] = round(time.time() - t0, 1)
+        ln["process_complete"] = proc_ok
     return lines
 
 
@@ -116,6 +127,7 @@ def main() -> None:
     sides = {args.this_label: here, args.other_label: args.other_tree}
     raw: dict[str, list[dict]] = {lbl: [] for lbl in sides}
     load_trace = []
+    incomplete: dict[str, int] = {lbl: 0 for lbl in sides}
     for rnd in range(args.rounds):
         # swap which side goes first each round so sequence position
         # (box self-heating) can't systematically favor one tree
@@ -125,8 +137,15 @@ def main() -> None:
                 {"round": rnd, "side": lbl, "loadavg": round(os.getloadavg()[0], 2)}
             )
             print(f"round {rnd} side {lbl} ...", flush=True)
-            raw[lbl].extend(run_side(sides[lbl], args.queries, args.repeats, args.sf_dir))
-            time.sleep(args.cooldown)
+            recs = run_side(sides[lbl], args.queries, args.repeats, args.sf_dir)
+            if len(recs) != len(args.queries) or any(
+                not r.get("process_complete", True) for r in recs
+            ):
+                incomplete[lbl] += 1
+            raw[lbl].extend(recs)
+            # no settling needed after the LAST measurement of the run
+            if rnd < args.rounds - 1 or lbl != order[-1]:
+                time.sleep(args.cooldown)
 
     per_query = {}
     for q in args.queries:
@@ -143,6 +162,13 @@ def main() -> None:
         }
         if a_vals and b_vals:
             entry.update(per_query_verdict(a_vals, b_vals))
+            # a verdict over asymmetric or crash-tainted process counts is
+            # visibly weaker — stamp it rather than leaving the reader to
+            # count draw lists
+            if len(a_vals) != len(b_vals) or any(
+                not r.get("process_complete", True) for r in a_recs + b_recs
+            ):
+                entry["verdict"] += " (incomplete-side data)"
         else:
             entry["verdict"] = "no-data"
         per_query[q] = entry
@@ -172,6 +198,7 @@ def main() -> None:
         "trees": sides,
         "sf_dir": args.sf_dir,
         "per_query": per_query,
+        "incomplete_processes_per_side": incomplete,
         "load_trace": load_trace,
         "ncpus": os.cpu_count(),
         "captured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

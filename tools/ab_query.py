@@ -49,8 +49,10 @@ def main() -> None:
     # and the Python-worker pool prewarm (r9, SIM_PROBE.json: worker cold
     # start — fork + numpy/pandas import x32 — is the named cause of the
     # historical Pandas-UDF first-draw outliers); get_spark runs it by
-    # default for local masters (r10), this is a no-op safety net
-    prewarm_python_workers(spark)
+    # default for local masters (r10), this is a no-op safety net that must
+    # honor the same SPARK_GRAFT_NO_PREWARM diagnostic gate
+    if not os.environ.get("SPARK_GRAFT_NO_PREWARM"):
+        prewarm_python_workers(spark)
 
     from bench import SESSION_CACHED
 

@@ -51,7 +51,7 @@ def main() -> None:
         draws.append(round(time.perf_counter() - t0, 4))
         print(f"draw {i}: {draws[-1]:.3f}s", flush=True)
     rest = sorted(draws[1:])
-    median_rest = rest[len(rest) // 2]
+    median_rest = rest[len(rest) // 2] if rest else None
     doc = {
         "metric": "session_prewarm_first_draw_probe",
         "query": args.query,
@@ -62,7 +62,9 @@ def main() -> None:
         "first_draw": draws[0],
         "median_of_rest": median_rest,
         "first_over_median": round(draws[0] / median_rest, 2) if median_rest else None,
-        "first_draw_outlier_3x": draws[0] > 3 * median_rest,
+        "first_draw_outlier_3x": (
+            draws[0] > 3 * median_rest if median_rest else None
+        ),
         "loadavg_start": load0,
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         "ncpus": os.cpu_count(),

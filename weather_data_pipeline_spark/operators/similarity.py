@@ -665,7 +665,13 @@ def ivf_index(
     sampled = train is not with_vec
     if sampled:
         train = train.cache()
-        train.count()
+        # degenerate-sample guard: the hash keeps whole duplicate-value
+        # groups or none, so a duplicate-heavy corpus can sample to fewer
+        # rows than k (or zero) — KMeans would throw / degrade; train on
+        # the full frame instead (the count doubles as the cache populator)
+        if train.count() < n_centroids:
+            train.unpersist()
+            train, sampled = with_vec, False
     model = km.fit(train)
     if sampled:
         train.unpersist()
@@ -817,7 +823,11 @@ def pq_encode(
     train_sampled = train is not base
     if train_sampled:
         train = train.cache()
-        train.count()
+        # degenerate-sample guard (whole duplicate groups hash together):
+        # fewer sampled rows than k would throw/degrade the codebook fits
+        if train.count() < k:
+            train.unpersist()
+            train, train_sampled = base, False
     from concurrent.futures import ThreadPoolExecutor
 
     def _fit_sub(j: int):
@@ -953,7 +963,11 @@ def ivf_pq_adc_topk(
     train_sampled = train is not base
     if train_sampled:
         train = train.cache()
-        train.count()
+        # degenerate-sample guard (whole duplicate groups hash together):
+        # both quantizers need at least their own k rows to fit
+        if train.count() < max(n_centroids, n_codes):
+            train.unpersist()
+            train, train_sampled = base, False
     from concurrent.futures import ThreadPoolExecutor
 
     def _fit_ivf():
@@ -1006,7 +1020,11 @@ def ivf_pq_adc_topk(
             probes.append((row.query_id, int(cid)))
         for j in range(m):
             qs = qv[j * sub : (j + 1) * sub]
-            for c in range(n_codes):
+            # iterate the FITTED codebook, not range(n_codes): MLlib KMeans
+            # returns fewer than k centers when the subspace has fewer
+            # distinct points (duplicate-heavy corpora) — indexing by the
+            # requested size was an IndexError on any low-diversity corpus
+            for c in range(len(codebooks[j])):
                 d2 = float(((codebooks[j][c] - qs) ** 2).sum())
                 luts.append((row.query_id, j, c, d2))
     probe_df = spark.createDataFrame(probes, "query_id long, centroid_id int")
