@@ -123,6 +123,71 @@ MIDPASS_PROBE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_EVERY", "50"))
 # when JIT warmth has already pushed probes below the start value
 MIDPASS_SLOWDOWN_X = 1.5
 
+# Measurement-semantics version (ADVICE r10): _code_tree_id deliberately
+# excludes bench.py from the code-surface hash so doc-only bench edits don't
+# break best-of-N merging — but that also let passes measured under DIFFERENT
+# instrument semantics (a changed _run_once, warmup recipe, calibration or
+# contamination protocol) merge as "same tree", mixing non-comparable totals
+# in same_day_pass_totals. This constant is folded into the tree hash and
+# MUST be bumped on any change to what a recorded number MEANS. History:
+#   v1 = r7-r9 (3-query calibration, no probes)
+#   v2 = r10   (mid-pass probes, best-of-N merge)
+#   v3 = r11   (cpu-MHz thermal proxy in the contamination verdict)
+BENCH_PROTOCOL = "v3"
+
+# thermal / afternoon proxy (VERDICT r10 #4): the third r10 same-day pass
+# read 214.1 s with contaminated:false — 16% over the 184.6 s body on
+# identical code, invisible to loadavg + calibration because the slowness
+# was sustained across the whole pass. Sustained cpu clocks sitting this
+# fraction below the start reading stamp the draw. One-sided, like every
+# other rule: clocks ABOVE start (turbo kicking in) are benign.
+THERMAL_DROP_FRAC = 0.10
+
+
+def _cpu_mhz() -> float | None:
+    """Mean current CPU clock in MHz, or None when the host exposes neither
+    cpufreq sysfs nor per-cpu MHz lines in /proc/cpuinfo (a fixed-clock VM
+    reads a constant — the thermal rule is then a recorded no-op)."""
+    try:
+        import glob
+
+        freqs = []
+        for p in glob.glob(
+            "/sys/devices/system/cpu/cpu*/cpufreq/scaling_cur_freq"
+        ):
+            with open(p) as fh:
+                freqs.append(int(fh.read().strip()) / 1000.0)
+        if freqs:
+            return round(sum(freqs) / len(freqs), 1)
+        with open("/proc/cpuinfo") as fh:
+            mhz = [
+                float(line.split(":", 1)[1])
+                for line in fh
+                if line.startswith("cpu MHz")
+            ]
+        return round(sum(mhz) / len(mhz), 1) if mhz else None
+    except (OSError, ValueError):
+        return None
+
+
+def thermal_verdict(
+    mhz_start: float | None,
+    mhz_end: float | None,
+    probe_mhz: list[float | None] | None = None,
+) -> bool:
+    """True when the host's sustained clocks testify that this pass ran
+    thermally throttled (or afternoon-downclocked) relative to its own start:
+    the END reading, or ANY mid-pass probe reading, sits more than
+    THERMAL_DROP_FRAC below the start clock. No reading → no verdict (a VM
+    with no DVFS visibility must not flag, and must not mask either)."""
+    if mhz_start is None or mhz_start <= 0:
+        return False
+    floor = mhz_start * (1.0 - THERMAL_DROP_FRAC)
+    for m in [mhz_end] + list(probe_mhz or []):
+        if m is not None and m < floor:
+            return True
+    return False
+
 
 def midpass_contamination(
     q1_start: float | None, probe_secs: list[float]
@@ -156,11 +221,15 @@ def _code_tree_id(here: str) -> str:
     bench.py itself. Doc/artifact commits between same-day passes must not
     break best-of-N merging (the git hash would), while any change to the
     code the queries execute must; bench.py is the measuring instrument,
-    whose changes are visible in the artifact structure, not in what the
-    queries cost."""
+    whose cosmetic changes are visible in the artifact structure, not in
+    what the queries cost. The one instrument property that DOES change
+    comparability — measurement semantics — is folded in via BENCH_PROTOCOL
+    (ADVICE r10): bumping it forces a fresh best-of-N series instead of
+    merging totals measured under different rules."""
     import hashlib
 
     h = hashlib.sha256()
+    h.update(f"bench-protocol-{BENCH_PROTOCOL}".encode())
     paths = [os.path.join(here, "__spark_entry__.py")]
     for d, _, fs in os.walk(os.path.join(here, "weather_data_pipeline_spark")):
         for f in fs:
@@ -176,6 +245,17 @@ def _code_tree_id(here: str) -> str:
     return h.hexdigest()[:12]
 
 
+def _measured_names(d: dict) -> set:
+    """Queries with a real reading in an artifact body; errored (-1) and
+    unvisited excluded, mirroring the full_total sum. Shared by the merge
+    decision and its explanation message (ADVICE r10)."""
+    return {
+        n
+        for n, v in (d.get("full") or {}).items()
+        if isinstance(v, (int, float)) and v > 0
+    }
+
+
 def choose_full_artifact(
     prior: dict | None, detail: dict, this_pass: dict
 ) -> dict:
@@ -188,19 +268,9 @@ def choose_full_artifact(
     one on total) AND (this pass is contaminated or slower); every pass's
     total lands in same_day_pass_totals either way, so 'which draws
     existed' is never lost."""
-
-    def _measured(d: dict) -> set:
-        # queries with a real reading; errored (-1) and unvisited excluded,
-        # mirroring the full_total sum
-        return {
-            n
-            for n, v in (d.get("full") or {}).items()
-            if isinstance(v, (int, float)) and v > 0
-        }
-
     pass_totals = (prior or {}).get("same_day_pass_totals", []) + [this_pass]
-    a = _measured(prior or {})
-    b = _measured(detail)
+    a = _measured_names(prior or {})
+    b = _measured_names(detail)
     keep_prior = (
         prior is not None
         and not prior.get("contaminated", False)
@@ -484,6 +554,9 @@ def main() -> None:
         return info, scale
 
     cal_info, cal_scale = _run_calibration()
+    # thermal proxy sample point 1/3 (VERDICT r10 #4): the start clock is
+    # the reference every later reading is judged against
+    mhz_start = _cpu_mhz()
 
     # best-of-3 per query, UNIFORMLY — including the calibration queries,
     # whose warm best-of-5 draws stay inside cal_info only (reusing min-of-5
@@ -563,7 +636,12 @@ def main() -> None:
                     min(_run_once(spark, MIDPASS_PROBE_QUERY) for _ in range(2)),
                     4,
                 )
-                midpass_probes.append({"after_n": len(pass_order), "sec": p})
+                midpass_probes.append(
+                    # mhz: thermal proxy sample point 2/3 — sustained
+                    # downclocking mid-pass flags even when it clears by the
+                    # end calibration
+                    {"after_n": len(pass_order), "sec": p, "mhz": _cpu_mhz()}
+                )
             except Exception:
                 pass  # a failed probe must not lose the pass
 
@@ -653,6 +731,8 @@ def main() -> None:
     # after every measured query lets the artifact testify about the WHOLE
     # window, and start/end disagreement stamps it contaminated.
     cal_end_info, cal_scale_end = _run_calibration()
+    # thermal proxy sample point 3/3
+    mhz_end = _cpu_mhz()
     q1_start = cal_info["queries"].get(MIDPASS_PROBE_QUERY)
     for p in midpass_probes:
         # >1 = faster than the start calibration (warmth), <0.8 = drift flag
@@ -660,8 +740,13 @@ def main() -> None:
     midpass_bad = midpass_contamination(
         q1_start, [p["sec"] for p in midpass_probes]
     )
+    thermal_bad = thermal_verdict(
+        mhz_start, mhz_end, [p.get("mhz") for p in midpass_probes]
+    )
     contaminated = (
-        contamination_verdict(cal_scale, cal_scale_end) or midpass_bad
+        contamination_verdict(cal_scale, cal_scale_end)
+        or midpass_bad
+        or thermal_bad
     )
     if contaminated:
         print(
@@ -669,7 +754,9 @@ def main() -> None:
             f"start={cal_scale} end={cal_scale_end} outside "
             f"band {CAL_SCALE_BAND} or drift > {CAL_DRIFT_FRAC:.0%}, "
             f"or a mid-pass probe dipped (midpass={midpass_bad}, "
-            f"probes={[p['sec'] for p in midpass_probes]}); "
+            f"probes={[p['sec'] for p in midpass_probes]}), "
+            f"or sustained clocks dropped (thermal={thermal_bad}, "
+            f"mhz start={mhz_start} end={mhz_end}); "
             "raw timings untrustworthy, read normalized only",
             file=sys.stderr,
         )
@@ -699,6 +786,10 @@ def main() -> None:
         "midpass_probe_every": MIDPASS_PROBE_EVERY,
         "midpass_contaminated": midpass_bad,
         "pass_order": pass_order,
+        "cpu_mhz_start": mhz_start,
+        "cpu_mhz_end": mhz_end,
+        "thermal_drop_frac": THERMAL_DROP_FRAC,
+        "thermal_contaminated": thermal_bad,
         "contaminated": contaminated,
         "memoized_plan_warm": memo_warm,
         "headline_draws": headline_draws,
@@ -744,7 +835,10 @@ def main() -> None:
     # measured different code and is replaced, not merged.
     tree = _code_tree_id(here)
     detail["tree"] = tree
-    detail["tree_scheme"] = "code-hash-v1"
+    # v2: BENCH_PROTOCOL folded into the hash (ADVICE r10) — a bumped
+    # measurement protocol starts a fresh best-of-N series
+    detail["tree_scheme"] = "code-hash-v2"
+    detail["bench_protocol"] = BENCH_PROTOCOL
     detail["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     this_pass = {
         "full_total": detail["full_total"],
@@ -773,11 +867,25 @@ def main() -> None:
     chosen = choose_full_artifact(prior, detail, this_pass)
     keep_prior = chosen is prior
     if keep_prior:
+        # say WHY the prior stays canonical (ADVICE r10): keep_prior also
+        # fires for a contaminated or less-complete pass, where "beats"
+        # would claim a LARGER prior total beat a smaller new one
+        if contaminated:
+            why = "this pass is stamped contaminated"
+        elif len(_measured_names(prior)) > len(_measured_names(detail)):
+            why = (
+                f"this pass measured fewer queries "
+                f"({len(_measured_names(detail))} vs prior's "
+                f"{len(_measured_names(prior))} — totals incomparable)"
+            )
+        else:
+            why = (
+                f"prior total {prior.get('full_total')} beats this "
+                f"pass's {detail['full_total']}"
+            )
         print(
-            f"bench: keeping prior {os.path.basename(out)} body "
-            f"(total {prior.get('full_total')} beats this pass's "
-            f"{detail['full_total']}); this pass recorded in "
-            "same_day_pass_totals",
+            f"bench: keeping prior {os.path.basename(out)} body ({why}); "
+            "this pass recorded in same_day_pass_totals",
             file=sys.stderr,
         )
     with open(out, "w") as fh:

@@ -183,6 +183,59 @@ def test_choose_artifact_clean_pass_replaces_contaminated_prior():
     assert chosen is detail
 
 
+# --- thermal / afternoon proxy (VERDICT r10 #4) -----------------------------
+# The third r10 same-day pass read 214.1 s with contaminated:false — 16%
+# over the 184.6 s body on identical code. Sustained clocks below the pass's
+# own start reading now stamp the draw; like every other rule it is
+# one-sided (turbo above start is benign) and silent when the host exposes
+# no clock reading.
+
+
+def test_thermal_flags_sustained_downclock_at_end():
+    assert bench.thermal_verdict(3500.0, 3100.0) is True  # 11.4% below
+
+
+def test_thermal_flags_midpass_downclock_that_clears():
+    # probe dipped below the floor even though the end reading recovered —
+    # the same blind-spot shape the mid-pass timing probes close
+    assert bench.thermal_verdict(3500.0, 3480.0, [3400.0, 3000.0]) is True
+
+
+def test_thermal_small_dip_and_turbo_are_benign():
+    assert bench.thermal_verdict(3500.0, 3200.0) is False  # 8.6% below: ok
+    assert bench.thermal_verdict(3500.0, 4200.0) is False  # turbo: benign
+
+
+def test_thermal_no_reading_no_verdict():
+    # fixed-clock VM / no cpufreq: never flag, never mask
+    assert bench.thermal_verdict(None, 2000.0) is False
+    assert bench.thermal_verdict(3500.0, None) is False
+    assert bench.thermal_verdict(3500.0, None, [None, None]) is False
+
+
+def test_cpu_mhz_reads_a_positive_number_or_none():
+    m = bench._cpu_mhz()
+    assert m is None or m > 0
+
+
+def test_code_tree_id_includes_bench_protocol(monkeypatch):
+    # ADVICE r10: passes measured under different instrument semantics must
+    # not best-of-N merge as "same tree" — the protocol constant is part of
+    # the measured-surface identity, so bumping it forces a fresh series
+    import os
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    a = bench._code_tree_id(here)
+    monkeypatch.setattr(bench, "BENCH_PROTOCOL", bench.BENCH_PROTOCOL + "-bumped")
+    assert bench._code_tree_id(here) != a
+
+
+def test_measured_names_excludes_errors_and_unvisited():
+    d = {"full": {"a": 1.0, "b": -1.0, "c": 0.0, "d": "x"}}
+    assert bench._measured_names(d) == {"a"}
+    assert bench._measured_names({}) == set()
+
+
 def test_code_tree_id_is_stable_and_ignores_non_code():
     # identity of the measured code surface: deterministic per call, and by
     # construction reads only package .py files + __spark_entry__.py — so

@@ -13,6 +13,11 @@ under 3x the median of the later draws.
 Note the first draw still legitimately carries whole-stage-codegen compile
 for the query plan itself (~1-2x) — the 3x gate separates that from the
 pool-spawn transient it replaces.
+
+VERDICT r10 #3: the probe is a GATE — session.prewarm_first_draw_verdict
+(pytest-pinned rule) stamps a passed/failed verdict into the artifact and
+the process exits 4 on failure, so a prewarm regression fails red in the
+per-round invariants instead of surfacing as bench mystery-outliers later.
 """
 
 from __future__ import annotations
@@ -26,7 +31,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from weather_data_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
-from weather_data_pipeline_spark.session import _PREWARMED, get_spark  # noqa: E402
+from weather_data_pipeline_spark.session import (  # noqa: E402
+    _PREWARMED,
+    get_spark,
+    prewarm_first_draw_verdict,
+)
 
 
 def main() -> None:
@@ -50,8 +59,9 @@ def main() -> None:
         q.spark(spark, args.sf_dir).count()
         draws.append(round(time.perf_counter() - t0, 4))
         print(f"draw {i}: {draws[-1]:.3f}s", flush=True)
-    rest = sorted(draws[1:])
-    median_rest = rest[len(rest) // 2] if rest else None
+    # explicit threshold verdict (VERDICT r10 #3): the probe is a GATE, not
+    # just a recorded observation — a prewarm regression fails red here
+    verdict = prewarm_first_draw_verdict(draws)
     doc = {
         "metric": "session_prewarm_first_draw_probe",
         "query": args.query,
@@ -60,11 +70,7 @@ def main() -> None:
         "no_prewarm_env": bool(os.environ.get("SPARK_GRAFT_NO_PREWARM")),
         "draws": draws,
         "first_draw": draws[0],
-        "median_of_rest": median_rest,
-        "first_over_median": round(draws[0] / median_rest, 2) if median_rest else None,
-        "first_draw_outlier_3x": (
-            draws[0] > 3 * median_rest if median_rest else None
-        ),
+        "verdict": verdict,
         "loadavg_start": load0,
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         "ncpus": os.cpu_count(),
@@ -76,6 +82,14 @@ def main() -> None:
             json.dump(doc, fh, indent=1, sort_keys=True)
             fh.write("\n")
     spark.stop()
+    if verdict.get("passed") is False:
+        print(
+            f"prewarm_probe: FAIL — first draw {draws[0]}s vs steady median "
+            f"{verdict['median_of_rest']}s ({verdict['first_over_median']}x > "
+            f"{verdict['max_x']}x bound, outliers={verdict['outliers_3x']})",
+            file=sys.stderr,
+        )
+        sys.exit(4)
 
 
 if __name__ == "__main__":

@@ -599,6 +599,32 @@ def lsh_bucket_topk(
 # O(cap), only the one-pass assignment/encode scan may grow with the corpus.
 # 16k rows is far past codebook saturation for <=256-centroid quantizers.
 _KMEANS_TRAIN_CAP = int(os.environ.get("SPARK_GRAFT_KMEANS_TRAIN_CAP", "16384"))
+# upper acceptance factor for the sampled class (ADVICE r10): the value hash
+# keeps whole duplicate-value groups or none, so the kept class is ~cap only
+# IN EXPECTATION over distinct values — past this factor the sample is
+# re-tightened so training cost/memory stays bounded on duplicate-heavy
+# corpora (exactly this engine's near-dup domain)
+_TRAIN_OVERSHOOT = 2
+
+
+def _hashable_cols(df: DataFrame) -> list:
+    """Columns xxhash64 can take: atomics, and arrays/structs of those.
+    Excludes MapType (unsupported by hash functions) and UDTs — the
+    quantizer frames carry VectorUDT projections (`_vec`, `_sub{j}`) that
+    are derived from the hashable array column, so excluding them loses no
+    distinguishing information."""
+    from pyspark.sql.types import ArrayType, AtomicType, StructType
+
+    def ok(dt) -> bool:
+        if isinstance(dt, AtomicType):
+            return True
+        if isinstance(dt, ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in df.schema.fields if ok(f.dataType)]
 
 
 def _train_frame(df: DataFrame, hash_col: str, cap: int | None = None) -> DataFrame:
@@ -609,13 +635,42 @@ def _train_frame(df: DataFrame, hash_col: str, cap: int | None = None) -> DataFr
     stay replayable. At or under the cap the frame passes through untouched
     (tests and driver fixtures are unchanged); the sizing count only runs
     when the limit-probe shows the corpus exceeds the cap, and at that scale
-    the full-corpus assignment scan that follows dwarfs one narrow count."""
+    the full-corpus assignment scan that follows dwarfs one narrow count.
+
+    Upper guard (ADVICE r10): the value hash admits whole duplicate-value
+    groups, so a duplicate-heavy corpus can land FAR more than cap rows in
+    the kept class. When the kept class overshoots ``_TRAIN_OVERSHOOT`` ×
+    cap, it is re-tightened with a FULL-ROW hash over every hashable column
+    (an id column subdivides duplicate-value groups; the filter is still a
+    pure function of row values, so still partition-independent and
+    replayable), sized by the measured overshoot. Rows identical in every
+    hashable column — nothing left to subdivide by — are collapsed with a
+    distinct on those columns as the final backstop: exact duplicates add
+    nothing to a KMeans fit. The extra counts run only on this guarded
+    path, and the result the CALLER caches is what is bounded — the guard
+    exists precisely so no unbounded frame is ever materialized."""
     cap = _KMEANS_TRAIN_CAP if cap is None else cap
     if df.limit(cap + 1).count() <= cap:
         return df
     n = df.count()
     mod = -(-n // cap)  # ceil(n / cap)
-    return df.where(F.pmod(F.xxhash64(F.col(hash_col)), F.lit(mod)) == 0)
+    kept = df.where(F.pmod(F.xxhash64(F.col(hash_col)), F.lit(mod)) == 0)
+    k = kept.count()
+    if k <= _TRAIN_OVERSHOOT * cap:
+        return kept
+    hashables = _hashable_cols(df)
+    sub = -(-k // cap)  # ceil(k / cap): tighten by the measured overshoot
+    kept = kept.where(
+        F.pmod(F.xxhash64(*[F.col(c) for c in hashables]), F.lit(sub)) == 0
+    )
+    probe = _TRAIN_OVERSHOOT * cap
+    if kept.limit(probe + 1).count() <= probe:
+        return kept
+    # only fully-identical-row mass can still overshoot (the full-row hash
+    # spreads distinct rows uniformly); among such rows the non-hashable
+    # columns are derived from hashable ones, so any surviving row is the
+    # same row — dropDuplicates stays deterministic here
+    return kept.dropDuplicates(hashables)
 
 
 def ivf_index(
@@ -656,8 +711,10 @@ def ivf_index(
         k=n_centroids, seed=seed, maxIter=10,
         featuresCol="_vec", predictionCol="centroid_id",
     )
-    # cache the sample before fitting: it is <= cap rows (bounded memory by
-    # design), and an uncached training frame makes EVERY KMeans iteration
+    # cache the sample before fitting: it is ~cap rows — at most
+    # _TRAIN_OVERSHOOT x cap even on duplicate-heavy corpora, by the
+    # full-row-hash tighten + distinct backstop in _train_frame (ADVICE
+    # r10) — and an uncached training frame makes EVERY KMeans iteration
     # rescan the corpus and re-apply the hash filter — measured 22.0 s vs
     # 9.5 s at 20k vectors before this materialization. With it, only the
     # sample-building pass scans the corpus; iterations read ~cap cached rows.
@@ -816,9 +873,11 @@ def pq_encode(
     # ~_KMEANS_TRAIN_CAP rows of the cached frame, never the full corpus —
     # only the encode joins below touch every row.
     base.count()
-    # the sample is its own cached frame (<= cap rows): each of the m fits
-    # runs ~10 iterations, and filtering the corpus-sized cached base per
-    # iteration per fit is strictly worse than one bounded materialization
+    # the sample is its own cached frame (~cap rows, <= _TRAIN_OVERSHOOT x
+    # cap even on duplicate-heavy corpora — ADVICE r10 guard): each of the
+    # m fits runs ~10 iterations, and filtering the corpus-sized cached base
+    # per iteration per fit is strictly worse than one bounded
+    # materialization
     train = _train_frame(base, "_v")
     train_sampled = train is not base
     if train_sampled:
