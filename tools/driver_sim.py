@@ -85,8 +85,29 @@ for name, fn in sorted(qs.items()):
                      "err": None}
     print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} rows={n1}/{n2} {h1}/{h2}")
 print("FAILURES:", fails)
-if full_sweep and SF == "/root/testdata/sf0.01":
-    out = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT", "CORRECTNESS_FULL.json")
+if full_sweep:
+    # Artifact naming is SCALE-KEYED (VERDICT r10 #1): the default-scale
+    # sweep writes the driver-gate artifact; an OFF-scale full sweep writes
+    # its own sf-labeled standing artifact (r9's sf0.1 sweep caught a real
+    # SF-dependent one-ulp divergence the sf0.01 gate cannot see — that
+    # evidence must be a committed per-round file, not a one-off). An
+    # off-scale run refuses the default name so it can never masquerade as
+    # the sf0.01 gate.
+    at_default = SF == "/root/testdata/sf0.01"
+    if at_default:
+        out = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT", "CORRECTNESS_FULL.json")
+    else:
+        sf_tag = SF.rstrip("/").rsplit("sf", 1)[-1].replace(".", "")
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        default_name = (
+            f"CORRECTNESS_FULL_SF{sf_tag}_r{int(rnd):02d}.json"
+            if rnd
+            else f"CORRECTNESS_FULL_SF{sf_tag}.json"
+        )
+        out = os.environ.get("SPARK_GRAFT_CORRECTNESS_OUT", default_name)
+        assert os.path.basename(out) != "CORRECTNESS_FULL.json", (
+            "off-scale sweep must not write the sf0.01 driver-gate artifact"
+        )
     artifact = {
         "sf_dir": SF,
         "captured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
