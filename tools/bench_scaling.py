@@ -73,6 +73,7 @@ QUERIES = [
     "token_stats_documents",
     "quality_score_documents",
     "language_id_documents",
+    "bm25_scores_documents",
     "bigram_lm_documents",
     "pii_scrub_documents",
     "tfidf_top_terms_documents",

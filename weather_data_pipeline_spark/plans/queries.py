@@ -3477,6 +3477,125 @@ def tfidf_top_terms_documents(spark, sf_dir):
     )
 
 
+# Okapi BM25 retrieval scoring (query-relevance data selection — the
+# standard lexical ranker for "pick training documents relevant to a seed
+# query"). Fixed literal query terms: row-independent constants belong
+# driver-side (see the LSH-plane rule), and a literal IN-list reaches the
+# tokenize stage as a pushed filter for the tf counts.
+_BM25_TERMS = ("spark", "join", "window", "hash")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    """DuckDB oracle generated from the SAME term list as the Spark plan —
+    the per-doc score is an explicitly unrolled fixed-order 4-term sum so
+    both engines fold the doubles in the same order (a SUM() over a grouped
+    join would make the fold order engine-dependent and 6-dp rounding
+    boundary-unstable). Every double promotion is an explicit CAST at the
+    same point as the Spark side."""
+    tf_cols = ",\n               ".join(
+        f"COUNT(*) FILTER (WHERE word = '{t}') AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n                 ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = "\n  + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN"
+        f" ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * ({_BM25_K1} + 1.0)"
+        f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} +"
+        f" {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))) ELSE 0.0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest({_W_SQL}) AS word FROM documents),
+w2 AS (SELECT doc_id, word FROM words WHERE word <> ''),
+agg AS (SELECT doc_id, COUNT(*) AS dl,
+               {tf_cols}
+        FROM w2 GROUP BY doc_id),
+stats AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl,
+                 {df_cols}
+          FROM agg),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id,
+    {terms} AS s
+  FROM agg CROSS JOIN stats CROSS JOIN n)
+SELECT doc_id, ROUND(s, 6) + 0.0 AS bm25
+FROM scored WHERE ROUND(s, 6) + 0.0 > 0
+ORDER BY bm25 DESC, doc_id LIMIT 25
+"""
+
+
+@register("bm25_scores_documents", _bm25_sql())
+def bm25_scores_documents(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf = ln(1 + (N-df+0.5)/(df+0.5)))
+    of every document against the fixed 4-term query, top-25. 100 TB shape:
+    ONE tokenize pass feeds a single doc_id-keyed conditional aggregation
+    producing doc length AND all per-term tfs together (no tf-join-dl — one
+    exchange on the doc key, map-side combined); corpus stats (avgdl,
+    per-term df, N) reduce to 1-row frames joined back as broadcasts, so
+    scoring is a map stage. The score is a fixed left-associated 4-term
+    expression mirroring the oracle's fold order exactly; only ln() is
+    libm-dependent, hence the 6-dp emission quantization (ranking uses the
+    rounded value in BOTH engines so the LIMIT boundary is deterministic)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    # materialize once: agg feeds BOTH the corpus-stats reduction and the
+    # scoring map — left lazy, each consumer would re-run the tokenize pass
+    # (the dominant cost at scale) over the whole corpus
+    agg = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("word") == t, 1)).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint(eager=True)
+    stats = agg.agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+
+    def _term(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        dfv = F.col(f"df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfv + F.lit(0.5)) / (dfv + F.lit(0.5))
+        )
+        denom = tf + k1 * (
+            F.lit(1.0) - b + b * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return F.when(
+            F.col(f"tf{i}") > 0, idf * tf * (k1 + F.lit(1.0)) / denom
+        ).otherwise(F.lit(0.0))
+
+    # left-associated fold in term order — mirrors the oracle's '+' chain
+    score = _term(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + _term(i)
+    return (
+        agg.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", (F.round(score, 6) + F.lit(0.0)).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(25)
+    )
+
+
 @register(
     "cumulative_distinct_users_events",
     ev_sql("""
