@@ -383,7 +383,7 @@ _FAMILY_RULES: list[tuple[str, str]] = [
     (r"(_embeddings$|^label_centroids|^nearest_centroid|^embedding_norm|"
      r"^embedding_outliers)",
      "similarity"),
-    (r"(token|bpe|bm25|language_id|quality_score|word_counts|tfidf|pmi|oov|pii_scrub|"
+    (r"(token|bpe|bm25|rrf|language_id|quality_score|word_counts|tfidf|pmi|oov|pii_scrub|"
      r"unigram|bigram|repetition|string_funcs|ngram_novelty|zipf|"
      r"char_entropy|quality_rules|heldout_lm)", "text"),
     (r"(_drift_|chisq_type)", "drift_quality"),

@@ -3486,13 +3486,14 @@ _BM25_TERMS = ("spark", "join", "window", "hash")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _bm25_sql() -> str:
-    """DuckDB oracle generated from the SAME term list as the Spark plan —
-    the per-doc score is an explicitly unrolled fixed-order 4-term sum so
-    both engines fold the doubles in the same order (a SUM() over a grouped
-    join would make the fold order engine-dependent and 6-dp rounding
-    boundary-unstable). Every double promotion is an explicit CAST at the
-    same point as the Spark side."""
+def _bm25_ctes() -> str:
+    """Shared oracle CTE chain (tokenize → per-doc dl+tf agg → corpus stats
+    → fixed-fold-order BM25 score), generated from the SAME term list as
+    the Spark plan — the per-doc score is an explicitly unrolled fixed-order
+    4-term sum so both engines fold the doubles in the same order (a SUM()
+    over a grouped join would make the fold order engine-dependent and 6-dp
+    rounding boundary-unstable). Every double promotion is an explicit CAST
+    at the same point as the Spark side."""
     tf_cols = ",\n               ".join(
         f"COUNT(*) FILTER (WHERE word = '{t}') AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -3510,8 +3511,7 @@ def _bm25_sql() -> str:
         f" {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))) ELSE 0.0 END)"
         for i in range(len(_BM25_TERMS))
     )
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT doc_id, unnest({_W_SQL}) AS word FROM documents),
 w2 AS (SELECT doc_id, word FROM words WHERE word <> ''),
 agg AS (SELECT doc_id, COUNT(*) AS dl,
@@ -3524,25 +3524,23 @@ n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id,
     {terms} AS s
-  FROM agg CROSS JOIN stats CROSS JOIN n)
-SELECT doc_id, ROUND(s, 6) + 0.0 AS bm25
-FROM scored WHERE ROUND(s, 6) + 0.0 > 0
+  FROM agg CROSS JOIN stats CROSS JOIN n),
+bm25s AS (SELECT doc_id, ROUND(s, 6) + 0.0 AS bm25
+          FROM scored WHERE ROUND(s, 6) + 0.0 > 0)"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {_bm25_ctes()}
+SELECT doc_id, bm25 FROM bm25s
 ORDER BY bm25 DESC, doc_id LIMIT 25
 """
 
 
-@register("bm25_scores_documents", _bm25_sql())
-def bm25_scores_documents(spark, sf_dir):
-    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf = ln(1 + (N-df+0.5)/(df+0.5)))
-    of every document against the fixed 4-term query, top-25. 100 TB shape:
-    ONE tokenize pass feeds a single doc_id-keyed conditional aggregation
-    producing doc length AND all per-term tfs together (no tf-join-dl — one
-    exchange on the doc key, map-side combined); corpus stats (avgdl,
-    per-term df, N) reduce to 1-row frames joined back as broadcasts, so
-    scoring is a map stage. The score is a fixed left-associated 4-term
-    expression mirroring the oracle's fold order exactly; only ln() is
-    libm-dependent, hence the 6-dp emission quantization (ranking uses the
-    rounded value in BOTH engines so the LIMIT boundary is deterministic)."""
+def _bm25_frame(spark, sf_dir) -> DataFrame:
+    """BM25 score (6-dp quantized, > 0) of every document vs _BM25_TERMS —
+    the shared scoring frame behind `bm25_scores_documents` and the RRF
+    fusion. See bm25_scores_documents for the scale shape."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = d.select(
         "doc_id",
@@ -3591,8 +3589,127 @@ def bm25_scores_documents(spark, sf_dir):
         .crossJoin(F.broadcast(n))
         .select("doc_id", (F.round(score, 6) + F.lit(0.0)).alias("bm25"))
         .where(F.col("bm25") > 0)
+    )
+
+
+@register("bm25_scores_documents", _bm25_sql())
+def bm25_scores_documents(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf = ln(1 + (N-df+0.5)/(df+0.5)))
+    of every document against the fixed 4-term query, top-25. 100 TB shape:
+    ONE tokenize pass feeds a single doc_id-keyed conditional aggregation
+    producing doc length AND all per-term tfs together (no tf-join-dl — one
+    exchange on the doc key, map-side combined); corpus stats (avgdl,
+    per-term df, N) reduce to 1-row frames joined back as broadcasts, so
+    scoring is a map stage. The score is a fixed left-associated 4-term
+    expression mirroring the oracle's fold order exactly; only ln() is
+    libm-dependent, hence the 6-dp emission quantization (ranking uses the
+    rounded value in BOTH engines so the LIMIT boundary is deterministic)."""
+    return (
+        _bm25_frame(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(25)
+    )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 50  # per-ranker candidate depth feeding the fusion
+
+
+def _rrf_sql() -> str:
+    k, depth = _RRF_K, _RRF_DEPTH
+    return f"""
+WITH {_bm25_ctes()},
+lexall AS (SELECT doc_id, bm25,
+                  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                    AS lex_rank
+           FROM bm25s WHERE doc_id <> 0),
+lex AS (SELECT doc_id, lex_rank FROM lexall WHERE lex_rank <= {depth}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id = 0),
+pairs AS (SELECT e.vec_id AS neighbor_id, q.qv, e.embedding AS nv
+          FROM q, embeddings e WHERE e.vec_id != q.query_id),
+dots AS (
+  SELECT neighbor_id,
+         {_DOT_SQL.format(a='qv', b='nv')} AS dot,
+         {_DOT_SQL.format(a='qv', b='qv')} AS nq,
+         {_DOT_SQL.format(a='nv', b='nv')} AS nn
+  FROM pairs, range(1, 65) i(i) GROUP BY 1),
+semall AS (SELECT neighbor_id AS doc_id,
+                  CAST(row_number() OVER (
+                    ORDER BY dot / (sqrt(nq) * sqrt(nn)) DESC, neighbor_id
+                  ) AS INT) AS sem_rank
+           FROM dots),
+sem AS (SELECT doc_id, sem_rank FROM semall WHERE sem_rank <= {depth}),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, 0) AS lex_rank,
+         COALESCE(s.sem_rank, 0) AS sem_rank,
+         (CASE WHEN l.lex_rank IS NOT NULL
+               THEN 1.0 / ({k} + l.lex_rank) ELSE 0.0 END)
+       + (CASE WHEN s.sem_rank IS NOT NULL
+               THEN 1.0 / ({k} + s.sem_rank) ELSE 0.0 END) AS rrf_score
+  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
+SELECT doc_id, lex_rank, sem_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+@register("rrf_hybrid_topk_documents", _rrf_sql())
+def rrf_hybrid_topk_documents(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the lexical BM25
+    ranking and the semantic cosine ranking against the same seed (doc 0 /
+    its embedding — the tables are row-aligned by id), the standard way a
+    curation pipeline combines keyword and embedding evidence. Scale shape:
+    each ranker reduces to a bounded top-`_RRF_DEPTH` list FIRST —
+    TakeOrderedAndProject for BM25 (distributed top-k, no global-window
+    sort of the corpus) and the per-query top-k of cosine_topk — so the
+    rank assignment and the full-outer fusion run on <= 2x depth rows.
+    Fusion scores are reciprocals of INTEGER ranks (1/(60+r), fixed
+    two-term fold): bit-deterministic IEEE doubles in both engines, so the
+    emission needs no quantization; component rank parity is already
+    proven by the bm25/cosine oracles at every SF."""
+    from pyspark.sql import Window
+
+    lex_top = (
+        _bm25_frame(spark, sf_dir)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    # row_number over the ALREADY-bounded 50-row frame (empty OVER () is a
+    # single partition of <= depth rows, not a corpus sort)
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    sem = (
+        S.cosine_topk(
+            _t(spark, sf_dir, "embeddings"), [0], k=_RRF_DEPTH
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = (
+        F.when(
+            F.col("lex_rank").isNotNull(),
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("sem_rank").isNotNull(),
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0)).alias("sem_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(20)
     )
 
 
