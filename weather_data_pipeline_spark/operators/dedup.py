@@ -179,15 +179,28 @@ def jaccard_pairs(
         F.lit(threshold)
         * F.greatest(F.col("a.n_toks"), F.col("b.n_toks")).cast("double")
     )
-    # candidates stay dup-heavy here (one row per shared prefix token);
-    # dedup happens AFTER the jaccard filter where the frame is far smaller
-    cand = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.tok") == F.col("b.tok"))
-        & (F.col("a.fp") < F.col("b.fp"))
-        & ratio_ok,
-    ).select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+    # one candidate row per SHARED prefix token — dedup to unique (fp_a,
+    # fp_b) pairs BEFORE the exact verification, not after: measured at
+    # sf0.1 the raw candidate stream is 9.39M rows vs 1.49M unique pairs
+    # (6.3×), and every duplicate row was paying the two lookup joins plus
+    # the full array_intersect. distinct's map-side partial dedup keeps the
+    # exchange far below the raw stream; the verify then runs once per pair.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.fp") < F.col("b.fp"))
+            & ratio_ok,
+        )
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+        # AQE would coalesce the deduped exchange toward the advisory size
+        # and run the per-pair array_intersect on a handful of tasks — the
+        # same fan-in hazard as the prefix index above; explicit repartition
+        # is never coalesced
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
     # exact verification: |A ∩ B| over the full token arrays; the unique-set
     # table is tiny relative to the candidate stream -> broadcast both side
     # lookups so verification is map-side (no candidate shuffle at all)
@@ -219,11 +232,12 @@ def jaccard_pairs(
     jac = F.col("n_common").cast("double") / (
         (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
     )
+    # candidates are already unique pairs, so the post-filter frame needs no
+    # second distinct
     qualifying = (
         verified.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("fp_a", "fp_b", "n_common", "jaccard")
-        .distinct()
     )
     # (4) expand set pairs back to doc pairs (disjoint id lists; orient by id)
     cross = (

@@ -4597,19 +4597,27 @@ def nearest_centroid_confusion(spark, sf_dir):
     # Nearest-class-mean classification confusion matrix: the cheap sanity
     # check that label structure survives in embedding space (and the assign
     # step of IVF/k-means). Centroids are computed once (exact decimal means,
-    # same formula as label_centroids) and BROADCAST — 640 tiny rows — so the
-    # big vector table is never shuffled for the distance computation; the
-    # per-(vec,candidate) squared distances partial-combine map-side and the
-    # argmin window runs on 10 aggregated rows per vector. Exact decimal
-    # accumulation makes the argmin order-independent, so the confusion
-    # counts are deterministic across partitionings.
-    e = _t(spark, sf_dir, "embeddings").select(
+    # same formula as label_centroids) and COLLECTED — n_labels × 64 values,
+    # bounded by the label space — then embedded as per-label array literals,
+    # so the assignment pass is pure map-side array algebra: per row, one
+    # decimal-exact fold per candidate label and an array_min over
+    # (dist2, label) structs. Identical arithmetic to the former
+    # posexplode → broadcast-join → groupBy → window shape (each squared
+    # difference double-multiplied then cast decimal(30,15), summed exactly,
+    # ties by label), with the 64× row explosion, the ×n_labels join blowup,
+    # the big hash aggregation and the per-vector window all removed — the
+    # only shuffle left is the tiny confusion-count aggregation. The
+    # centroid sub-aggregation runs eagerly at construction (the same
+    # constructs-with-actions pattern as the IVF family); both passes scan
+    # the vector table exactly as before (the old single plan also computed
+    # the exploded frame twice — once under the broadcast subtree).
+    e = _spread_scan(spark, _t(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
     ex = e.select("vec_id", "label", F.posexplode("v").alias("pos0", "val"))
-    cent = (
+    cent_rows = (
         ex.groupBy(
             F.col("label").alias("c_label"),
             (F.col("pos0") + 1).alias("pos"),
@@ -4620,28 +4628,52 @@ def nearest_centroid_confusion(spark, sf_dir):
                 / F.count(F.lit(1))
             ).alias("centroid")
         )
+        .collect()
     )
-    dist = (
-        ex.select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val")
-        .join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "c_label")
-        .agg(
-            F.sum(
-                ((F.col("val") - F.col("centroid")) * (F.col("val") - F.col("centroid")))
-                .cast("decimal(30,15)")
-            )
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "true_label int, assigned_label int, n bigint"
+        )
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r.c_label, {})[r.pos] = r.centroid
+    labels = sorted(by_label)
+    # one SUM(CAST(.. AS DECIMAL(30,15))) per candidate label in a SINGLE
+    # groupBy(vec_id) pass — the per-element double subtract/multiply, the
+    # decimal(30,15) cast and the exact decimal SUM are the former plan's
+    # arithmetic bit for bit (a fold could not be: Spark's binary decimal
+    # `+` promotion caps at precision 38 and drops the 15th fractional
+    # digit, where SUM's internal buffer keeps it), so dist2, the argmin
+    # (struct min over (double dist2, label)) and the confusion counts are
+    # unchanged
+    aggs = []
+    for i, lbl in enumerate(labels):
+        # F.lit(list) — a FOLDABLE array literal; F.array(*lits) would
+        # rebuild the 64-element array per evaluated row
+        cent_arr = F.lit(
+            [float(by_label[lbl][p]) for p in range(1, len(by_label[lbl]) + 1)]
+        )
+        cterm = F.element_at(cent_arr, (F.col("pos0") + 1).cast("int"))
+        diff = F.col("val") - cterm
+        aggs.append(
+            F.sum((diff * diff).cast("decimal(30,15)"))
             .cast("double")
-            .alias("dist2")
+            .alias(f"_d{i}")
         )
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    per_vec = ex.groupBy("vec_id", "label").agg(*aggs)
+    # the former plan compared dist2 AFTER its cast to double (ties then
+    # broken by label) — compare the double here too
+    cands = [
+        F.struct(F.col(f"_d{i}").alias("d"), F.lit(int(lbl)).alias("l"))
+        for i, lbl in enumerate(labels)
+    ]
+    assigned = F.array_min(F.array(*cands)).getField("l")
     return (
-        dist.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy(
+        per_vec.select(
             F.col("label").alias("true_label"),
-            F.col("c_label").alias("assigned_label"),
+            assigned.alias("assigned_label"),
         )
+        .groupBy("true_label", "assigned_label")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_label", "assigned_label")
     )
@@ -6974,14 +7006,27 @@ def winnowing_containment_documents(spark, sf_dir):
     # sharpens the signal and bounds the inverted-index join fanout.
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # NO size(fps)>0 filter, and explode_OUTER + a post-generate null drop
+    # instead of explode: a plain explode lets InferFiltersFromGenerate add
+    # `size(fps) > 0` above the generator, and filter pushdown then sinks
+    # that predicate BELOW the repartition exchange — re-evaluating the
+    # whole winnowing HOF chain per row on the single-split scan (one task
+    # paying ~5-6 s at sf0.1 while 31 cores idled, on top of the spread
+    # stage computing the same fingerprints again; SQL-tab metrics:
+    # WholeStageCodegen(1) 5.4 s scan-side vs 1.1 s/task post-spread). An
+    # outer generator admits no inferred filter, so the HOF runs exactly
+    # once, post-spread; the isNotNull drop reproduces plain-explode
+    # semantics (empty fingerprint sets emit nothing).
     fps = docs.select(
         "doc_id", X.winnowing_fingerprints(F.col("text")).alias("fps")
-    ).where(F.size("fps") > 0)
+    )
     # materialize the exploded fingerprints ONCE: ex0 feeds the df census
     # AND the keep-join, and ex feeds sizes plus both self-join legs — left
     # lazy, the expensive winnowing computation re-executes per consumer
-    ex0 = fps.select("doc_id", F.explode("fps").alias("fp")).localCheckpoint(
-        eager=True
+    ex0 = (
+        fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .localCheckpoint(eager=True)
     )
     # MOSS-style boilerplate suppression: a fingerprint shared by >50
     # documents is template noise, not evidence of containment — and every
