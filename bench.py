@@ -411,6 +411,11 @@ def family(name: str) -> str:
 # 5.67 s first draw vs 0.06 s warm re-draw), so these are exempt from the
 # outlier re-measurement pass, same as ml_train.
 SESSION_CACHED = {
+    # ann_ivf/ivf_pq_adc share the session's ONE coarse quantizer fit
+    # (similarity._coarse_model, r11): a warm re-draw would skip the ~1.8 s
+    # training the single-shot reading honestly includes
+    "ann_ivf_topk_embeddings",
+    "ivf_pq_adc_topk_embeddings",
     "shingle_jaccard_pairs_documents",
     "neardup_components_documents",
     "dedup_keep_list_documents",

@@ -208,7 +208,9 @@ def train_regressors(
     test: DataFrame,
     cols: list[str] | None = None,
     fast: bool = False,
-    parallelism: int = 3,
+    parallelism: int = 5,  # = suite size: all fits in one wave (r11 A/B:
+    # 6.5 s -> 5.7 s warm at sf0.1, metrics bit-identical — each fit is
+    # seeded and reads the same cached frames regardless of thread count)
 ) -> list[TrainedModel]:
     """M5+M6: fit the suite, metric each on train and test.
 

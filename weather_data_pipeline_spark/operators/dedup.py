@@ -432,7 +432,41 @@ def simhash_near_dup_pairs(
     base = df.select(F.col(id_col).alias("id"), text_col).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    sims = base.select("id", simhash_expr(F.col(text_col), bits).alias("sh"))
+    # Fingerprints via explode + codegen'd bit-count sums rather than the
+    # scalar simhash_expr (r11): the expression form runs `bits` interpreted
+    # HOF aggregates per row — 32 × |token set| lambda evaluations per doc,
+    # ~32M for this corpus — while this shape hashes each token ONCE and
+    # computes the 32 per-bit counts as whole-stage-codegen conditional
+    # sums. Identical values: bit j's vote (+1 per set bit, −1 per clear)
+    # is positive iff 2·cnt_j > n over the SAME distinct-token hash set,
+    # all in exact integer arithmetic; docs with an empty token set
+    # (dropped by the explode) re-enter with simhash 0, exactly what the
+    # fold over an empty array produced. Cost: one extra doc-key shuffle of
+    # 33 pre-aggregated longs per doc — dimension-cardinality, scales.
+    hs = base.select(
+        "id",
+        F.explode(
+            F.transform(distinct_token_set(F.col(text_col)), portable_token_hash)
+        ).alias("h"),
+    )
+    cnts = hs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"_c{j}")
+            for j in range(bits)
+        ],
+    )
+    sh_expr = None
+    for j in range(bits):
+        term = F.when(
+            F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(2**j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sh_expr = term if sh_expr is None else sh_expr + term
+    sims = (
+        base.select("id")
+        .join(cnts.select("id", sh_expr.alias("sh")), "id", "left")
+        .select("id", F.coalesce("sh", F.lit(0).cast("bigint")).alias("sh"))
+    )
     bands = sims.select(
         "id",
         "sh",

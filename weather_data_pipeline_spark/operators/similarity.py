@@ -673,11 +673,80 @@ def _train_frame(df: DataFrame, hash_col: str, cap: int | None = None) -> DataFr
     return kept.dropDuplicates(hashables)
 
 
+# One fitted coarse quantizer per (applicationId, cache_tag, params) —
+# the ann_ivf_topk and ivf_pq_adc_topk registry queries train the IDENTICAL
+# seeded coarse KMeans (k=16, seed=42, maxIter=10 over the same corpus
+# projection), and one fit costs ~1.8 s WARM at sf0.1 — latency-bound MLlib
+# iteration jobs, not data volume. Session-scoped sharing follows the
+# _trained_suite precedent in plans/queries.py: the first consumer pays the
+# fit (the bench lists both consumers in SESSION_CACHED so a warm re-draw
+# can't masquerade as training-free), later consumers ride it. Single entry
+# (cleared on key change) so dead sessions'/other corpora's JVM-backed
+# models are never pinned — same bound rationale as the ML caches
+# (ADVICE r02). cache_tag=None (library callers, tests) bypasses entirely.
+_COARSE_MODEL_CACHE: dict = {}
+_COARSE_MODEL_LOCK = threading.Lock()
+
+
+def _coarse_model(
+    emb: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    cache_tag=None,
+):
+    """Fit (or fetch the session's) coarse IVF quantizer. The training
+    recipe is EXACTLY ivf_index's historical one — same filtered frame, same
+    _train_frame(vec_col) sample, same guards — so a cached model is
+    bit-identical to what a fresh per-query fit would produce."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    key = None
+    if cache_tag is not None:
+        key = (
+            emb.sparkSession.sparkContext.applicationId,
+            cache_tag,
+            vec_col,
+            n_centroids,
+            seed,
+        )
+        with _COARSE_MODEL_LOCK:
+            if _COARSE_MODEL_CACHE.get("key") == key:
+                return _COARSE_MODEL_CACHE["model"]
+    emb = emb.where(F.col(vec_col).isNotNull())
+    with_vec = emb.withColumn(
+        "_vec", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    # floor/cap exactly as before: probe reads at most n_centroids rows
+    n_fit = max(2, min(n_centroids, with_vec.limit(n_centroids).count()))
+    km = KMeans(
+        k=n_fit, seed=seed, maxIter=10,
+        featuresCol="_vec", predictionCol="centroid_id",
+    )
+    train = _train_frame(with_vec, vec_col)
+    sampled = train is not with_vec
+    if sampled:
+        train = train.cache()
+        if train.count() < n_fit:
+            train.unpersist()
+            train, sampled = with_vec, False
+    model = km.fit(train)
+    if sampled:
+        train.unpersist()
+    if key is not None:
+        with _COARSE_MODEL_LOCK:
+            _COARSE_MODEL_CACHE["key"] = key
+            _COARSE_MODEL_CACHE["model"] = model
+    return model
+
+
 def ivf_index(
     emb: DataFrame,
     n_centroids: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    cache_tag=None,
 ):
     """Build an IVF index: KMeans centroids (seeded → replayable) + corpus
     assignment to its nearest centroid. Returns (assigned_df, kmeans_model).
@@ -690,48 +759,17 @@ def ivf_index(
     raises from the fit. Every registry caller filters/guards < 2 rows
     before reaching here (the degenerate-input sweep pins this); an index
     over < 2 vectors has no meaningful codebook to return anyway."""
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    # NULL vectors can't train or be assigned to a codebook — drop at entry
+    # NULL vectors can't train or be assigned to a codebook — drop at entry.
+    # Training (sample-bounded, cached, degenerate-guarded — see
+    # _coarse_model) is delegated so the fitted model can be shared across
+    # the session's quantizer queries; maxIter=10 rationale and the ~cap
+    # sample materialization argument (measured 22.0 s vs 9.5 s at 20k
+    # vectors) live there too.
     emb = emb.where(F.col(vec_col).isNotNull())
     with_vec = emb.withColumn("_vec", array_to_vector(F.col(vec_col).cast("array<double>")))
-    # a codebook can't have more centers than the corpus has rows: KMeans
-    # init throws on k > n, and its param validator requires k >= 2 — so the
-    # floor is 2 and CALLERS must handle corpora of < 2 rows themselves
-    # (registry-wide degenerate-input contract). The probe reads at most
-    # n_centroids rows — not a corpus scan.
-    n_centroids = max(2, min(n_centroids, with_vec.limit(n_centroids).count()))
-    # maxIter=10: codebook/centroid quality plateaus well before the default
-    # 20 on this data (recall/distortion gates unchanged) at half the cost.
-    # Training input is SAMPLE-BOUNDED (~_KMEANS_TRAIN_CAP rows, hash-
-    # deterministic): quantizer training is O(cap) regardless of corpus
-    # size; only the assignment transform below scans the full corpus.
-    km = KMeans(
-        k=n_centroids, seed=seed, maxIter=10,
-        featuresCol="_vec", predictionCol="centroid_id",
-    )
-    # cache the sample before fitting: it is ~cap rows — at most
-    # _TRAIN_OVERSHOOT x cap even on duplicate-heavy corpora, by the
-    # full-row-hash tighten + distinct backstop in _train_frame (ADVICE
-    # r10) — and an uncached training frame makes EVERY KMeans iteration
-    # rescan the corpus and re-apply the hash filter — measured 22.0 s vs
-    # 9.5 s at 20k vectors before this materialization. With it, only the
-    # sample-building pass scans the corpus; iterations read ~cap cached rows.
-    train = _train_frame(with_vec, vec_col)
-    sampled = train is not with_vec
-    if sampled:
-        train = train.cache()
-        # degenerate-sample guard: the hash keeps whole duplicate-value
-        # groups or none, so a duplicate-heavy corpus can sample to fewer
-        # rows than k (or zero) — KMeans would throw / degrade; train on
-        # the full frame instead (the count doubles as the cache populator)
-        if train.count() < n_centroids:
-            train.unpersist()
-            train, sampled = with_vec, False
-    model = km.fit(train)
-    if sampled:
-        train.unpersist()
+    model = _coarse_model(emb, vec_col, n_centroids, seed, cache_tag=cache_tag)
     assigned = model.transform(with_vec).drop("_vec")
     _ = vector_to_array  # imported for callers building centroid frames
     return assigned, model
@@ -745,6 +783,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_tag=None,
 ) -> DataFrame:
     """IVF ANN: score each query only against corpus vectors in its `nprobe`
     nearest centroid cells — candidates shrink ~n_centroids/nprobe-fold vs
@@ -759,7 +798,7 @@ def ivf_topk(
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, rank int"
         )
-    assigned, model = ivf_index(emb, n_centroids, vec_col)
+    assigned, model = ivf_index(emb, n_centroids, vec_col, cache_tag=cache_tag)
     centers = np.array(model.clusterCenters())
 
     q = assigned.where(F.col(id_col).isin(query_ids)).select(
@@ -953,6 +992,7 @@ def ivf_pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    cache_tag=None,
 ) -> DataFrame:
     """IVF + PQ asymmetric-distance (ADC) search — the billion-scale ANN
     query layout: the coarse quantizer prunes to `nprobe` cells, candidates
@@ -1029,14 +1069,18 @@ def ivf_pq_adc_topk(
             train, train_sampled = base, False
     from concurrent.futures import ThreadPoolExecutor
 
+    # The coarse quantizer is the IDENTICAL seeded fit ann_ivf_topk trains
+    # (same k/seed/maxIter/feature recipe) — fetch it from the session's
+    # coarse-model share (_coarse_model; ~1.8 s/fit warm at sf0.1) instead
+    # of refitting per query. At or under the training cap the shared
+    # recipe trains on exactly the same rows this function's own fit did,
+    # so the model (and every downstream code/assignment) is unchanged;
+    # past the cap the kept sample follows _coarse_model's canonical
+    # hash-on-vec recipe rather than this frame's hash-on-_v one — a
+    # training-sample detail of a rows-only, recall-gated surface, pinned
+    # by the recall floors in tests.
     def _fit_ivf():
-        return KMeans(
-            k=n_centroids,
-            seed=seed,
-            maxIter=10,
-            featuresCol="_vec",
-            predictionCol="centroid_id",
-        ).fit(train)
+        return _coarse_model(emb, vec_col, n_centroids, seed, cache_tag=cache_tag)
 
     def _fit_pq(j: int):
         return KMeans(

@@ -1385,30 +1385,64 @@ GROUP BY m.fold ORDER BY m.fold
 )
 def walk_forward_fold_bounds(spark, sf_dir):
     # M4 expanding-window CV (reference weather_predictor.py:107-172): per
-    # fold, train row count/test row count and the no-leakage boundary
+    # fold, train row count/test row count and the no-leakage boundary.
+    # The former shape built 5 (train, test) fold frames and aggregated each
+    # side — 10 subtrees that EACH recomputed the global row_number sort
+    # over the events table (measured 1.5 s at sf0.1 for a 5-row answer).
+    # The fold boundaries are pure arithmetic in the total row count
+    # (test_size = n//6, t_start_i = test_size*i + n%6 + 1), the row counts
+    # per fold follow from the boundaries alone, and because _pos orders by
+    # (ts, event_id), max_train_ts / min_test_ts are simply the ts values AT
+    # ranks t_start-1 / t_start — so one count + ONE windowed pass that
+    # keeps only the <=10 boundary ranks replaces all ten aggregations.
+    # The <=10-row collect is bounded by construction (2 rows per fold),
+    # same policy as the CMS top-10 collect. Values are identical: counts
+    # are exact integers either way, and the boundary timestamps round-trip
+    # through the UTC-pinned session unchanged.
     ev = _t(spark, sf_dir, "events").select("ts", "event_id")
-    folds = SP.walk_forward_folds(ev, "ts", n_splits=5, tiebreak="event_id")
-    parts = []
-    for i, (train, test) in enumerate(folds, start=1):
-        tr = train.agg(
-            F.count(F.lit(1)).alias("train_rows"), F.max("ts").alias("max_train_ts")
+    n_splits = 5
+    n = ev.count()
+    schema = (
+        "fold int, train_rows long, test_rows long, "
+        "max_train_ts timestamp, min_test_ts timestamp"
+    )
+    if n == 0:
+        # parity with the former fold-frame shape: ungrouped aggregations
+        # over empty folds still emitted one all-null/zero row per fold
+        return spark.createDataFrame(
+            [(i, 0, 0, None, None) for i in range(1, n_splits + 1)], schema
+        ).orderBy("fold")
+    size = n // (n_splits + 1)
+    rem = n % (n_splits + 1)
+    bounds = []
+    ranks: set[int] = set()
+    for i in range(1, n_splits + 1):
+        t_start = size * i + rem + 1
+        t_end = t_start + size - 1
+        bounds.append((i, t_start, t_end))
+        if t_start > 1:
+            ranks.add(t_start - 1)
+        if t_end >= t_start:  # non-empty test window
+            ranks.add(t_start)
+    w = Window.orderBy("ts", "event_id")
+    ts_at = {
+        r["_pos"]: r["ts"]
+        for r in ev.withColumn("_pos", F.row_number().over(w))
+        .where(F.col("_pos").isin(sorted(ranks)))
+        .select("_pos", "ts")
+        .collect()
+    }
+    rows = [
+        (
+            i,
+            t_start - 1,
+            max(0, t_end - t_start + 1),
+            ts_at.get(t_start - 1),
+            ts_at.get(t_start) if t_end >= t_start else None,
         )
-        te = test.agg(
-            F.count(F.lit(1)).alias("test_rows"), F.min("ts").alias("min_test_ts")
-        )
-        parts.append(
-            tr.crossJoin(te).select(
-                F.lit(i).alias("fold"),
-                "train_rows",
-                "test_rows",
-                "max_train_ts",
-                "min_test_ts",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("fold")
+        for i, t_start, t_end in bounds
+    ]
+    return spark.createDataFrame(rows, schema).orderBy("fold")
 
 
 @register(
@@ -2496,8 +2530,13 @@ def json_props_stats_events(spark, sf_dir):
 @register("ann_ivf_topk_embeddings", None)  # rows-only: recall<1 by design
 def ann_ivf_topk_embeddings(spark, sf_dir):
     # IVF ANN: seeded-KMeans centroid cells, nprobe nearest cells per query,
-    # exact cosine re-rank inside the probed cells only
-    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5)
+    # exact cosine re-rank inside the probed cells only. cache_tag shares
+    # the session's ONE coarse quantizer with ivf_pq_adc_topk (identical
+    # seeded fit — similarity._coarse_model; first consumer pays it, and
+    # bench.py lists both consumers in SESSION_CACHED)
+    return S.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=5, cache_tag=sf_dir
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6521,6 +6560,7 @@ def ivf_pq_adc_topk_embeddings(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         query_ids=[1, 2, 3, 4, 5],
         k=5,
+        cache_tag=sf_dir,
     )
 
 
