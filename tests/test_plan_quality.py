@@ -298,12 +298,16 @@ def test_int8_quantize_stays_map_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
-    # the 640-row centroid table broadcasts; the vector side is never
-    # shuffled for the distance computation, and distances partial-combine
+def test_nearest_centroid_assignment_is_map_side(spark, sf_dir):
+    # r11: the centroids are collected (n_labels x 64 values, bounded) and
+    # embedded as foldable array literals, so the assignment pass needs NO
+    # join of any kind and no per-vector window — the former broadcast-join
+    # + 64x posexplode + row_number shape is gone; the only shuffle left is
+    # the tiny confusion-count aggregation
     df = REGISTRY["nearest_centroid_confusion"].spark(spark, sf_dir)
     plan = plan_of(df)
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
     assert "SortMergeJoin" not in plan
 
 

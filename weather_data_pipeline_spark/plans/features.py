@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions import scalar
 from ..operators import encoding as E
 from ..operators import windows as W
+from . import feature_exprs_sql as FSQL
 
 LAG_COLS = ["temperature", "humidity", "pressure", "wind_speed"]
 LAGS = (1, 3, 6, 12, 24)
@@ -74,16 +75,28 @@ def handle_missing_values(df: DataFrame) -> DataFrame:
     column is dropped in one pass: 5 analysis passes total where the
     sequential helper chain ran ~9 (see _repaired_features on why passes,
     not expressions, dominate construction latency)."""
-    w = weather_window()
-    out = df.withColumn("_rn", F.row_number().over(w))
-    out = out.withColumns(
-        W.ffill_limited_exprs(w, FFILL_COLS, "_rn", limit=3, suffix="_ff")
+    # SQL-string twins (feature_exprs_sql): same analyzed expressions as
+    # W.ffill_limited_exprs / W.interpolate_linear_exprs at ~one py4j round
+    # trip per column instead of dozens (r11 — construction latency, see
+    # the twin module's docstring; parity is test-pinned)
+    out = df.withColumn(
+        "_rn", F.expr(f"row_number() OVER ({FSQL.OVER_W})")
     )
     out = out.withColumns(
-        W.interpolate_linear_exprs(
-            ["city"], ["timestamp"], [f"{c}_ff" for c in FFILL_COLS], "_rn",
-            suffix="_i",
-        )
+        {
+            k: F.expr(v)
+            for k, v in FSQL.ffill_limited_sql(
+                FFILL_COLS, "_rn", limit=3, suffix="_ff"
+            ).items()
+        }
+    )
+    out = out.withColumns(
+        {
+            k: F.expr(v)
+            for k, v in FSQL.interpolate_linear_sql(
+                [f"{c}_ff" for c in FFILL_COLS], "_rn", suffix="_i"
+            ).items()
+        }
     )
     out = out.withColumns(
         {
@@ -125,7 +138,10 @@ def _vocab_fit_frame(df: DataFrame) -> DataFrame:
     deterministically from timestamp, untouched by repair; repair drops no
     rows (the only row filter — null targets — runs after encoding)."""
     cols = [F.col(c) for c in ("weather_main", "weather_description") if c in df.columns]
-    cols.append(scalar.time_feature_exprs("timestamp")["time_of_day"].alias("time_of_day"))
+    # SQL twin of scalar.time_feature_exprs["time_of_day"] (parity-pinned)
+    cols.append(
+        F.expr(FSQL.time_feature_sql("timestamp")["time_of_day"]).alias("time_of_day")
+    )
     return df.select(*cols)
 
 
@@ -135,23 +151,15 @@ def add_targets(df: DataFrame, horizon: int = 24) -> DataFrame:
     Two analysis passes (lead+diff read raw columns; the category bin and
     the rain flag read pass 1 / raw) — column order matches the old
     sequential chain exactly."""
-    w = weather_window()
+    # SQL twins (feature_exprs_sql) — same two analysis passes, ~one py4j
+    # round trip per column (r11; parity test-pinned)
     out = df.withColumns(
-        {
-            "temperature_future": F.lead(F.col("temperature"), horizon).over(w),
-            "temp_change": F.col("temperature")
-            - F.lag(F.col("temperature"), 1).over(w),
-        }
+        {k: F.expr(v) for k, v in FSQL.targets_first_sql(horizon).items()}
     )
-    second = {
-        "temp_change_category": scalar.temp_change_category(F.col("temp_change"))
-    }
-    if "rain_1h" in df.columns:
-        frame = w.rowsBetween(1, horizon)
-        fwd_n = F.count(F.lit(1)).over(frame)
-        fwd_sum = F.sum(F.coalesce(F.col("rain_1h"), F.lit(0.0))).over(frame)
-        second["will_rain"] = F.when(fwd_n > 0, (fwd_sum > 0).cast("int"))
-    return out.withColumns(second)
+    second = FSQL.targets_second_sql(
+        horizon, rain_col="rain_1h" if "rain_1h" in df.columns else None
+    )
+    return out.withColumns({k: F.expr(v) for k, v in second.items()})
 
 
 def _repaired_features(df: DataFrame) -> DataFrame:
@@ -167,28 +175,32 @@ def _repaired_features(df: DataFrame) -> DataFrame:
     Construction latency is analysis passes, not expression building (r9
     measured: the sequential version spent ~1.3 s per warm construction
     here); values and column order are unchanged."""
-    w = weather_window()
-    merged: dict = {}
-    merged.update(scalar.time_feature_exprs("timestamp"))
-    merged.update(W.lag_exprs(w, LAG_COLS, LAGS))
-    merged.update(W.rolling_mean_exprs(w, LAG_COLS, ROLLING_WINDOW, exact=True))
-    merged.update(
-        W.rolling_std_exprs(w, LAG_COLS, ROLLING_WINDOW, min_periods=2, exact=True)
+    # SQL-string twins of every stage builder (feature_exprs_sql): one
+    # F.expr round trip per column instead of the Column-API's ~7.9k py4j
+    # calls per fresh-session construction (r11; parity test-pinned, and
+    # the pipeline's DuckDB oracle hash pins the composition)
+    merged_sql: dict = {}
+    merged_sql.update(FSQL.time_feature_sql("timestamp"))
+    merged_sql.update(FSQL.lag_sql(LAG_COLS, LAGS))
+    merged_sql.update(FSQL.rolling_mean_sql(LAG_COLS, ROLLING_WINDOW))
+    merged_sql.update(
+        FSQL.rolling_std_sql(LAG_COLS, ROLLING_WINDOW, min_periods=2)
     )
-    merged.update(
-        scalar.weather_index_exprs(
-            temp_max_col="temp_max" if "temp_max" in df.columns else None,
-            temp_min_col="temp_min" if "temp_min" in df.columns else None,
+    merged_sql.update(
+        FSQL.weather_index_sql(
+            temp_max="temp_max" if "temp_max" in df.columns else None,
+            temp_min="temp_min" if "temp_min" in df.columns else None,
         )
     )
-    merged["pressure_change"] = F.col("pressure") - F.lag(
-        F.col("pressure"), 1
-    ).over(w)
-    merged.update(
-        scalar.interaction_exprs(
+    merged_sql["pressure_change"] = (
+        f"pressure - lag(pressure, 1) OVER ({FSQL.OVER_W})"
+    )
+    merged_sql.update(
+        FSQL.interaction_sql(
             [(a, b) for a, b in INTERACTIONS if a in df.columns and b in df.columns]
         )
     )
+    merged = {k: F.expr(v) for k, v in merged_sql.items()}
     return handle_missing_values(df.withColumns(merged))
 
 
@@ -223,25 +235,7 @@ def events_as_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
 
     ev = load_events(spark, sf_dir)
-    return ev.select(
-        F.concat(F.lit("city_"), (F.col("user_id") % 20).cast("string")).alias("city"),
-        F.col("ts").alias("timestamp"),
-        (F.col("value") / 10.0).alias("temperature"),
-        ((F.col("user_id") * 7) % 100).cast("int").alias("humidity"),
-        (F.lit(1000) + (F.col("user_id") % 50)).cast("int").alias("pressure"),
-        (F.col("value") / 50.0).alias("wind_speed"),
-        ((F.col("user_id") * 13) % 100).cast("int").alias("cloudiness"),
-        # rare rain so the will_rain label is non-degenerate (~20% positive)
-        F.when(
-            (F.col("event_type") == "error") & (F.col("value") > 100.0),
-            F.col("value") / 100.0,
-        )
-        .otherwise(F.lit(0.0))
-        .alias("rain_1h"),
-        (F.col("value") / 10.0 + 1.0).alias("temp_max"),
-        (F.col("value") / 10.0 - 1.0).alias("temp_min"),
-        F.col("event_type").alias("weather_main"),
-        F.concat(F.col("event_type"), F.lit(" conditions")).alias(
-            "weather_description"
-        ),
-    )
+    # one selectExpr over the SQL-twin projection (rare rain_1h keeps the
+    # will_rain label non-degenerate, ~20% positive) — see
+    # feature_exprs_sql.events_as_weather_sql for the literal-typing rules
+    return ev.selectExpr(*FSQL.events_as_weather_sql())
