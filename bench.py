@@ -416,6 +416,18 @@ SESSION_CACHED = {
     # training the single-shot reading honestly includes
     "ann_ivf_topk_embeddings",
     "ivf_pq_adc_topk_embeddings",
+    # the five _lsh_edges consumers share one session-materialized MinHash-
+    # LSH candidate edge set (r11 opt); minhash_lsh_candidates_documents
+    # itself stays fresh-computing (it is in HEADLINE)
+    "triangle_stats_documents",
+    "kcore_documents",
+    "split_leakage_documents",
+    "edit_distance_pairs_documents",
+    "incremental_dedup_documents",
+    # the three BPE consumers share one session _bpe_learn induction (r11)
+    "bpe_merge_rules_documents",
+    "bpe_vocab_documents",
+    "bpe_encode_documents",
     "shingle_jaccard_pairs_documents",
     "neardup_components_documents",
     "dedup_keep_list_documents",

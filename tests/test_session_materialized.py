@@ -109,3 +109,44 @@ def test_concurrent_block_loss_validators_dont_drop_rebuild(spark, sf_dir):
     # some thread holding a frame whose blocks were freed
     for df in results:
         assert _rows(df) == want
+
+
+def test_lsh_edges_cached_equals_fresh(spark, sf_dir):
+    """The five _lsh_edges consumers (triangle/kcore/split_leakage/
+    edit_distance/incremental_dedup, r11 opt) must read the SAME
+    materialized frame, and its rows must equal a fresh run of the
+    registered candidate query they all used to recompute."""
+    cached = Q._lsh_edges(spark, sf_dir)
+    assert Q._lsh_edges(spark, sf_dir) is cached
+    fresh = (
+        Q.REGISTRY["minhash_lsh_candidates_documents"]
+        .spark(spark, sf_dir)
+        .select("id_a", "id_b")
+    )
+    assert _rows(cached) == _rows(fresh)
+
+
+def test_bpe_learn_session_share_is_build_identical(spark, sf_dir):
+    """The three BPE consumers share one session induction (r11 opt). The
+    shared (rules, rep) must be exactly what a fresh induction produces —
+    the induction is deterministic, so any divergence is a cache bug."""
+    rules, rep = Q._bpe_learn(spark, sf_dir)
+    rules2, rep2 = Q._bpe_learn(spark, sf_dir)
+    assert rep2 is rep
+    assert rules2 == rules
+    fresh_rules, fresh_rep = Q._bpe_learn_fresh(spark, sf_dir)
+    assert rules == fresh_rules
+    assert _rows(rep) == _rows(fresh_rep)
+
+
+def test_bpe_learn_survives_external_block_loss(spark, sf_dir):
+    """Same executor-loss contract as the shared frames: a dead entry must
+    be detected at lookup and rebuilt, never served unrecomputable."""
+    before_rules, before = Q._bpe_learn(spark, sf_dir)
+    before_rows = _rows(before)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in jmap.values():
+        rdd.unpersist(True)
+    after_rules, after = Q._bpe_learn(spark, sf_dir)
+    assert after_rules == before_rules
+    assert _rows(after) == before_rows

@@ -23,6 +23,8 @@ import threading
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localrel import literal_df
+
 # --- off-JVM allocation bound + stall probe (VERDICT r08 #2) ---------------
 # The block-pair matmuls were the registry's largest single off-JVM
 # allocations: a 4096x4096 float64 `sims` matrix is 134 MB PER GRID CELL,
@@ -813,7 +815,9 @@ def ivf_topk(
         for cid in np.argsort(d)[:nprobe]:
             probes.append((row.query_id, int(cid)))
     spark = emb.sparkSession
-    probe_df = spark.createDataFrame(probes, "query_id long, centroid_id int")
+    # literal plan, not a pickled-RDD scan: every action on the consuming
+    # query re-ran defaultParallelism Python-worker tasks per local frame
+    probe_df = literal_df(spark, probes, "query_id long, centroid_id int")
 
     cand = assigned.join(
         F.broadcast(probe_df), on="centroid_id"
@@ -946,7 +950,8 @@ def pq_encode(
     err_terms = []
     for j, model in enumerate(models):
         df = model.transform(df)
-        codebook = spark.createDataFrame(
+        codebook = literal_df(
+            spark,
             [
                 (int(c), [float(x) for x in center])
                 for c, center in enumerate(model.clusterCenters())
@@ -1130,8 +1135,8 @@ def ivf_pq_adc_topk(
             for c in range(len(codebooks[j])):
                 d2 = float(((codebooks[j][c] - qs) ** 2).sum())
                 luts.append((row.query_id, j, c, d2))
-    probe_df = spark.createDataFrame(probes, "query_id long, centroid_id int")
-    lut_df = spark.createDataFrame(luts, "query_id long, j int, code int, d2 double")
+    probe_df = literal_df(spark, probes, "query_id long, centroid_id int")
+    lut_df = literal_df(spark, luts, "query_id long, j int, code int, d2 double")
 
     cand = codes.join(F.broadcast(probe_df), "centroid_id").where(
         F.col(id_col) != F.col("query_id")
@@ -1153,9 +1158,10 @@ def ivf_pq_adc_topk(
 
     # exact refine: true L2 on the shortlist only (decimal accumulation —
     # order-independent, engine-portable)
-    qdf = spark.createDataFrame(
+    qdf = literal_df(
+        spark,
         [(r.query_id, [float(x) for x in r.qv]) for r in qrows],
-        f"query_id long, qv array<double>",
+        "query_id long, qv array<double>",
     )
     nv = emb.select(
         F.col(id_col).alias("neighbor_id"),

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalar
+from ..functions.localrel import literal_df
 from ..operators import joins as J
 from ..operators import relational as R
 from ..operators import windows as W
@@ -1409,8 +1410,8 @@ def walk_forward_fold_bounds(spark, sf_dir):
     if n == 0:
         # parity with the former fold-frame shape: ungrouped aggregations
         # over empty folds still emitted one all-null/zero row per fold
-        return spark.createDataFrame(
-            [(i, 0, 0, None, None) for i in range(1, n_splits + 1)], schema
+        return literal_df(
+            spark, [(i, 0, 0, None, None) for i in range(1, n_splits + 1)], schema
         ).orderBy("fold")
     size = n // (n_splits + 1)
     rem = n % (n_splits + 1)
@@ -1442,7 +1443,7 @@ def walk_forward_fold_bounds(spark, sf_dir):
         )
         for i, t_start, t_end in bounds
     ]
-    return spark.createDataFrame(rows, schema).orderBy("fold")
+    return literal_df(spark, rows, schema).orderBy("fold")
 
 
 @register(
@@ -1795,7 +1796,8 @@ def ml_train_eval_metrics(spark, sf_dir):
         )
         for m in results
     ]
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         rows,
         "model string, train_mse double, test_mse double, train_r2 double, "
         "test_r2 double, test_mae double",
@@ -1818,8 +1820,8 @@ def ml_model_comparison_feed(spark, sf_dir):
         for split in ("train", "test")
         for metric in ("mse", "mae", "r2")
     ]
-    return spark.createDataFrame(
-        rows, "model string, split string, metric string, value double"
+    return literal_df(
+        spark, rows, "model string, split string, metric string, value double"
     ).orderBy("model", "split", "metric")
 
 
@@ -1836,7 +1838,8 @@ def ml_feature_importance_feed(spark, sf_dir):
     results, cols = _trained_suite(spark, sf_dir)
     tm = next(m for m in results if m.name == "random_forest")
     top = M.feature_importances(tm, cols)[:10]
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         [("random_forest", i + 1, feat, float(imp)) for i, (feat, imp) in enumerate(top)],
         "model string, rank int, feature string, importance double",
     ).orderBy("rank")
@@ -1864,7 +1867,8 @@ def _trained_rain(spark, sf_dir):
 def ml_rain_classifier_metrics(spark, sf_dir):
     # M8: balanced-weight RandomForest rain classifier + ROC-AUC/acc/P/R
     m, _, _ = _trained_rain(spark, sf_dir)
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         [(m.name, m.metrics["roc_auc"], m.metrics["accuracy"], m.metrics["precision"], m.metrics["recall"])],
         "model string, roc_auc double, accuracy double, precision double, recall double",
     )
@@ -5977,7 +5981,7 @@ def cms_heavy_hitters_events(spark, sf_dir):
     rows = [
         (r.user_id, r.exact_n, int(sketch.estimateCount(r.user_id))) for r in top
     ]
-    out = spark.createDataFrame(rows, "user_id long, exact_n long, est_n long")
+    out = literal_df(spark, rows, "user_id long, exact_n long, est_n long")
     return out.select(
         "user_id",
         "exact_n",
@@ -7493,8 +7497,50 @@ r{k + 1} AS MATERIALIZED (
     return head + "".join(its) + f"\nSELECT * FROM (\n  {finals})\nORDER BY step"
 
 
+# All three BPE consumers (bpe_merge_rules / bpe_vocab / bpe_encode) run
+# the IDENTICAL deterministic induction — same corpus pass, same 6 merge
+# rounds, same seeds-free argmax tiebreak — so the session shares ONE
+# (rules, rep) per (session, sf_dir, n_merges), the _trained_suite /
+# _coarse_model precedent (r11 opt: each extra induction cost ~1.2 s of
+# pure recompute per full pass). bench.py lists all three consumers in
+# SESSION_CACHED so a warm re-draw can't masquerade as induction-free.
+_BPE_CACHE: dict = {}
+
+
 def _bpe_learn(spark, sf_dir, n_merges: int = 6):
-    """Shared BPE induction: returns (rules, final word-representation df).
+    """Session-shared BPE induction: returns (rules, final word-rep df).
+    First consumer pays the build; later consumers ride the checkpointed
+    rep + the cached rules. Block loss (executor death) is detected at
+    lookup like _session_materialized and triggers a rebuild."""
+    from ..operators.graph import _ckpt_tracked, _free_ckpt
+
+    def build():
+        rules, rep = _bpe_learn_fresh(spark, sf_dir, n_merges)
+        # track the final rep's blocks so lookup-time validation (and the
+        # evict hook) can manage them; the loop's intermediate checkpoints
+        # are unreferenced after this and freed by the ContextCleaner
+        df, ids = _ckpt_tracked(rep)
+        return df, ids, spark.sparkContext.applicationId, tuple(rules)
+
+    def evict(old):
+        if old[2] == spark.sparkContext.applicationId:
+            _free_ckpt(spark, old[1])
+
+    key = (id(spark), sf_dir, n_merges)
+    for _ in range(2):
+        df, ids, app, rules = _one_entry_cache(
+            _BPE_CACHE, key, build, on_evict=evict
+        )
+        if app != spark.sparkContext.applicationId or _ckpt_blocks_alive(
+            spark, ids
+        ):
+            return list(rules), df
+        _drop_cache_entry(_BPE_CACHE, key, spark, expect_ids=ids)
+    return list(rules), df  # second build's value; further losses fail loud
+
+
+def _bpe_learn_fresh(spark, sf_dir, n_merges: int = 6):
+    """One BPE induction: returns (rules, final word-representation df).
     ONE corpus pass builds the word-frequency table (the only corpus-sized
     step — SentencePiece/HF BPE trainers work the same way); merge rounds
     run over the compact vocab. Deterministic end-to-end; the driver sees
@@ -7554,8 +7600,9 @@ def bpe_merge_rules_documents(spark, sf_dir):
     # Distributed BPE merge induction — see _bpe_learn. Each rule row is
     # (step, pair, merged symbol, weighted pair count).
     rules, _ = _bpe_learn(spark, sf_dir)
-    return spark.createDataFrame(
-        rules, "step long, sym_left string, sym_right string, merged string, pair_count long"
+    return literal_df(
+        spark, rules,
+        "step long, sym_left string, sym_right string, merged string, pair_count long",
     ).orderBy("step")
 
 
@@ -7708,6 +7755,27 @@ def dup_span_stats_documents(spark, sf_dir):
     return X.dup_span_stats(_t(spark, sf_dir, "documents"), k=3).orderBy("doc_id")
 
 
+# Five consumers (triangle_stats, kcore, split_leakage, edit_distance_pairs,
+# incremental_dedup) all start from the SAME MinHash-LSH candidate edge set
+# and were each recomputing the full signature+banding pipeline (~1.3-1.5 s
+# of identical work per query at sf0.1). Materialize it once per (session,
+# sf_dir) — r11 opt, the _neardup_cc/_shingle_pairs precedent; all five
+# consumers are in bench SESSION_CACHED so warm re-draws can't fake the
+# build away. The registered minhash_lsh_candidates_documents query itself
+# stays fresh-computing: it is in the bench HEADLINE set, where a
+# session-warm frame would hollow out its best-of-3 draws.
+_LSH_EDGES_CACHE: dict = {}
+
+
+def _lsh_edges(spark, sf_dir):
+    return _session_materialized(
+        _LSH_EDGES_CACHE, spark, sf_dir,
+        lambda: REGISTRY["minhash_lsh_candidates_documents"]
+        .spark(spark, sf_dir)
+        .select("id_a", "id_b"),
+    )
+
+
 @register(
     "triangle_stats_documents",
     "WITH pairs AS (SELECT id_a, id_b FROM ("
@@ -7750,11 +7818,7 @@ def triangle_stats_documents(spark, sf_dir):
     # triangle enumeration (no broadcast of the full edge set needed).
     from ..operators.graph import triangle_stats
 
-    edges = (
-        REGISTRY["minhash_lsh_candidates_documents"]
-        .spark(spark, sf_dir)
-        .select("id_a", "id_b")
-    )
+    edges = _lsh_edges(spark, sf_dir)
     return (
         triangle_stats(edges)
         .withColumnRenamed("node", "doc_id")
@@ -7916,11 +7980,7 @@ def kcore_documents(spark, sf_dir):
     # peel as operators/graph.k_core; oracle unrolls _KCORE_ROUNDS rounds.
     from ..operators.graph import k_core
 
-    edges = (
-        REGISTRY["minhash_lsh_candidates_documents"]
-        .spark(spark, sf_dir)
-        .select("id_a", "id_b")
-    )
+    edges = _lsh_edges(spark, sf_dir)
     return (
         k_core(edges, k=2, max_rounds=_KCORE_ROUNDS)
         .withColumnRenamed("node", "doc_id")
@@ -8192,11 +8252,7 @@ def split_leakage_documents(spark, sf_dir):
     # deterministic hash split — the contamination a random split silently
     # admits and an eval-integrity review must surface. Split assignment is
     # a pure map (md5 bucket, no shuffle); candidates join to it on doc_id.
-    cand = (
-        REGISTRY["minhash_lsh_candidates_documents"]
-        .spark(spark, sf_dir)
-        .select("id_a", "id_b")
-    )
+    cand = _lsh_edges(spark, sf_dir)
     s = _t(spark, sf_dir, "documents").select(
         "doc_id", _split_col().alias("split")
     )
@@ -8753,11 +8809,7 @@ def edit_distance_pairs_documents(spark, sf_dir):
     # must be linear before anyone pays it). Both engines implement the
     # same unit-cost Levenshtein, so the scores are exactly oracled. At
     # 100 TB the candidate join ships doc texts for candidate ids only.
-    cand = (
-        REGISTRY["minhash_lsh_candidates_documents"]
-        .spark(spark, sf_dir)
-        .select("id_a", "id_b")
-    )
+    cand = _lsh_edges(spark, sf_dir)
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
@@ -8926,11 +8978,7 @@ def incremental_dedup_documents(spark, sf_dir):
     # the corpus or earlier in the batch. At 100 TB the corpus side is a
     # pre-built fingerprint/band INDEX (the minhash_signatures table) —
     # the batch never joins corpus text.
-    cand = (
-        REGISTRY["minhash_lsh_candidates_documents"]
-        .spark(spark, sf_dir)
-        .select("id_a", "id_b")
-    )
+    cand = _lsh_edges(spark, sf_dir)
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5("text").alias("fp")
     )
@@ -9041,8 +9089,9 @@ def ml_calibration_feed(spark, sf_dir):
     )
     rows = out.collect()
     pred.unpersist()
-    return spark.createDataFrame(
-        rows, "bin int, n bigint, mean_predicted double, empirical_rate double, brier_score double"
+    return literal_df(
+        spark, rows,
+        "bin int, n bigint, mean_predicted double, empirical_rate double, brier_score double",
     )
 
 
