@@ -424,6 +424,7 @@ SESSION_CACHED = {
     "split_leakage_documents",
     "edit_distance_pairs_documents",
     "incremental_dedup_documents",
+    "minhash_est_error_documents",
     # the three BPE consumers share one session _bpe_learn induction (r11)
     "bpe_merge_rules_documents",
     "bpe_vocab_documents",

@@ -111,19 +111,17 @@ def test_concurrent_block_loss_validators_dont_drop_rebuild(spark, sf_dir):
         assert _rows(df) == want
 
 
-def test_lsh_edges_cached_equals_fresh(spark, sf_dir):
-    """The five _lsh_edges consumers (triangle/kcore/split_leakage/
-    edit_distance/incremental_dedup, r11 opt) must read the SAME
-    materialized frame, and its rows must equal a fresh run of the
+def test_lsh_candidates_cached_equals_fresh(spark, sf_dir):
+    """The six _lsh_candidates consumers (triangle/kcore/split_leakage/
+    edit_distance/incremental_dedup/minhash_est_error, r11 opt) must read
+    the SAME materialized frame, and its rows — including est_jaccard,
+    which minhash_est_error consumes — must equal a fresh run of the
     registered candidate query they all used to recompute."""
-    cached = Q._lsh_edges(spark, sf_dir)
-    assert Q._lsh_edges(spark, sf_dir) is cached
-    fresh = (
-        Q.REGISTRY["minhash_lsh_candidates_documents"]
-        .spark(spark, sf_dir)
-        .select("id_a", "id_b")
-    )
+    cached = Q._lsh_candidates(spark, sf_dir)
+    assert Q._lsh_candidates(spark, sf_dir) is cached
+    fresh = Q.REGISTRY["minhash_lsh_candidates_documents"].spark(spark, sf_dir)
     assert _rows(cached) == _rows(fresh)
+    assert cached.columns == fresh.columns
 
 
 def test_bpe_learn_session_share_is_build_identical(spark, sf_dir):

@@ -6348,7 +6348,7 @@ def minhash_est_error_documents(spark, sf_dir):
     from ..operators.text import shingle_set
 
     docs = _t(spark, sf_dir, "documents")
-    cand = D.minhash_lsh_candidates(docs)
+    cand = _lsh_candidates(spark, sf_dir)
     sh = docs.select(F.col("doc_id"), shingle_set(F.col("text")).alias("toks"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
@@ -7755,25 +7755,29 @@ def dup_span_stats_documents(spark, sf_dir):
     return X.dup_span_stats(_t(spark, sf_dir, "documents"), k=3).orderBy("doc_id")
 
 
-# Five consumers (triangle_stats, kcore, split_leakage, edit_distance_pairs,
-# incremental_dedup) all start from the SAME MinHash-LSH candidate edge set
-# and were each recomputing the full signature+banding pipeline (~1.3-1.5 s
-# of identical work per query at sf0.1). Materialize it once per (session,
-# sf_dir) — r11 opt, the _neardup_cc/_shingle_pairs precedent; all five
-# consumers are in bench SESSION_CACHED so warm re-draws can't fake the
-# build away. The registered minhash_lsh_candidates_documents query itself
-# stays fresh-computing: it is in the bench HEADLINE set, where a
-# session-warm frame would hollow out its best-of-3 draws.
+# Six consumers (triangle_stats, kcore, split_leakage, edit_distance_pairs,
+# incremental_dedup, minhash_est_error) all start from the SAME MinHash-LSH
+# candidate set and were each recomputing the full signature+banding
+# pipeline (~1.3-1.5 s of identical work per query at sf0.1). Materialize it
+# once per (session, sf_dir) — r11 opt, the _neardup_cc/_shingle_pairs
+# precedent; all six consumers are in bench SESSION_CACHED so warm re-draws
+# can't fake the build away. The registered minhash_lsh_candidates_documents
+# query itself stays fresh-computing: it is in the bench HEADLINE set, where
+# a session-warm frame would hollow out its best-of-3 draws.
 _LSH_EDGES_CACHE: dict = {}
 
 
-def _lsh_edges(spark, sf_dir):
+def _lsh_candidates(spark, sf_dir):
+    """The full registered candidate output (id_a, id_b, est_jaccard),
+    session-materialized; minhash_est_error consumes the estimate column."""
     return _session_materialized(
         _LSH_EDGES_CACHE, spark, sf_dir,
-        lambda: REGISTRY["minhash_lsh_candidates_documents"]
-        .spark(spark, sf_dir)
-        .select("id_a", "id_b"),
+        lambda: REGISTRY["minhash_lsh_candidates_documents"].spark(spark, sf_dir),
     )
+
+
+def _lsh_edges(spark, sf_dir):
+    return _lsh_candidates(spark, sf_dir).select("id_a", "id_b")
 
 
 @register(
