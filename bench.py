@@ -429,6 +429,9 @@ SESSION_CACHED = {
     "bpe_merge_rules_documents",
     "bpe_vocab_documents",
     "bpe_encode_documents",
+    # shares the session's one materialized per-doc bigram-NLL frame with
+    # _doc_signals (curriculum / source_quality_profile, already listed)
+    "bigram_nll_documents",
     "shingle_jaccard_pairs_documents",
     "neardup_components_documents",
     "dedup_keep_list_documents",

@@ -148,3 +148,14 @@ def test_bpe_learn_survives_external_block_loss(spark, sf_dir):
     after_rules, after = Q._bpe_learn(spark, sf_dir)
     assert after_rules == before_rules
     assert _rows(after) == before_rows
+
+
+def test_bigram_nll_frame_cached_equals_fresh(spark, sf_dir):
+    """bigram_nll_documents and _doc_signals both ride one materialized
+    per-doc NLL frame (r11 opt); its rows must equal a fresh build of the
+    same plan, and the registered query is its ordered projection."""
+    cached = Q._bigram_nll_frame(spark, sf_dir)
+    assert Q._bigram_nll_frame(spark, sf_dir) is cached
+    assert _rows(cached) == _rows(Q._bigram_nll_plan(spark, sf_dir))
+    reg = Q.REGISTRY["bigram_nll_documents"].spark(spark, sf_dir)
+    assert _rows(reg) == _rows(cached)

@@ -7665,11 +7665,29 @@ FROM lp GROUP BY doc_id ORDER BY doc_id
 """,
 )
 def bigram_nll_documents(spark, sf_dir):
-    # CCNet-style LM quality score: per-document mean negative log-likelihood
-    # under an add-one-smoothed corpus bigram model (perplexity = exp(avg_nll)
-    # client-side). Fluent, in-distribution text scores low; gibberish and
-    # boilerplate-free outliers score high — the standard filter column a
-    # pretraining pipeline sorts on. Per-bigram logs are rounded to 6dp and
+    # CCNet-style LM quality score — ordered projection of the session's one
+    # materialized per-doc NLL frame (shared with _doc_signals, which was
+    # replaying the whole bigram-LM pass a second time; r11 opt).
+    return _bigram_nll_frame(spark, sf_dir).orderBy("doc_id")
+
+
+# bigram_nll_documents and _doc_signals (curriculum + source_quality_profile)
+# each ran the full bigram-LM pass (~1.3 s at sf0.1: four corpus subtrees
+# feeding the broadcast scoring joins). One materialized (doc_id, n_bigrams,
+# avg_nll) frame per (session, sf_dir) — corpus-cardinality, 3 columns;
+# bigram_nll_documents joins SESSION_CACHED in bench.py.
+_BIGRAM_NLL_CACHE: dict = {}
+
+
+def _bigram_nll_frame(spark, sf_dir):
+    return _session_materialized(
+        _BIGRAM_NLL_CACHE, spark, sf_dir,
+        lambda: _bigram_nll_plan(spark, sf_dir),
+    )
+
+
+def _bigram_nll_plan(spark, sf_dir):
+    # Per-bigram logs are rounded to 6dp and
     # summed as exact decimals so the per-doc mean is order-independent and
     # engine-portable (libm vs JVM log last-ulp). Scale: bigram counts and
     # context totals are corpus-bounded aggregates (map-side combine); the
@@ -7699,13 +7717,11 @@ def bigram_nll_documents(spark, sf_dir):
         .crossJoin(F.broadcast(v))
         .withColumn("logp", logp)
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            ((F.sum("logp").cast("double") * -1) / F.count(F.lit(1))).alias("avg_nll"),
-        )
-        .orderBy("doc_id")
+    # unordered: the registered query applies its orderBy over the
+    # materialized frame; _doc_signals joins it unordered anyway
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        ((F.sum("logp").cast("double") * -1) / F.count(F.lit(1))).alias("avg_nll"),
     )
 
 
@@ -8364,9 +8380,7 @@ def _doc_signals(spark, sf_dir):
         qr = REGISTRY["quality_rules_documents"].spark(spark, sf_dir).select(
             "doc_id", "keep"
         )
-        nll = REGISTRY["bigram_nll_documents"].spark(spark, sf_dir).select(
-            "doc_id", "avg_nll"
-        )
+        nll = _bigram_nll_frame(spark, sf_dir).select("doc_id", "avg_nll")
         ds = REGISTRY["dup_span_stats_documents"].spark(spark, sf_dir).select(
             "doc_id", "dup_frac"
         )
