@@ -416,9 +416,10 @@ SESSION_CACHED = {
     # training the single-shot reading honestly includes
     "ann_ivf_topk_embeddings",
     "ivf_pq_adc_topk_embeddings",
-    # the five _lsh_edges consumers share one session-materialized MinHash-
-    # LSH candidate edge set (r11 opt); minhash_lsh_candidates_documents
-    # itself stays fresh-computing (it is in HEADLINE)
+    # the six _lsh_candidates/_lsh_edges consumers share one session-
+    # materialized MinHash-LSH candidate edge set (r11 opt);
+    # minhash_lsh_candidates_documents itself stays fresh-computing (it is
+    # in HEADLINE)
     "triangle_stats_documents",
     "kcore_documents",
     "split_leakage_documents",
@@ -452,6 +453,18 @@ SESSION_CACHED = {
 # round-over-round visible) but are measured FIRST-DRAW ONLY,
 # build-inclusive, and exempted from the outlier re-draw pass.
 MEMOIZED_PLAN = {"feature_pipeline_weather"}
+
+
+def _session_desc(spark) -> dict:
+    """Self-description of the measuring session (VERDICT r11 #2): the
+    artifact must be able to PROVE which width it ran at — `load.ncpus` is
+    os.cpu_count(), not the session's master, so an 8-core scaling run was
+    previously indistinguishable from a 32-core one in the printed JSON."""
+    return {
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+    }
 
 
 def _drop_stream_tables(spark) -> None:
@@ -782,6 +795,7 @@ def main() -> None:
             file=sys.stderr,
         )
     load_end = os.getloadavg()
+    sess_info = _session_desc(spark)
     load_info = {
         "ncpus": ncpus,
         "loadavg_start": [round(v, 2) for v in load_start],
@@ -792,6 +806,7 @@ def main() -> None:
     }
     detail = {
         "metric": "full_registry_detail",
+        "session": sess_info,
         "families": families,
         "full": full,
         "full_total": round(sum(v for v in full.values() if v > 0), 4),
@@ -927,6 +942,7 @@ def main() -> None:
                 "calibration_end": cal_end_info,
                 "contaminated": contaminated,
                 "memoized_plan_warm": memo_warm,
+                "session": sess_info,
                 "load": load_info,
             }
         )

@@ -300,3 +300,27 @@ def test_choose_artifact_errored_readings_do_not_count_as_measured():
     }
     chosen = bench.choose_full_artifact(prior, detail, _pass(410.0, False, "t2"))
     assert chosen is detail  # 201 clean readings beat 200 + 1 error
+
+
+def test_session_desc_reports_master_and_parallelism(spark):
+    # VERDICT r11 #2: the artifact must prove its own core count — the
+    # printed session block must read the LIVE session's master and widths
+    d = bench._session_desc(spark)
+    assert d["master"] == spark.sparkContext.master
+    assert d["default_parallelism"] == spark.sparkContext.defaultParallelism
+    assert d["shuffle_partitions"] == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
+def test_resolve_cpus_honors_env(monkeypatch):
+    # SPARK_GRAFT_CPUS=8 must yield local[8]: get_spark builds its master
+    # as f"local[{resolve_cpus()}]", so pinning the resolver pins the
+    # artifact's session.master for a scaling run
+    from weather_data_pipeline_spark.session import resolve_cpus
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert resolve_cpus() == 8
+    assert f"local[{resolve_cpus()}]" == "local[8]"
+    monkeypatch.delenv("SPARK_GRAFT_CPUS")
+    assert resolve_cpus(4) == 4

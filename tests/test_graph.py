@@ -123,3 +123,14 @@ def test_kcore_peel_depth_equal_to_budget(spark):
         [(i, i + 1) for i in range(32)], "id_a long, id_b long"
     )
     assert k_core(edges, k=2, max_rounds=16).count() == 0
+
+
+def test_pagerank_zero_iterations_returns_uniform_init(spark):
+    # ADVICE r11: with n_iter=0 the deferred-normalization loop never runs;
+    # the final projection must return the uniform 1/n init, not divide by
+    # lit(None) and null every rank
+    from weather_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 0), (0, 2)], "s long, d long")
+    ranks = {r.node: r.rank for r in pagerank(edges, n_iter=0).collect()}
+    assert ranks == {0: 1.0 / 3, 1: 1.0 / 3, 2: 1.0 / 3}

@@ -84,3 +84,12 @@ def test_ddl_split_keeps_nested_commas():
     assert _split_ddl(
         "a decimal(20,9), b array<double>, c map<string,int>, d int"
     ) == ["a decimal(20,9)", "b array<double>", "c map<string,int>", "d int"]
+
+
+def test_literal_df_accepts_colon_form_ddl(spark):
+    # ADVICE r11: createDataFrame accepts "a:int" DDL too; the pandas
+    # column-name derivation must not produce names like "a:int"
+    got = literal_df(spark, [(1, "x"), (2, None)], "a:int, b:string")
+    ref = spark.createDataFrame([(1, "x"), (2, None)], "a:int, b:string")
+    assert got.schema == ref.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))

@@ -51,12 +51,26 @@ def literal_df(spark: SparkSession, rows: Sequence, ddl: str) -> DataFrame:
     """``createDataFrame(rows, ddl)`` twin with a LocalRelation body: same
     rows, same column names and types, no ExistingRDD / Python-worker scan.
     ``rows`` may be tuples or pyspark Rows; values must be plain Python
-    scalars/lists (the same contract createDataFrame already required)."""
+    scalars/lists (the same contract createDataFrame already required).
+
+    Fallback hazard (ADVICE r11): the no-ExistingRDD guarantee depends on
+    the Arrow conversion SUCCEEDING — with
+    ``spark.sql.execution.arrow.pyspark.fallback.enabled=true`` (Spark's
+    default) an unconvertible cell would silently fall back to the
+    pickled-RDD path and quietly reintroduce the per-action Python-worker
+    scans this helper exists to remove. session.get_spark therefore pins
+    the fallback OFF so a conversion regression fails loudly; sessions
+    built elsewhere should do the same or rely on tests/test_literal_df.py
+    plan asserts."""
     if not rows:
         return spark.createDataFrame([], ddl)
     import pandas as pd
+    import re
 
-    names = [part.split(None, 1)[0] for part in _split_ddl(ddl)]
+    # Accept both DDL field forms ("a int" and "a:int") when deriving the
+    # pandas column names (ADVICE r11: the old space-only split would name a
+    # colon-form column "a:int" and build a mismatched frame).
+    names = [re.split(r"[:\s]", part, 1)[0] for part in _split_ddl(ddl)]
     # dtype=object: pandas must not infer (None in an int column would
     # become NaN-float before Arrow sees it); the Arrow converter applies
     # the DDL type per field from the object cells directly

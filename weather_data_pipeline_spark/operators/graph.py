@@ -536,7 +536,14 @@ def pagerank(
             .first()[0]
         )
         ranks, rank_ids = raw, raw_ids
-    out = ranks.withColumn("rank", F.round(F.col("rank") / F.lit(total), 12))
+    # n_iter=0 (ADVICE r11): the loop never ran, `total` is still None, and
+    # dividing by lit(None) would null every rank — return the uniform init
+    # unnormalized, exactly what the pre-deferral implementation returned.
+    out = (
+        ranks
+        if total is None
+        else ranks.withColumn("rank", F.round(F.col("rank") / F.lit(total), 12))
+    )
     # the returned frame reads the last raw checkpoint: the deg-joined edges
     # and the node list have no remaining readers — free them so repeated
     # pagerank calls don't pin per-call graph copies

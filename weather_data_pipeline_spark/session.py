@@ -27,6 +27,14 @@ TABLES = (
 )
 
 
+def resolve_cpus(cpus: int | None = None) -> int:
+    """Effective local core count: explicit arg > $SPARK_GRAFT_CPUS >
+    os.cpu_count(). Pure and test-pinnable so the bench artifact's
+    self-description (VERDICT r11 #2) provably matches what get_spark
+    builds — `local[resolve_cpus()]` when no external master is set."""
+    return cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+
+
 def get_spark(
     app_name: str = "weather_data_pipeline_spark",
     cpus: int | None = None,
@@ -40,7 +48,7 @@ def get_spark(
     AQE coalescing, which is enabled here). Locally we match the core count so
     tiny test data isn't over-parallelized.
     """
-    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    cpus = resolve_cpus(cpus)
     shuffle_partitions = shuffle_partitions or cpus
 
     builder = (
@@ -51,6 +59,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # literal_df's no-ExistingRDD guarantee rides on Arrow conversion
+        # SUCCEEDING; the default silent fallback to the pickled-RDD path
+        # would quietly reintroduce per-action Python-worker scans
+        # (ADVICE r11) — fail loudly instead
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
