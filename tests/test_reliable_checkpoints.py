@@ -46,8 +46,8 @@ def test_reliable_cc_survives_total_block_loss(spark, tmp_path, monkeypatch):
     # inject loss after every tracked checkpoint
     orig = graph._ckpt_tracked
 
-    def lossy(df):
-        out = orig(df)
+    def lossy(df, eager=True):
+        out = orig(df, eager=eager)
         _nuke_all_blocks(spark)
         return out
 
@@ -123,8 +123,8 @@ def _lossy_ckpts(spark, monkeypatch):
     _block_pair_grid too."""
     orig_t, orig_u = graph._ckpt_tracked, graph._ckpt_untracked
 
-    def lossy_t(df):
-        out = orig_t(df)
+    def lossy_t(df, eager=True):
+        out = orig_t(df, eager=eager)
         _nuke_all_blocks(spark)
         return out
 

@@ -88,7 +88,7 @@ def _reliable_on(spark: SparkSession) -> bool:
 _SPREAD_MIN_ROWS_PER_SLOT = 1024
 
 
-def _spread_ckpt(out: DataFrame, ids: list) -> tuple:
+def _spread_ckpt(out: DataFrame, ids: list, n: int | None = None) -> tuple:
     """Adaptively re-spread an already-MATERIALIZED loop-input checkpoint.
 
     Edge frames arrive from candidate joins whose output AQE coalesced on
@@ -108,7 +108,10 @@ def _spread_ckpt(out: DataFrame, ids: list) -> tuple:
     par = spark.sparkContext.defaultParallelism
     if out.rdd.getNumPartitions() >= par:
         return out, ids
-    if out.count() < par * _SPREAD_MIN_ROWS_PER_SLOT:
+    # `n`: callers that materialized via _ckpt_counted already know the row
+    # count — reuse it instead of scheduling a second count job (r12
+    # constant-floor work)
+    if (n if n is not None else out.count()) < par * _SPREAD_MIN_ROWS_PER_SLOT:
         return out, ids
     out2, ids2 = _ckpt_tracked(out.repartition(par))
     _free_ckpt(spark, ids)
@@ -177,7 +180,7 @@ def _strip_plan_origin(df: DataFrame) -> DataFrame:
         return df
 
 
-def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
+def _ckpt_tracked(df: DataFrame, eager: bool = True) -> tuple[DataFrame, list[int]]:
     """`localCheckpoint(eager=True)` + the RDD id it pinned, so iterative
     loops can FREE a round's blocks once the next round is materialized —
     otherwise every superstep's edge/label set stays pinned in executor
@@ -202,10 +205,18 @@ def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
     fault-tolerant `Dataset.checkpoint` instead: data lands in checkpoint-dir
     FILES, no executor blocks are pinned, and the returned id list is empty
     (`_free_ckpt` then has nothing to do — file lifecycle belongs to the
-    ContextCleaner when `cleanCheckpoints=true`)."""
+    ContextCleaner when `cleanCheckpoints=true`).
+
+    ``eager=False`` (r12 constant-floor): defers materialization to the
+    CALLER'S first action, fusing the checkpoint's own count job with the
+    row/convergence count every loop round runs anyway — one job per round
+    instead of two. The caller MUST run a full-frame action (count / agg)
+    on the returned frame BEFORE freeing any checkpoint it reads: a lazy
+    frame whose inputs were unpersisted first cannot be recomputed
+    (truncated lineage)."""
     if _reliable_on(df.sparkSession):
-        return _strip_plan_origin(df.checkpoint(eager=True)), []
-    out = df.localCheckpoint(eager=True)
+        return _strip_plan_origin(df.checkpoint(eager=eager)), []
+    out = df.localCheckpoint(eager=eager)
     try:
         ids = [out._jdf.queryExecution().analyzed().rdd().id()]
     except Exception:  # API drift: leak instead of freeing a guessed id
@@ -223,6 +234,15 @@ def _ckpt_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
             )
         ids = []
     return _strip_plan_origin(out), ids
+
+
+def _ckpt_counted(df: DataFrame) -> tuple[DataFrame, list[int], int]:
+    """Tracked checkpoint materialized BY its row count: one job where
+    eager-checkpoint-then-count was two (r12). The returned partition count
+    (via .rdd) and row count are post-materialization, so _spread_ckpt's
+    post-AQE guard reads real values exactly as before."""
+    out, ids = _ckpt_tracked(df, eager=False)
+    return out, ids, out.count()
 
 
 def _free_ckpt(spark: SparkSession, ids: list[int]) -> None:
@@ -264,10 +284,14 @@ def _min_label_rounds(
     if init is not None:
         labels, label_ids = init
     else:
+        # lazy: round 1's convergence count is the materializer (und is
+        # already materialized by the caller, so nothing this reads can be
+        # freed before that count runs)
         labels, label_ids = _ckpt_tracked(
             und.select(F.col("s").alias("node"))
             .distinct()
-            .withColumn("label", F.col("node"))
+            .withColumn("label", F.col("node")),
+            eager=False,
         )
     n_changed = -1
     for rnd in range(rounds):
@@ -282,6 +306,9 @@ def _min_label_rounds(
             F.col("node").alias("label"), F.col("label").alias("_ll")
         )
         old = cur.select("node", F.col("label").alias("_old"))
+        # lazy checkpoint: the convergence count below IS the materializing
+        # action (one job per round where eager-checkpoint-then-count was
+        # two — r12); it runs before the old labels' blocks are freed
         new_labels, new_ids = _ckpt_tracked(
             prop.join(jump, "label", "left")
             .select(
@@ -291,7 +318,8 @@ def _min_label_rounds(
                 ),
             )
             .join(old, "node")
-            .select("node", "label", (F.col("label") != F.col("_old")).alias("_chg"))
+            .select("node", "label", (F.col("label") != F.col("_old")).alias("_chg")),
+            eager=False,
         )
         n_changed = new_labels.where(F.col("_chg")).count()
         # the changed-flag join was the last reader of the OLD labels
@@ -337,7 +365,7 @@ def connected_components(
     # tracked (r6) so the adaptive re-spread can free a narrow original and
     # the operator can free the level-0 frame on every exit path
     und, und_ids = _spread_ckpt(
-        *_ckpt_tracked(
+        *_ckpt_counted(
             edges.select(
                 F.explode(
                     F.array(
@@ -466,7 +494,7 @@ def pagerank(
     if undirected:
         # explode-double rather than self-union: one scan of the edge input
         ed, pre_ids = _spread_ckpt(
-            *_ckpt_tracked(
+            *_ckpt_counted(
                 edges.select(
                     F.explode(
                         F.array(
@@ -479,12 +507,11 @@ def pagerank(
         )
     else:
         ed, pre_ids = _spread_ckpt(
-            *_ckpt_tracked(edges.selectExpr(f"{src} AS s", f"{dst} AS d"))
+            *_ckpt_counted(edges.selectExpr(f"{src} AS s", f"{dst} AS d"))
         )
-    nodes, node_ids = _ckpt_tracked(
+    nodes, node_ids, n_nodes = _ckpt_counted(
         ed.select(F.explode(F.array("s", "d")).alias("node")).distinct()
     )
-    n_nodes = nodes.count()
     if n_nodes == 0:
         # empty graph: a well-defined empty rank vector, not a /0 on the
         # uniform initialization (registry-wide empty-input contract)
@@ -494,7 +521,7 @@ def pagerank(
     # carry out-degree ON the edge rows: one small self-agg + join now, and
     # the iteration loop needs a single join instead of two
     ed, ed_ids = _spread_ckpt(
-        *_ckpt_tracked(
+        *_ckpt_counted(
             ed.join(ed.groupBy("s").agg(F.count(F.lit(1)).alias("deg")), "s")
         )
     )
@@ -506,7 +533,13 @@ def pagerank(
     # the bit — round(x/t, 12)/deg reads identically wherever it is
     # evaluated — but one checkpoint job per round instead of two (r11 opt:
     # 10 of the loop's 20 eager materializations removed).
-    ranks, rank_ids = _ckpt_tracked(nodes.withColumn("rank", F.lit(1.0 / n_nodes)))
+    # lazy: round 1's total-aggregation is the materializer (r12 — one job
+    # per round instead of an eager-checkpoint job PLUS the agg job).
+    # n_iter=0 keeps the eager init: the returned frame must be
+    # materialized before its `nodes` input checkpoint is freed below.
+    ranks, rank_ids = _ckpt_tracked(
+        nodes.withColumn("rank", F.lit(1.0 / n_nodes)), eager=n_iter == 0
+    )
     total = None  # round 1 reads the uniform init directly, as before
     for _ in range(n_iter):
         norm = (
@@ -528,13 +561,17 @@ def pagerank(
                     F.lit((1.0 - damping) / n_nodes)
                     + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
-            )
+            ),
+            eager=False,
         )
-        _free_ckpt(spark, rank_ids)  # contribs (inside raw) was the last reader
+        # the total agg MATERIALIZES raw (while the previous ranks' blocks,
+        # which raw's contribs join reads, are still pinned) — only then is
+        # the previous round's checkpoint safe to free
         total = (
             raw.agg(F.sum(F.col("rank").cast("decimal(28,18)")).cast("double"))
             .first()[0]
         )
+        _free_ckpt(spark, rank_ids)
         ranks, rank_ids = raw, raw_ids
     # n_iter=0 (ADVICE r11): the loop never ran, `total` is still None, and
     # dividing by lit(None) would null every rank — return the uniform init
@@ -622,10 +659,10 @@ def k_core(
     fixpoint within `max_rounds` so callers never get a half-peeled answer.
     """
     spark = edges.sparkSession
-    e, e_ids = _spread_ckpt(
-        *_ckpt_tracked(edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b")))
+    e, e_ids, n_edges = _ckpt_counted(
+        edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
     )
-    n_edges = e.count()
+    e, e_ids = _spread_ckpt(e, e_ids, n_edges)
     # max_rounds peel rounds + 1 confirmation round: a graph whose peel
     # depth is exactly max_rounds still needs one no-change round to PROVE
     # the fixpoint (the unrolled SQL oracle's extra rounds are no-ops, so
@@ -640,10 +677,13 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("core_degree"))
         )
         keep = deg.where(F.col("core_degree") >= k).select("node")
+        # lazy: the convergence count is the materializer (r12 — one job per
+        # peel round instead of two); it runs before e's blocks are freed
         e2, e2_ids = _ckpt_tracked(
             e.join(keep.withColumnRenamed("node", "id_a"), "id_a")
             .join(keep.withColumnRenamed("node", "id_b"), "id_b")
-            .select("id_a", "id_b")
+            .select("id_a", "id_b"),
+            eager=False,
         )
         n2 = e2.count()
         if n2 == n_edges:

@@ -629,7 +629,12 @@ def _hashable_cols(df: DataFrame) -> list:
     return [f.name for f in df.schema.fields if ok(f.dataType)]
 
 
-def _train_frame(df: DataFrame, hash_col: str, cap: int | None = None) -> DataFrame:
+def _train_frame(
+    df: DataFrame,
+    hash_col: str,
+    cap: int | None = None,
+    n_probed: int | None = None,
+) -> DataFrame:
     """Deterministic, partitioning-independent training sample of ~``cap``
     rows: keep rows whose xxhash64(hash_col) ≡ 0 (mod ceil(n/cap)). The kept
     row SET depends only on values — identical on 1 core or 1000 executors
@@ -652,7 +657,16 @@ def _train_frame(df: DataFrame, hash_col: str, cap: int | None = None) -> DataFr
     path, and the result the CALLER caches is what is bounded — the guard
     exists precisely so no unbounded frame is ever materialized."""
     cap = _KMEANS_TRAIN_CAP if cap is None else cap
-    if df.limit(cap + 1).count() <= cap:
+    # n_probed: the caller already ran a limit(>= cap+1) probe on this exact
+    # frame (r12: _coarse_model folds its n_fit probe and this one into ONE
+    # action) — reuse it instead of scheduling a second probe job. The
+    # at-or-under-cap decision only needs min(n, cap+1).
+    probed = (
+        min(n_probed, cap + 1)
+        if n_probed is not None
+        else df.limit(cap + 1).count()
+    )
+    if probed <= cap:
         return df
     n = df.count()
     mod = -(-n // cap)  # ceil(n / cap)
@@ -720,13 +734,19 @@ def _coarse_model(
     with_vec = emb.withColumn(
         "_vec", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
-    # floor/cap exactly as before: probe reads at most n_centroids rows
-    n_fit = max(2, min(n_centroids, with_vec.limit(n_centroids).count()))
+    # ONE limit probe serves both sizing decisions (r12 constant-floor:
+    # this was two eager jobs — an n_centroids probe here plus
+    # _train_frame's cap+1 probe). c = min(n, probe_rows) with
+    # probe_rows >= max(n_centroids, cap+1), so min(n_centroids, c) equals
+    # the old min(n_centroids, n) and (c <= cap) equals the old (n <= cap).
+    probe_rows = max(n_centroids, _KMEANS_TRAIN_CAP + 1)
+    c = with_vec.limit(probe_rows).count()
+    n_fit = max(2, min(n_centroids, c))
     km = KMeans(
         k=n_fit, seed=seed, maxIter=10,
         featuresCol="_vec", predictionCol="centroid_id",
     )
-    train = _train_frame(with_vec, vec_col)
+    train = _train_frame(with_vec, vec_col, n_probed=c)
     sampled = train is not with_vec
     if sampled:
         train = train.cache()

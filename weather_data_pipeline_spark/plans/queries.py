@@ -1240,11 +1240,17 @@ FROM events
 )
 def label_encode_event_type(spark, sf_dir):
     # E1: sklearn LabelEncoder parity — sorted distinct → dense codes;
-    # broadcast-join apply (reference data_processor.py:206-226)
+    # broadcast-join apply (reference data_processor.py:206-226).
+    # assume_bounded: event_type is an enum-like domain column (the same
+    # caller assertion the feature pipeline makes for its categoricals), so
+    # the HLL census pass is skipped — one fewer eager job (r12 constant-
+    # floor work). A wrong assertion degrades safely: the executor-side
+    # size guard nulls an over-cap vocab array and falls back to the
+    # distributed join path with identical semantics.
     from ..operators import encoding as ENC
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
-    return ENC.label_encode(ev, ["event_type"]).select(
+    return ENC.label_encode(ev, ["event_type"], assume_bounded=True).select(
         "event_id", "event_type", "event_type_encoded"
     )
 
