@@ -354,3 +354,28 @@ def test_vocab_fit_frame_distinct_set_parity_with_nulls(spark):
             .collect()
         }
         assert got == want, f"{c}: fit-frame vocab {got} != repaired {want}"
+
+
+def test_literal_fit_matches_fallback_composition(spark, sf_dir):
+    # r12 (VERDICT r11 #3): the one-job literal fit (vocab maps + per-city
+    # mode map) must produce bit-identical values to the old composition
+    # (label_encode fit job + mode_per_group broadcast join)
+    base = FP.events_as_weather(spark, sf_dir)
+    lit_path = FP.full_feature_pipeline(base)
+    old = FP._repaired_features(base)  # mode_fill=None -> join path
+    old = FP.encode_categoricals(old, fit_df=FP._vocab_fit_frame(base))
+    old = FP.add_targets(old, 24).where(F.col("temperature_future").isNotNull())
+    assert lit_path.columns == old.columns
+    a = sorted(map(repr, lit_path.collect()))
+    b = sorted(map(repr, old.collect()))
+    assert a == b
+
+
+def test_pipeline_plan_has_no_join(spark, sf_dir):
+    # the literal fit removed the last two join shapes from the executed
+    # plan (encode broadcast joins went in r7, the mode join in r12): a
+    # Join reappearing means a fit fell back or a regression reintroduced
+    # the per-action subtree
+    base = FP.events_as_weather(spark, sf_dir)
+    plan = FP.full_feature_pipeline(base)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]

@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for named queries into plans/r11/<query>_<tag>.txt.
+"""Capture .explain("formatted") for named queries into plans/<round>/<query>_<tag>.txt (round from $SPARK_GRAFT_PLAN_ROUND, default r12).
 
 Usage: python tools/plan_capture.py <tag> <query-name> [<query-name> ...]
 Tag is e.g. "before" or "after". Uses sf0.1 (the bench scale) so AQE-visible
@@ -12,7 +12,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"))
 
 
 def main(tag: str, names: list[str]) -> int:

@@ -240,6 +240,30 @@ def label_encode(
     return out
 
 
+def apply_vocab_literals(
+    df: DataFrame, by_col: dict, unseen: int = -1
+) -> DataFrame:
+    """Apply caller-collected sorted vocabularies as map-literal lookups —
+    the literal branch of :func:`label_encode`, reusable by callers that
+    fit the vocabularies in their own bounded job (the feature pipeline's
+    one-job fit, r12). ``by_col``: {column: sorted distinct values list};
+    an empty list means an all-null column (everything is unseen). Codes,
+    lookup expression (``try_element_at``) and the unseen→−1 fallback are
+    identical to label_encode's literal path; encoded columns are appended
+    in one ``withColumns`` in dict order."""
+    exprs = {}
+    for c, vocab in by_col.items():
+        if vocab:
+            m = F.create_map(
+                *[x for code, k in enumerate(vocab) for x in (F.lit(k), F.lit(code))]
+            )
+            code_col = F.try_element_at(m, F.col(c).cast("string"))
+        else:  # all-null column: no vocab, everything is "unseen"
+            code_col = F.lit(None).cast("int")
+        exprs[f"{c}_encoded"] = F.coalesce(code_col, F.lit(unseen))
+    return df.withColumns(exprs)
+
+
 def standardize(
     df: DataFrame, cols: Sequence[str], ddof: int = 0, suffix: str = ""
 ) -> DataFrame:

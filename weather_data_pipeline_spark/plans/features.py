@@ -65,7 +65,9 @@ def add_pressure_change(df: DataFrame) -> DataFrame:
     return W.add_diff(df, weather_window(), "pressure", "pressure_change")
 
 
-def handle_missing_values(df: DataFrame) -> DataFrame:
+def handle_missing_values(
+    df: DataFrame, mode_fill: dict[str, dict] | None = None
+) -> DataFrame:
     """Missing-value repair (reference `data_processor.py:178-204`):
     limited forward-fill (limit=3) then linear interpolation on the numeric
     measurement columns; categorical mode-fill per city; finally drop rows
@@ -74,7 +76,18 @@ def handle_missing_values(df: DataFrame) -> DataFrame:
     Fill and interpolation share ONE row-number column and every helper
     column is dropped in one pass: 5 analysis passes total where the
     sequential helper chain ran ~9 (see _repaired_features on why passes,
-    not expressions, dominate construction latency)."""
+    not expressions, dominate construction latency).
+
+    ``mode_fill`` (r12, VERDICT r11 #3): optional pre-computed per-city
+    modes, {column: {city: mode_value}}, collected by the pipeline's ONE
+    bounded fit job (:func:`_fit_vocabs_and_modes`). When provided, the
+    mode fill is a map-literal lookup fused into the surrounding
+    projection — the mode_per_group subtree (a second scan of the input +
+    groupBy + window + broadcast join) disappears from the executed plan.
+    The caller asserts the city domain is bounded (same contract as
+    label_encode's assume_bounded); None keeps the distributed join path,
+    and a city absent from the dict fills null exactly like a left-join
+    miss."""
     # SQL-string twins (feature_exprs_sql): same analyzed expressions as
     # W.ffill_limited_exprs / W.interpolate_linear_exprs at ~one py4j round
     # trip per column instead of dozens (r11 — construction latency, see
@@ -108,6 +121,23 @@ def handle_missing_values(df: DataFrame) -> DataFrame:
     from ..operators.relational import mode_per_group
 
     for c in ("weather_main",):
+        if mode_fill is not None:
+            modes_map = mode_fill.get(c) or {}
+            if modes_map:
+                fill = F.try_element_at(
+                    F.create_map(
+                        *[
+                            x
+                            for city in sorted(modes_map)
+                            for x in (F.lit(city), F.lit(modes_map[city]))
+                        ]
+                    ),
+                    F.col("city"),
+                )
+            else:  # no non-null values anywhere: every lookup misses
+                fill = F.lit(None).cast("string")
+            out = out.withColumn(c, F.coalesce(F.col(c), fill))
+            continue
         modes = mode_per_group(df.where(F.col(c).isNotNull()), "city", c)
         out = out.join(F.broadcast(modes), on="city", how="left")
         out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"mode_{c}"))).drop(
@@ -127,7 +157,7 @@ def encode_categoricals(df: DataFrame, fit_df: DataFrame | None = None) -> DataF
     return E.label_encode(df, present, assume_bounded=True, fit_df=fit_df)
 
 
-def _vocab_fit_frame(df: DataFrame) -> DataFrame:
+def _vocab_fit_frame(df: DataFrame, with_city: bool = False) -> DataFrame:
     """A bare projection of the RAW weather frame whose per-column distinct
     non-null value sets equal the repaired pipeline frame's — so the eager
     vocab-fit job scans this instead of the full window+join repair plan
@@ -142,7 +172,98 @@ def _vocab_fit_frame(df: DataFrame) -> DataFrame:
     cols.append(
         F.expr(FSQL.time_feature_sql("timestamp")["time_of_day"]).alias("time_of_day")
     )
+    if with_city:
+        cols.insert(0, F.col("city"))
     return df.select(*cols)
+
+
+# rows the ONE-job fit may collect (vocab global row + per-(city, main)
+# count rows): past this the caller's boundedness assertion is wrong and
+# the pipeline falls back to the distributed join/fit composition
+_FIT_LITERAL_CAP = 100_000
+
+
+def _fit_vocabs_and_modes(df: DataFrame):
+    """ONE eager bounded job serving BOTH construction-time fits the
+    pipeline needs (r12, VERDICT r11 #3): the three categorical
+    vocabularies (label_encode's sorted-distinct arrays) AND the per-city
+    weather_main mode (handle_missing's imputation table). Previously these
+    were one eager fit job plus a mode_per_group subtree executed inside
+    every action of the pipeline plan.
+
+    One rollup(city, weather_main) aggregation over the bare fit
+    projection: the grand-total row carries the vocab collect_sets, the
+    detail rows carry the (city, weather_main) counts the mode derives
+    from (tie-break replicated from relational.mode_per_group: highest
+    count, then lexicographically smaller value). grouping_id
+    distinguishes the two row kinds; the city-subtotal level is filtered
+    executor-side.
+
+    Returns (by_col, modes) or (None, None) when a bound trips — any
+    vocab over label_encode's literal cap (guard nulls the array
+    executor-side, exactly like label_encode) or more collected rows than
+    _FIT_LITERAL_CAP (limit applied BEFORE the collect) — and the caller
+    falls back to the old composition wholesale."""
+    from ..operators.encoding import MAX_LITERAL_VOCAB
+
+    fit = _vocab_fit_frame(df, with_city=True)
+    present = [c for c in CATEGORICAL_COLS if c in fit.columns]
+    rows = (
+        fit.rollup("city", "weather_main")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.grouping_id().alias("_gid"),
+            *[
+                F.when(
+                    F.size(F.array_sort(F.collect_set(F.col(c).cast("string"))))
+                    <= MAX_LITERAL_VOCAB,
+                    F.array_sort(F.collect_set(F.col(c).cast("string"))),
+                ).alias(f"_ks_{c}")
+                for c in present
+            ],
+        )
+        # gid 0 = (city, weather_main) detail (mode counts); gid 3 = grand
+        # total (vocabs); gid 1 = city subtotals, not needed
+        .where(F.expr("_gid").isin(0, 3))
+        .limit(_FIT_LITERAL_CAP + 2)
+        .collect()
+    )
+    if len(rows) >= _FIT_LITERAL_CAP + 2:
+        return None, None  # truncated: boundedness assertion failed
+    by_col: dict = {}
+    counts: dict = {}
+    for r in rows:
+        if r["_gid"] == 3:
+            for c in present:
+                ks = r[f"_ks_{c}"]
+                if ks is None:
+                    # over-cap vocab (the when() guard nulled it; an
+                    # all-null column lands [] — collect_set skips nulls):
+                    # give up the literal path entirely
+                    return None, None
+                by_col[c] = list(ks)
+        elif r["weather_main"] is not None and r["city"] is not None:
+            # null-city groups are skipped: a join on city never matches
+            # null either, and map literals reject null keys
+            counts[(r["city"], r["weather_main"])] = r["_n"]
+    modes: dict = {}
+    for (city, val), n in counts.items():
+        cur = modes.get(city)
+        # mode_per_group tie-break: higher count first, then smaller value
+        if cur is None or (n, _NegStr(val)) > (cur[1], _NegStr(cur[0])):
+            modes[city] = (val, n)
+    return by_col, {"weather_main": {c: v for c, (v, _) in modes.items()}}
+
+
+class _NegStr(str):
+    """Inverts string ordering so (count, value) max-comparison reproduces
+    mode_per_group's ORDER BY n DESC, value ASC tie-break."""
+
+    def __lt__(self, other):  # pragma: no cover - trivial
+        return str.__gt__(self, other)
+
+    def __gt__(self, other):
+        return str.__lt__(self, other)
 
 
 def add_targets(df: DataFrame, horizon: int = 24) -> DataFrame:
@@ -162,7 +283,7 @@ def add_targets(df: DataFrame, horizon: int = 24) -> DataFrame:
     return out.withColumns({k: F.expr(v) for k, v in second.items()})
 
 
-def _repaired_features(df: DataFrame) -> DataFrame:
+def _repaired_features(df: DataFrame, mode_fill: dict | None = None) -> DataFrame:
     """Stages time-features → … → missing-value repair (everything before
     categorical encoding), shared by the two pipeline entry points below.
 
@@ -201,15 +322,32 @@ def _repaired_features(df: DataFrame) -> DataFrame:
         )
     )
     merged = {k: F.expr(v) for k, v in merged_sql.items()}
-    return handle_missing_values(df.withColumns(merged))
+    return handle_missing_values(df.withColumns(merged), mode_fill=mode_fill)
 
 
 def full_feature_pipeline(df: DataFrame, horizon: int = 24) -> DataFrame:
     """The reference's end-to-end `process_pipeline` as one lazy plan.
     Input: a weather-shaped table (WEATHER_TABLE_SCHEMA columns).
-    Output: ~70 columns, rows with null target dropped."""
-    out = _repaired_features(df)
-    out = encode_categoricals(out, fit_df=_vocab_fit_frame(df))
+    Output: ~70 columns, rows with null target dropped.
+
+    Construction runs ONE bounded fit job (:func:`_fit_vocabs_and_modes`)
+    serving both the label-encode vocabularies and the per-city mode fill
+    as literal maps (r12, VERDICT r11 #3) — the executed plan loses the
+    mode_per_group scan+join subtree, and the encode step no longer runs
+    its own fit collect. Values are pinned identical to the fallback
+    composition (parity test + the pipeline's DuckDB oracle); if any
+    boundedness guard trips, the old composition runs wholesale."""
+    from ..operators.encoding import apply_vocab_literals
+
+    by_col, modes = _fit_vocabs_and_modes(df)
+    if by_col is None:
+        out = _repaired_features(df)
+        out = encode_categoricals(out, fit_df=_vocab_fit_frame(df))
+    else:
+        out = _repaired_features(df, mode_fill=modes)
+        out = apply_vocab_literals(
+            out, {c: by_col[c] for c in CATEGORICAL_COLS if c in by_col}
+        )
     out = add_targets(out, horizon)
     return out.where(F.col("temperature_future").isNotNull())
 
