@@ -12,6 +12,16 @@ from weather_data_pipeline_spark.operators.graph import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _force_distributed_cc(monkeypatch):
+    # these tests are the distributed BSP loop's coverage; the r12 small-
+    # graph union-find fast path would otherwise swallow every fixture-
+    # sized graph (its own equivalence tests live at the bottom)
+    from weather_data_pipeline_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_CC_LOCAL_MAX_ROWS", 0)
+
+
 def _cc(spark, edges):
     df = spark.createDataFrame(edges, "s long, d long")
     out = connected_components(df)
@@ -134,3 +144,37 @@ def test_pagerank_zero_iterations_returns_uniform_init(spark):
     edges = spark.createDataFrame([(1, 0), (0, 2)], "s long, d long")
     ranks = {r.node: r.rank for r in pagerank(edges, n_iter=0).collect()}
     assert ranks == {0: 1.0 / 3, 1: 1.0 / 3, 2: 1.0 / 3}
+
+
+def test_local_cc_fast_path_matches_distributed(spark, monkeypatch):
+    # r12: the union-find fast path must be bit-identical to the BSP loop —
+    # (node, min id of its component) is the unique fixpoint both compute
+    from weather_data_pipeline_spark.operators import graph
+
+    edges = [
+        (5, 3), (3, 9), (9, 5),          # cycle, min 3
+        (100, 42), (42, 7),              # chain, min 7
+        (1000, 1001),                    # pair
+        (77, 77),                        # self-loop
+    ]
+    df = spark.createDataFrame(edges, "s long, d long")
+    monkeypatch.setattr(graph, "_CC_LOCAL_MAX_ROWS", 10**9)
+    local = sorted(tuple(r) for r in graph.connected_components(df).collect())
+    monkeypatch.setattr(graph, "_CC_LOCAL_MAX_ROWS", 0)
+    dist = sorted(tuple(r) for r in graph.connected_components(df).collect())
+    assert local == dist
+    # the fast path must be a LocalRelation (no Python-worker rescans)
+    monkeypatch.setattr(graph, "_CC_LOCAL_MAX_ROWS", 10**9)
+    plan = (
+        graph.connected_components(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+
+
+def test_local_cc_empty_edges(spark, monkeypatch):
+    from weather_data_pipeline_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_CC_LOCAL_MAX_ROWS", 10**9)
+    df = spark.createDataFrame([], "s long, d long")
+    assert graph.connected_components(df).count() == 0

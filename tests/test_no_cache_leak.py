@@ -129,7 +129,7 @@ def test_ml_cache_evict_skips_foreign_context_ids(spark, sf_dir):
     _FEATS_CACHE.clear()
 
 
-def test_iterative_graph_loops_free_per_round_checkpoints(spark):
+def test_iterative_graph_loops_free_per_round_checkpoints(spark, monkeypatch):
     """connected_components / k_core / pagerank must free each superstep's
     localCheckpoint blocks once the next round is materialized (ADVICE r02):
     only the inputs of the RETURNED lazy frame may stay pinned, never one
@@ -144,6 +144,11 @@ def test_iterative_graph_loops_free_per_round_checkpoints(spark):
         [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)],
         "id_a long, id_b long",
     )
+    # pin the distributed loop: the r12 union-find fast path pins no blocks
+    # at all, which would make this lifecycle test vacuous
+    from weather_data_pipeline_spark.operators import graph as _g
+
+    monkeypatch.setattr(_g, "_CC_LOCAL_MAX_ROWS", 0)
     before = _persistent_rdd_ids(spark)
 
     cc = connected_components(edges, src="id_a", dst="id_b", max_iter=25)

@@ -36,6 +36,9 @@ def _edges(spark):
 
 
 def test_reliable_cc_survives_total_block_loss(spark, tmp_path, monkeypatch):
+    # pin the distributed BSP loop: the r12 union-find fast path would take
+    # this fixture-sized graph and never touch executor blocks at all
+    monkeypatch.setattr(graph, "_CC_LOCAL_MAX_ROWS", 0)
     edges = _edges(spark)
     expected = sorted(
         (r.node, r.component)
@@ -150,6 +153,9 @@ def test_reliable_semantic_dedup_survives_total_block_loss(
     )
     from weather_data_pipeline_spark.sources.tables import load_table
 
+    # pin the distributed CC loop (see test_reliable_cc_...): the loss
+    # injection needs per-round executor blocks to exist
+    monkeypatch.setattr(graph, "_CC_LOCAL_MAX_ROWS", 0)
     emb = load_table(spark, sf_dir, "embeddings")
     expected = sorted(
         tuple(r) for r in semantic_dedup_keep_list(emb, threshold=0.4).collect()

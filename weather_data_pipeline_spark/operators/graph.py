@@ -87,6 +87,19 @@ def _reliable_on(spark: SparkSession) -> bool:
 # 6.7 s -> 8.4 s warm at sf0.1 — 10 rounds of 32 near-empty scan tasks.
 _SPREAD_MIN_ROWS_PER_SLOT = 1024
 
+# connected_components small-graph fast path (r12): at or under this many
+# MATERIALIZED doubled-edge rows, the component labels are computed with a
+# driver-side union-find instead of the BSP loop. The output is BIT-
+# IDENTICAL by construction — (node, min node id of its component) is the
+# unique fixpoint min-label propagation converges to — so this is an
+# adaptive algorithm choice like broadcast-vs-sort-merge, not a semantics
+# change. Bound rationale: ~100k rows is a couple of MB on the driver, the
+# same class of bounded collect as MAX_LITERAL_VOCAB / the CMS top-k; at
+# real scale the edge set blows past it and the distributed loop runs
+# exactly as before. The threshold rides the row count the loop-input
+# checkpoint already computes, so the decision costs zero extra jobs.
+_CC_LOCAL_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "100000"))
+
 
 def _spread_ckpt(out: DataFrame, ids: list, n: int | None = None) -> tuple:
     """Adaptively re-spread an already-MATERIALIZED loop-input checkpoint.
@@ -364,19 +377,26 @@ def connected_components(
     # derive) edge input, unlike a self-union which would compute it twice;
     # tracked (r6) so the adaptive re-spread can free a narrow original and
     # the operator can free the level-0 frame on every exit path
-    und, und_ids = _spread_ckpt(
-        *_ckpt_counted(
-            edges.select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
-                        F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
-                    )
-                ).alias("e")
-            ).select("e.s", "e.d")
-        )
+    und, und_ids, n_und = _ckpt_counted(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        ).select("e.s", "e.d")
     )
     spark = edges.sparkSession
+    if n_und <= _CC_LOCAL_MAX_ROWS:
+        # small graph: driver union-find over the materialized checkpoint —
+        # identical labels (see _CC_LOCAL_MAX_ROWS), none of the BSP loop's
+        # per-round jobs, and the result is a LocalRelation consumers can
+        # broadcast. Collect is bounded by the threshold.
+        rows = und.collect()
+        _free_ckpt(spark, und_ids)
+        return _local_components(spark, [(r.s, r.d) for r in rows])
+    und, und_ids = _spread_ckpt(und, und_ids, n_und)
     budget = max_iter
     level_maps: list[tuple[DataFrame, list[int]]] = []  # (labels, ids) per level
     carry = None  # resume state for an extra burst on the same level
@@ -451,6 +471,36 @@ def connected_components(
         # left — free the (now tracked, r6) level-0 edge frame too
         _free_ckpt(spark, und_ids)
     return final.select("node", F.col("label").alias("component"))
+
+
+def _local_components(spark: SparkSession, pairs: list) -> DataFrame:
+    """Driver union-find over a bounded edge list: (node, component) with
+    component = min node id of the component — the exact fixpoint the
+    distributed min-label loop converges to. Returned as a LocalRelation
+    (no pickled-RDD scan, no Python workers at action time)."""
+    from ..functions.localrel import literal_df
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in pairs:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # attach larger root under smaller so the root IS the min id
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    nodes = {n for e in pairs for n in e}
+    out = sorted((n, find(n)) for n in nodes)
+    return literal_df(spark, out, "node long, component long")
 
 
 def component_sizes(cc: DataFrame) -> DataFrame:
