@@ -394,3 +394,14 @@ def test_state_partitions_concurrent_blocks_serialize(spark):
         t.join()
     assert not errs, errs
     assert spark.conf.get(key) == orig, "session conf permanently downsized"
+
+
+def test_drain_restores_nodata_conf(spark, sf_dir):
+    # r12: the bounded drains skip the trailing no-data micro-batch via a
+    # SCOPED conf override — the session's steady-state value must survive
+    from weather_data_pipeline_spark.streaming import jobs as SJ
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(key)
+    SJ.streaming_hourly_event_counts(spark, sf_dir).count()
+    assert spark.conf.get(key) == before
