@@ -83,15 +83,26 @@ _T_START = time.perf_counter()
 # normalization. cal_info names the protocol version so cross-round series
 # can be filtered to like-for-like (r1-r5 = "q1-coldish-bo3", r6 =
 # "q1-warm-bo5", r7+ = "v2-3query-warm-bo5").
-CALIBRATION_PROTOCOL = "v2-3query-warm-bo5"
+# v3 (r12): the round-12 optimizations made the three calibration queries
+# themselves ~1.5x faster (the load_table session memo removed 60-120 ms of
+# per-call driver work from EVERY query, calibration included), so the r7
+# reference sum of 0.944 s reads every clean pass as scale ~1.4 — above the
+# 1.3 contamination band — and would stamp every future capture
+# contaminated. Measurement-bug fix, declared per the round rules: the
+# TIMED REGION and the raw per-query numbers are untouched and stay
+# round-over-round comparable; only the normalization anchor is re-pinned
+# (fresh-JVM warm best-of-5 sums on the r12 tree, idle host, three
+# sessions: 0.565 / 0.633 / 0.624 — median 0.62). BENCH_PROTOCOL bumped so
+# best-of-N series never merge passes normalized under different anchors.
+CALIBRATION_PROTOCOL = "v3-3query-warm-bo5-r12ref"
 CALIBRATION_QUERIES = [
     "q1_pricing_summary",  # scan + group agg (codegen-heavy)
     "rolling_mean_events",  # window exec over one exchange
     "token_stats_documents",  # wide text scan, HOF-heavy projection
 ]
-# reference sum measured idle, warm, round 7 (see BASELINE.md §calibration):
-# q1 0.485 + rolling_mean 0.230 + token_stats 0.229
-REFERENCE_CALIBRATION_SEC = 0.944
+# v2 reference (r7-r11 artifacts): 0.944 = q1 0.485 + rolling_mean 0.230 +
+# token_stats 0.229, measured on the pre-r12 code surface
+REFERENCE_CALIBRATION_SEC = 0.62
 # kept for backward reading of r1-r6 artifacts; no longer used to normalize
 CALIBRATION_QUERY = "q1_pricing_summary"
 # idle gate: loadavg per cpu above this at START means another workload is
@@ -133,7 +144,10 @@ MIDPASS_SLOWDOWN_X = 1.5
 #   v1 = r7-r9 (3-query calibration, no probes)
 #   v2 = r10   (mid-pass probes, best-of-N merge)
 #   v3 = r11   (cpu-MHz thermal proxy in the contamination verdict)
-BENCH_PROTOCOL = "v3"
+#   v4 = r12   (calibration anchor re-pinned on the r12-optimized code —
+#               see CALIBRATION_PROTOCOL; normalized values are not
+#               comparable to v3 artifacts, raw values are)
+BENCH_PROTOCOL = "v4"
 
 # thermal / afternoon proxy (VERDICT r10 #4): the third r10 same-day pass
 # read 214.1 s with contaminated:false — 16% over the 184.6 s body on

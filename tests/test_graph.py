@@ -178,3 +178,23 @@ def test_local_cc_empty_edges(spark, monkeypatch):
     monkeypatch.setattr(graph, "_CC_LOCAL_MAX_ROWS", 10**9)
     df = spark.createDataFrame([], "s long, d long")
     assert graph.connected_components(df).count() == 0
+
+
+def test_local_k_core_matches_distributed(spark, monkeypatch):
+    # r12: the driver peel must equal the BSP peel — the k-core is the
+    # unique maximal subgraph of min degree >= k, order-independent
+    from weather_data_pipeline_spark.operators import graph
+
+    n = 6
+    edges = (
+        [(min(i, (i + 1) % n), max(i, (i + 1) % n)) for i in range(n)]  # cycle
+        + [(i + 10, i + 11) for i in range(8)]                          # path
+        + [(20, 21), (21, 22), (20, 22), (22, 23)]                      # tri+tail
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for k in (1, 2, 3):
+        monkeypatch.setattr(graph, "_CC_LOCAL_MAX_ROWS", 10**9)
+        local = sorted(tuple(r) for r in graph.k_core(df, k=k).collect())
+        monkeypatch.setattr(graph, "_CC_LOCAL_MAX_ROWS", 0)
+        dist = sorted(tuple(r) for r in graph.k_core(df, k=k).collect())
+        assert local == dist, (k, local, dist)

@@ -712,6 +712,14 @@ def k_core(
     e, e_ids, n_edges = _ckpt_counted(
         edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
     )
+    if n_edges <= _CC_LOCAL_MAX_ROWS:
+        # bounded edge set: peel driver-side (r12, same rationale and bound
+        # as the connected_components fast path) — the k-core is the UNIQUE
+        # maximal subgraph of min degree >= k, so peel order cannot change
+        # the result; core_degree is each survivor's degree within it
+        rows = e.collect()
+        _free_ckpt(spark, e_ids)
+        return _local_k_core(spark, [(r.id_a, r.id_b) for r in rows], k)
     e, e_ids = _spread_ckpt(e, e_ids, n_edges)
     # max_rounds peel rounds + 1 confirmation round: a graph whose peel
     # depth is exactly max_rounds still needs one no-change round to PROVE
@@ -745,3 +753,36 @@ def k_core(
         _free_ckpt(spark, e_ids)
         e, e_ids, n_edges = e2, e2_ids, n2
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
+
+
+def _local_k_core(spark: SparkSession, pairs: list, k: int) -> DataFrame:
+    """Driver-side k-core peel over a bounded edge list: iteratively drop
+    nodes of degree < k; return (node, core_degree) for the survivors. The
+    distributed loop counts BOTH endpoints of every edge row per round
+    (unionAll of id_a and id_b), so a self-loop contributes 2 to its node's
+    degree — replicated here. Returned as a LocalRelation."""
+    from collections import defaultdict
+
+    from ..functions.localrel import literal_df
+
+    adj: dict = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    alive = set(adj)
+    deg = {n: len(adj[n]) for n in alive}
+    frontier = [n for n in alive if deg[n] < k]
+    while frontier:
+        nxt = []
+        for n in frontier:
+            if n not in alive:
+                continue
+            alive.discard(n)
+            for m in adj[n]:
+                if m in alive:
+                    deg[m] -= 1
+                    if deg[m] < k:
+                        nxt.append(m)
+        frontier = nxt
+    out = sorted((n, deg[n]) for n in alive)
+    return literal_df(spark, out, "node long, core_degree long")
